@@ -1,0 +1,125 @@
+"""End-to-end KG construction pipeline (the flagship).
+
+The reference's ``KGGen.generate()`` flow
+(``/root/reference/src/kg_gen/kg_gen.py:149-268``: normalize input -> chunk
+-> per-chunk extract entities+relations -> union -> optional cluster ->
+rewrite -> Graph) re-expressed as a streaming Ray Data plan::
+
+    pages --extract_text--> text --chunk--> chunks
+      --TripleExtractor actor pool--> triples_raw
+      --distinct--> triples                              (shuffle 1)
+      --canonicalize labels (salted groupby)--> alias_map (shuffle 2)
+      --broadcast rewrite + distinct--> canonical triples (shuffle 3)
+      --sort + write--> graph tables                      (shuffle 4)
+
+Everything streams with backpressure; nothing materializes the pages table.
+Driver-side collections are limited to the alias map (distinct labels) —
+the broadcast small side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray.data
+
+from kg_gen_ray.config import PipelineConfig
+from kg_gen_ray.stages.canonicalize import canonicalize_labels
+from kg_gen_ray.stages.chunker import chunk_stage
+from kg_gen_ray.stages.extract import extract_stage
+from kg_gen_ray.stages.extract_text import extract_text_stage
+from kg_gen_ray.stages.materialize import graph_stats, write_graph
+from kg_gen_ray.stages.rewrite import build_alias_dicts, distinct, rewrite_stage
+
+
+@dataclass
+class KGResult:
+    triples: "ray.data.Dataset"        # canonical distinct (subj, pred, obj)
+    alias_map: "ray.data.Dataset"      # (kind, representative, member)
+    config: PipelineConfig
+
+    def stats(self) -> dict:
+        return graph_stats(self.triples)
+
+    def write(self, out_dir: str) -> dict:
+        counts = write_graph(self.triples, out_dir, self.config.sort_output)
+        self.alias_map.write_parquet(f"{out_dir}/alias_map")
+        return counts
+
+
+def raw_triples(pages: "ray.data.Dataset", config: PipelineConfig
+                ) -> "ray.data.Dataset":
+    """pages -> raw (pre-dedup) triples with (url, chunk_id) provenance."""
+    text = extract_text_stage(pages)
+    chunks = chunk_stage(text, config.chunk_size)
+    return extract_stage(chunks, config)
+
+
+def entity_labels(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """distinct entity labels (subj union obj) as a 'member' column."""
+    import pyarrow as pa
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        ents = pa.concat_arrays([t["subj"].combine_chunks().cast(pa.string()),
+                                 t["obj"].combine_chunks().cast(pa.string())])
+        return pa.table({"member": ents}).group_by(["member"]).aggregate([])
+
+    return distinct(triples.map_batches(endpoints, batch_format="pyarrow"),
+                    ["member"])
+
+
+def edge_labels(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    import pyarrow as pa
+
+    def preds(t: pa.Table) -> pa.Table:
+        return pa.table({"member": t["pred"].combine_chunks().cast(pa.string())}) \
+                 .group_by(["member"]).aggregate([])
+
+    return distinct(triples.map_batches(preds, batch_format="pyarrow"),
+                    ["member"])
+
+
+def build_kg(pages: "ray.data.Dataset",
+             config: PipelineConfig | None = None) -> KGResult:
+    """Run the full pipeline; returns lazily-evaluated result datasets."""
+    config = config or PipelineConfig()
+    config.validate()
+
+    raw = raw_triples(pages, config)
+    # Materialize the distinct triples once: extraction (the expensive,
+    # pages-sized stage) must not re-run for each of the downstream consumers
+    # (entity labels, edge labels, rewrite). The distinct triple set is the
+    # small, reused intermediate; in the resumable path
+    # (pipelines.partitioned) this checkpoint lives on disk instead.
+    triples = distinct(raw, ["subj", "pred", "obj"]).materialize()
+
+    if not config.cluster:
+        # no-cluster path (ref generate(cluster=False)): identity alias map
+        import pyarrow as pa
+
+        def ident(t: pa.Table, kind: str) -> pa.Table:
+            m = t["member"].combine_chunks().cast(pa.string())
+            return pa.table({
+                "kind": pa.array([kind] * len(m), pa.string()),
+                "representative": m,
+                "member": m,
+            })
+
+        am = entity_labels(triples).map_batches(
+            lambda t: ident(t, "entity"), batch_format="pyarrow").union(
+            edge_labels(triples).map_batches(
+                lambda t: ident(t, "edge"), batch_format="pyarrow"))
+        return KGResult(triples=triples, alias_map=am, config=config)
+
+    ent_alias = canonicalize_labels(entity_labels(triples), "entity",
+                                    config.salt_buckets,
+                                    max_group_size=config.max_group_size)
+    edge_alias = canonicalize_labels(edge_labels(triples), "edge",
+                                     config.salt_buckets,
+                                     max_group_size=config.max_group_size)
+    alias_map = ent_alias.union(edge_alias)
+
+    ent_dict, edge_dict = build_alias_dicts(alias_map)
+    rewritten = rewrite_stage(triples, ent_dict, edge_dict)
+    canonical = distinct(rewritten, ["subj", "pred", "obj"])
+    return KGResult(triples=canonical, alias_map=alias_map, config=config)

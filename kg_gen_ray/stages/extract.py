@@ -1,0 +1,271 @@
+"""Triple extraction stage — the stateful actor-pool core of the pipeline.
+
+Re-expresses the reference's per-chunk two-call flow (entity extraction
+``/root/reference/src/kg_gen/steps/_1_get_entities.py:5-29`` then
+entity-constrained relation extraction
+``/root/reference/src/kg_gen/steps/_2_get_relations.py:60-105``) as ONE
+actor-pool ``map_batches`` stage: the actor holds the extractor state
+(compiled patterns / LLM client) built once in ``__init__``, and each
+``__call__`` turns a batch of chunks into a batch of raw triples::
+
+    chunks(url, chunk_id, text, lang) -> triples_raw(subj, pred, obj, url, chunk_id)
+
+Backends (pluggable, routed per ``lang`` — north_star language-aware routing):
+
+* :class:`PatternExtractor` — deterministic rule-based extraction over the
+  templated-sentence corpus (hermetic test/conformance backend; stands in
+  for the reference's DSPy signature the way SURVEY.md §5 prescribes).
+* :class:`BigramExtractor` — deterministic token-adjacency extraction
+  (``(w_i, 'precedes', w_{i+1})`` + ``(w, 'written_in', lang)``), fully
+  vectorized and SQL-expressible so the DuckDB oracle can verify the whole
+  downstream pipeline.
+* :class:`LLMExtractor` — the production-shaped backend with the reference's
+  strict -> fallback -> fix retry ladder (``_2_get_relations.py:75-105``);
+  the transport is injectable and there is no network in this sandbox, so
+  it is exercised with a fake transport in tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+
+TRIPLES_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("url", pa.string()),
+    ("chunk_id", pa.int32()),
+])
+
+
+def _triples_table(subj, pred, obj, url, chunk_id) -> pa.Table:
+    return pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "pred": pa.array(pred, pa.string()),
+        "obj": pa.array(obj, pa.string()),
+        "url": pa.array(url, pa.string()),
+        "chunk_id": pa.array(chunk_id, pa.int32()),
+    })
+
+
+class PatternExtractor:
+    """Rule-based extraction over the synthetic templated corpus.
+
+    Patterns mirror the fact templates in
+    :mod:`kg_gen_ray.sources.pages` (FIXTURES.md §2), so expected output is
+    known in closed form. Entity-membership of subject/object is guaranteed
+    by construction (the reference enforces it as a post-filter,
+    ``_2_get_relations.py:101-104``).
+    """
+
+    def __init__(self, config: ExtractorConfig | None = None):
+        # anchored per-sentence rules: entities may be multiword phrases
+        self._rules = [
+            (re.compile(r"^(.+) is (.+)'s (mother|brother|friend)\.$"),
+             lambda m: (m.group(1), f"is {m.group(3)} of", m.group(2))),
+            (re.compile(r"^The capital of (.+) is (.+)\.$"),
+             lambda m: (m.group(1), "has capital", m.group(2))),
+            (re.compile(r"^(.+) is a type of (.+)\.$"),
+             lambda m: (m.group(1), "is a type of", m.group(2))),
+        ]
+
+    def extract_batch(self, batch: pa.Table) -> pa.Table:
+        from kg_gen_ray.stages.chunker import split_sentences
+        subj, pred, obj, urls, cids = [], [], [], [], []
+        for url, cid, text in zip(batch["url"].to_pylist(),
+                                  batch["chunk_id"].to_pylist(),
+                                  batch["text"].to_pylist()):
+            for sent in split_sentences(text):
+                for rx, emit in self._rules:
+                    m = rx.match(sent)
+                    if m:
+                        s, p, o = emit(m)
+                        subj.append(s); pred.append(p); obj.append(o)
+                        urls.append(url); cids.append(cid)
+                        break
+        return _triples_table(subj, pred, obj, urls, cids)
+
+
+class BigramExtractor:
+    """Vectorized token-adjacency extraction (SQL-expressible).
+
+    Tokens are a single-space split of the chunk text (matches DuckDB
+    ``string_split(text, ' ')`` exactly). Emits, per chunk:
+
+    * ``(tokens[i], 'precedes', tokens[i+1])`` for each adjacent pair,
+    * ``(token, 'written_in', lang)`` for each token occurrence.
+
+    Fully numpy-vectorized: no Python loop over rows or tokens.
+    """
+
+    def __init__(self, config: ExtractorConfig | None = None):
+        pass
+
+    def extract_batch(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _triples_table([], [], [], [], [])
+        toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
+        flat = np.asarray(toks.combine_chunks().flatten().to_pylist(), dtype=object) \
+            if isinstance(toks, pa.ChunkedArray) else \
+            np.asarray(toks.flatten().to_pylist(), dtype=object)
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(n), lengths)
+        url_np = np.asarray(batch["url"].to_pylist(), dtype=object)
+        lang_np = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        cid_np = batch["chunk_id"].to_numpy(zero_copy_only=False)
+
+        # rule A: adjacent pairs within the same row
+        if len(flat) > 1:
+            adj = row_idx[:-1] == row_idx[1:]
+        else:
+            adj = np.zeros(0, dtype=bool)
+        a_subj = flat[:-1][adj]
+        a_obj = flat[1:][adj]
+        a_rows = row_idx[:-1][adj]
+        # rule B: every token occurrence -> its page language
+        b_subj = flat
+        b_obj = lang_np[row_idx]
+        b_rows = row_idx
+
+        subj = np.concatenate([a_subj, b_subj])
+        obj = np.concatenate([a_obj, b_obj])
+        pred = np.concatenate([np.full(len(a_subj), "precedes", dtype=object),
+                               np.full(len(b_subj), "written_in", dtype=object)])
+        rows = np.concatenate([a_rows, b_rows])
+        return _triples_table(subj, pred, obj, url_np[rows], cid_np[rows])
+
+
+class LLMExtractor:
+    """Production-shaped LLM backend with the reference's retry ladder.
+
+    The reference does: strict entity-constrained signature -> on exception a
+    fallback unconstrained signature -> a ChainOfThought "fix" pass -> a hard
+    post-filter keeping only relations whose subject and object are in the
+    extracted entity list (``_2_get_relations.py:75-105``). We keep exactly
+    that ladder; ``transport(prompt) -> str`` is injectable (LiteLLM-style in
+    production, a deterministic fake in tests — no network in this sandbox).
+
+    Response wire format (one relation per line): ``subj|pred|obj``.
+    """
+
+    def __init__(self, config: ExtractorConfig, transport=None):
+        if transport is None:
+            raise NotImplementedError(
+                "LLMExtractor requires a transport callable; network-backed "
+                "LiteLLM transport is not available in this environment")
+        self.config = config
+        self.transport = transport
+
+    # -- the three rungs of the ladder ------------------------------------
+    def _entities(self, text: str) -> list[str]:
+        resp = self.transport(f"ENTITIES\n{self.config.context}\n{text}")
+        return [e.strip() for e in resp.splitlines() if e.strip()]
+
+    def _relations_strict(self, text: str, entities: list[str]):
+        resp = self.transport(
+            "RELATIONS_STRICT\n" + "\n".join(entities) + "\n---\n" + text)
+        return self._parse(resp, strict=True)
+
+    def _relations_fallback_fix(self, text: str, entities: list[str]):
+        resp = self.transport("RELATIONS_ANY\n" + text)
+        rels = self._parse(resp, strict=False)
+        fixed = self.transport(
+            "FIX\n" + "\n".join("|".join(r) for r in rels)
+            + "\n---\n" + "\n".join(entities))
+        return self._parse(fixed, strict=False)
+
+    @staticmethod
+    def _parse(resp: str, strict: bool):
+        out = []
+        for line in resp.splitlines():
+            parts = [p.strip() for p in line.split("|")]
+            if len(parts) == 3 and all(parts):
+                out.append(tuple(parts))
+            elif strict and line.strip():
+                raise ValueError(f"malformed relation line: {line!r}")
+        return out
+
+    def extract(self, text: str):
+        entities = self._entities(text)
+        try:
+            rels = self._relations_strict(text, entities)
+        except Exception:
+            rels = self._relations_fallback_fix(text, entities)
+        ents = set(entities)
+        # hard post-filter (ref _2_get_relations.py:101-104)
+        return [r for r in rels if r[0] in ents and r[2] in ents]
+
+    def extract_batch(self, batch: pa.Table) -> pa.Table:
+        subj, pred, obj, urls, cids = [], [], [], [], []
+        for url, cid, text in zip(batch["url"].to_pylist(),
+                                  batch["chunk_id"].to_pylist(),
+                                  batch["text"].to_pylist()):
+            for s, p, o in self.extract(text):
+                subj.append(s); pred.append(p); obj.append(o)
+                urls.append(url); cids.append(cid)
+        return _triples_table(subj, pred, obj, urls, cids)
+
+
+_BACKENDS = {
+    "pattern": PatternExtractor,
+    "bigram": BigramExtractor,
+    "llm": LLMExtractor,
+}
+
+
+class TripleExtractor:
+    """The actor-pool callable: builds per-language backends ONCE per actor
+    (``__init__``), then routes each batch slice by ``lang`` (``__call__``).
+    """
+
+    def __init__(self, config: PipelineConfig, transports: dict | None = None):
+        self.config = config
+        self._backends: dict[str, object] = {}
+        transports = transports or {}
+        langs = set(config.lang_routes) | {None}
+        for lang in langs:
+            cfg = config.default_extractor if lang is None else config.lang_routes[lang]
+            kwargs = {}
+            if cfg.backend == "llm":
+                kwargs["transport"] = transports.get(lang or "default")
+            self._backends[lang] = _BACKENDS[cfg.backend](cfg, **kwargs)
+
+    def _backend_for(self, lang: str):
+        return self._backends.get(lang, self._backends[None])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.config.lang_routes:
+            return self._backends[None].extract_batch(batch)
+        parts = []
+        langs = pc.unique(pc.cast(batch["lang"], pa.string())).to_pylist()
+        for lang in langs:
+            sub = batch.filter(pc.equal(batch["lang"], lang))
+            parts.append(self._backend_for(lang).extract_batch(sub))
+        if not parts:
+            return _triples_table([], [], [], [], [])
+        return pa.concat_tables(parts)
+
+
+def extract_stage(chunks: "ray.data.Dataset", config: PipelineConfig
+                  ) -> "ray.data.Dataset":
+    """chunks -> triples_raw via an actor pool.
+
+    ``concurrency`` creates a fixed pool of actors; state (compiled patterns,
+    LLM clients) is built once per actor, not per batch.
+    """
+    return chunks.map_batches(
+        TripleExtractor,
+        fn_constructor_args=(config,),
+        batch_format="pyarrow",
+        batch_size=config.extractor_batch_size,
+        concurrency=config.extractor_concurrency,
+    )

@@ -1,0 +1,78 @@
+"""Triple rewrite onto cluster representatives + exact dedup.
+
+The reference rewrites each triple by linear-scanning the cluster dict for
+membership (``/root/reference/src/kg_gen/steps/_3_cluster_graph.py:294-317``,
+duplicated at ``experiments/wikiqa/utils/cluster_and_deduplication.py:386-410``).
+At scale that is a join; since the alias map (distinct labels) is orders of
+magnitude smaller than the triples table, the idiomatic Ray Data plan is a
+**broadcast hash join**: ``ray.put`` the member->representative dict once,
+look it up vectorized inside ``map_batches`` — no shuffle. The following
+``distinct`` collapses triples that became equal after rewriting (the
+reference gets this for free from set semantics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
+    """Exact multi-column dedup (reference set semantics, SURVEY.md §2.7 D1).
+
+    Two-level: per-batch local dedup first (pyarrow group_by — a free
+    combiner that shrinks the shuffle input), then the global hash-shuffle
+    groupby. Returns only ``keys`` columns.
+    """
+    def local(t: pa.Table) -> pa.Table:
+        return t.select(keys).group_by(keys).aggregate([])
+
+    pre = ds.map_batches(local, batch_format="pyarrow")
+    return pre.groupby(keys).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def build_alias_dicts(alias_map: "ray.data.Dataset") -> tuple[dict, dict]:
+    """alias_map rows -> ({entity member->rep}, {edge member->rep}).
+
+    Driver-side collect of the (small) alias table; identity mappings are
+    dropped to keep the broadcast dict minimal.
+    """
+    ent, edge = {}, {}
+    for batch in alias_map.iter_batches(batch_format="pyarrow"):
+        for kind, rep, member in zip(batch["kind"].to_pylist(),
+                                     batch["representative"].to_pylist(),
+                                     batch["member"].to_pylist()):
+            if member == rep:
+                continue
+            (ent if kind == "entity" else edge)[member] = rep
+    return ent, edge
+
+
+def rewrite_stage(triples: "ray.data.Dataset",
+                  entity_alias: dict, edge_alias: dict
+                  ) -> "ray.data.Dataset":
+    """Substitute subj/obj via entity aliases and pred via edge aliases.
+
+    Broadcast join: the dicts go through the object store once
+    (``ray.put``), every task reads the same copy; lookup is a C-speed
+    pandas ``Series.map`` per column.
+    """
+    ent_ref = ray.put(entity_alias)
+    edge_ref = ray.put(edge_alias)
+
+    def sub(df: pd.DataFrame, ent_ref=ent_ref, edge_ref=edge_ref
+            ) -> pd.DataFrame:
+        ent = ray.get(ent_ref)
+        edge = ray.get(edge_ref)
+        if ent:
+            df["subj"] = df["subj"].map(lambda x: ent.get(x, x))
+            df["obj"] = df["obj"].map(lambda x: ent.get(x, x))
+        if edge:
+            df["pred"] = df["pred"].map(lambda x: edge.get(x, x))
+        return df
+
+    return triples.map_batches(sub, batch_format="pandas")

@@ -1,0 +1,102 @@
+"""Canonicalization semantics — table-level versions of the reference's
+clustering tests (/root/reference/tests/test_clustering.py): case/plural/
+tense variants merge, distinct items do not, representative is a member,
+transitivity holds, salting is exact."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.stages.canonicalize import (
+    canonicalize_labels, choose_representative, connected_components,
+    label_propagation, normalize_label, salt_of)
+
+
+def alias_of(labels, ray_session=None, **kw):
+    ds = rd.from_arrow(pa.table({"member": pa.array(labels, pa.string())}))
+    rows = canonicalize_labels(ds, "entity", **kw).take_all()
+    return {r["member"]: r["representative"] for r in rows}
+
+
+def test_normalize_label_variants():
+    # case variants (ref test_clustering.py:109-158)
+    assert normalize_label("CAT") == normalize_label("cat") == normalize_label("Cat")
+    # plural (ref test_clustering.py:12-83)
+    assert normalize_label("cats") == normalize_label("cat")
+    # tense: likes / like / liking -> same key
+    assert normalize_label("likes") == normalize_label("like") == normalize_label("liking")
+    # distinct items stay distinct (ref test_clustering.py:203-242)
+    keys = {normalize_label(x) for x in ["apple", "banana", "carrot", "dog", "farmer"]}
+    assert len(keys) == 5
+    # short words are not clipped
+    assert normalize_label("is") == "is"
+    assert normalize_label("as") == "as"  # len 2: plural rule needs len>3
+
+
+def test_choose_representative():
+    assert choose_representative(["cats", "cat", "kitten"]) == "cat"
+    assert choose_representative(["b", "a"]) == "a"
+    # always a member
+    ms = ["Engines", "engine"]
+    assert choose_representative(ms) in ms
+
+
+def test_salt_stable():
+    assert salt_of("hello", 16) == salt_of("hello", 16)
+    assert 0 <= salt_of("anything", 8) < 8
+
+
+def test_merge_and_no_merge(ray_session):
+    labels = ["cat", "Cat", "CAT", "cats", "dog", "Dogs",
+              "apple", "banana", "likes", "like", "liking"]
+    amap = alias_of(labels, salt_buckets=4)
+    assert len({amap["cat"], amap["Cat"], amap["CAT"], amap["cats"]}) == 1
+    assert amap["dog"] == amap["Dogs"]
+    assert amap["apple"] != amap["banana"]
+    assert amap["apple"] != amap["cat"]
+    assert len({amap["likes"], amap["like"], amap["liking"]}) == 1
+    # representative is always a member of its cluster
+    for m, r in amap.items():
+        assert r in labels
+
+
+def test_salting_exactness(ray_session):
+    """Result must be identical for any salt bucket count (salting is a
+    physical optimization, not a semantic one)."""
+    labels = [f"item{i}" for i in range(20)] + ["cat", "cats", "CAT", "Cat"]
+    a1 = alias_of(labels, salt_buckets=1)
+    a2 = alias_of(labels, salt_buckets=13)
+    assert a1 == a2
+
+
+def test_judge_path(ray_session):
+    """A judge can split a normalization group (context-dependent no-merge,
+    ref test_clustering.py:447-555 bank/river-bank)."""
+    def judge(members):
+        # refuse to merge 'bank1'/'bank2'-style labels; cluster rest together
+        return [[m] for m in members] if len(members) > 1 else [members]
+
+    labels = ["bank", "banks"]
+    amap = alias_of(labels, salt_buckets=2, judge=judge)
+    assert amap["bank"] == "bank" and amap["banks"] == "banks"
+
+
+def test_connected_components_unionfind():
+    comp = connected_components([("a", "b"), ("b", "c"), ("x", "y")])
+    assert comp["a"] == comp["b"] == comp["c"]
+    assert comp["x"] == comp["y"]
+    assert comp["a"] != comp["x"]
+    # min-by-(len,lex) root
+    assert comp["c"] == "a"
+
+
+def test_label_propagation_distributed(ray_session):
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(["n1", "n2", "n5", "n7"], pa.string()),
+        "b": pa.array(["n2", "n3", "n6", "n7"], pa.string()),
+    }))
+    comp = {r["node"]: r["component"]
+            for r in label_propagation(edges).take_all()}
+    assert comp["n1"] == comp["n2"] == comp["n3"] == "n1"
+    assert comp["n5"] == comp["n6"] == "n5"
+    assert comp["n7"] == "n7"

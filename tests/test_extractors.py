@@ -1,0 +1,132 @@
+"""Extractor backends: pattern rules, vectorized bigram, LLM retry ladder."""
+
+import pyarrow as pa
+import pytest
+
+from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+from kg_gen_ray.stages.extract import (
+    BigramExtractor, LLMExtractor, PatternExtractor, TripleExtractor)
+
+
+def chunk_batch(rows):
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "chunk_id": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows], pa.large_string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
+def triples_of(table):
+    return list(zip(table["subj"].to_pylist(), table["pred"].to_pylist(),
+                    table["obj"].to_pylist()))
+
+
+def test_pattern_extractor_rules():
+    b = chunk_batch([
+        ("u1", 0, "Linda is Josh's mother. The capital of France is Paris. "
+                  "oak is a type of tree. Nothing else here.", "en"),
+    ])
+    out = PatternExtractor().extract_batch(b)
+    assert set(triples_of(out)) == {
+        ("Linda", "is mother of", "Josh"),
+        ("France", "has capital", "Paris"),
+        ("oak", "is a type of", "tree"),
+    }
+    assert out["url"].to_pylist() == ["u1"] * 3
+    assert out["chunk_id"].to_pylist() == [0] * 3
+
+
+def test_bigram_extractor_matches_naive():
+    texts = ["a b c", "x", "", "p q"]
+    b = chunk_batch([(f"u{i}", 0, t, "en") for i, t in enumerate(texts)])
+    out = BigramExtractor().extract_batch(b)
+    got = set(zip(out["subj"].to_pylist(), out["pred"].to_pylist(),
+                  out["obj"].to_pylist(), out["url"].to_pylist()))
+    expected = set()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for a, c in zip(toks, toks[1:]):
+            expected.add((a, "precedes", c, f"u{i}"))
+        for w in toks:
+            expected.add((w, "written_in", "en", f"u{i}"))
+    assert got == expected
+    # multiset row count: bigrams + token occurrences
+    n_tokens = sum(len(t.split(" ")) for t in texts)
+    n_bigrams = sum(max(0, len(t.split(" ")) - 1) for t in texts)
+    assert out.num_rows == n_tokens + n_bigrams
+
+
+def test_bigram_empty_batch():
+    out = BigramExtractor().extract_batch(chunk_batch([]))
+    assert out.num_rows == 0
+
+
+class FakeTransport:
+    """Deterministic fake LLM: understands the three prompt kinds."""
+
+    def __init__(self, fail_strict=False):
+        self.fail_strict = fail_strict
+        self.calls = []
+
+    def __call__(self, prompt):
+        kind = prompt.split("\n", 1)[0]
+        self.calls.append(kind)
+        if kind == "ENTITIES":
+            return "Alice\nBob\nParis"
+        if kind == "RELATIONS_STRICT":
+            if self.fail_strict:
+                return "garbage line without pipes"
+            return "Alice|knows|Bob\nAlice|visited|Paris"
+        if kind == "RELATIONS_ANY":
+            return "Alice|knows|Bob\nEve|hacks|Mallory\nbadline"
+        if kind == "FIX":
+            return "Alice|knows|Bob\nEve|hacks|Mallory"
+        raise AssertionError(kind)
+
+
+def test_llm_extractor_strict_path():
+    t = FakeTransport()
+    ex = LLMExtractor(ExtractorConfig(backend="llm", model="fake"), transport=t)
+    rels = ex.extract("some text")
+    assert rels == [("Alice", "knows", "Bob"), ("Alice", "visited", "Paris")]
+    assert t.calls == ["ENTITIES", "RELATIONS_STRICT"]
+
+
+def test_llm_extractor_fallback_ladder_and_postfilter():
+    t = FakeTransport(fail_strict=True)
+    ex = LLMExtractor(ExtractorConfig(backend="llm", model="fake"), transport=t)
+    rels = ex.extract("some text")
+    # Eve/Mallory filtered out: not in extracted entity list
+    # (ref _2_get_relations.py:101-104 hard post-filter)
+    assert rels == [("Alice", "knows", "Bob")]
+    assert t.calls == ["ENTITIES", "RELATIONS_STRICT", "RELATIONS_ANY", "FIX"]
+
+
+def test_llm_extractor_requires_transport():
+    with pytest.raises(NotImplementedError):
+        LLMExtractor(ExtractorConfig(backend="llm", model="fake"))
+
+
+def test_lang_routing():
+    cfg = PipelineConfig(
+        default_extractor=ExtractorConfig(backend="pattern"),
+        lang_routes={"de": ExtractorConfig(backend="bigram")},
+    )
+    ex = TripleExtractor(cfg)
+    b = chunk_batch([
+        ("u1", 0, "oak is a type of tree.", "en"),
+        ("u2", 0, "nur zwei", "de"),
+    ])
+    out = ex(b)
+    trips = set(triples_of(out))
+    assert ("oak", "is a type of", "tree") in trips       # pattern route (en)
+    assert ("nur", "precedes", "zwei") in trips           # bigram route (de)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        PipelineConfig(default_extractor=ExtractorConfig(backend="nope")).validate()
+    with pytest.raises(ValueError):
+        PipelineConfig(default_extractor=ExtractorConfig(backend="llm")).validate()
+    PipelineConfig().validate()

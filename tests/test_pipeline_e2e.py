@@ -1,0 +1,124 @@
+"""End-to-end pipeline conformance: P/R >= 0.95 vs closed-form truth,
+graph invariants, no-cluster path, skew fixture, graph.json round-trip."""
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.config import PipelineConfig
+from kg_gen_ray.pipelines.conformance import expected_canonical, precision_recall
+from kg_gen_ray.pipelines.kg_pipeline import build_kg
+from kg_gen_ray.sources.graph_json import read_graph_json, write_graph_json
+from kg_gen_ray.sources.pages import synthetic_corpus, synthetic_pages_table
+
+
+def run_corpus(n_pages=48, seed=11, cfg=None, **corpus_kw):
+    tab = synthetic_pages_table(n_pages, seed, **corpus_kw)
+    _, truth = synthetic_corpus(n_pages, seed, **corpus_kw)
+    pages = rd.from_arrow(tab)
+    res = build_kg(pages, cfg or PipelineConfig(
+        chunk_size=300, extractor_concurrency=2, salt_buckets=4))
+    actual = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.take_all()}
+    return res, actual, truth
+
+
+def test_pr_gate(ray_session):
+    res, actual, truth = run_corpus()
+    pr = precision_recall(actual, expected_canonical(truth))
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+
+def test_graph_invariants(ray_session):
+    from kg_gen_ray.stages.materialize import (
+        edge_types_table, nodes_table, top_entities)
+    res, actual, _ = run_corpus()
+    # ref invariant (kg_gen.py:238-242): edge set == distinct predicates
+    edge_types = {r["pred"] for r in edge_types_table(res.triples).take_all()}
+    assert edge_types == {p for _, p, _ in actual}
+    # nodes == triple endpoints
+    nodes = {r["entity"] for r in nodes_table(res.triples).take_all()}
+    assert nodes == {s for s, _, _ in actual} | {o for _, _, o in actual}
+    # degrees sum to 2 * n_triples
+    degs = {r["entity"]: r["degree"] for r in nodes_table(res.triples).take_all()}
+    assert sum(degs.values()) == 2 * len(actual)
+    # top-k is the k max-degree entities
+    top = top_entities(res.triples, 5).take_all()
+    assert len(top) == 5
+    top_set = [(r["entity"], r["degree"]) for r in top]
+    assert top_set == sorted(degs.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+
+def test_alias_map_invariants(ray_session):
+    res, _, _ = run_corpus()
+    rows = res.alias_map.take_all()
+    members_by_rep = {}
+    for r in rows:
+        members_by_rep.setdefault((r["kind"], r["representative"]), set()).add(r["member"])
+    # representative is a member of its own cluster (strict version of the
+    # reference's "ideally from the cluster", _3_cluster_graph.py:16-22)
+    for (kind, rep), members in members_by_rep.items():
+        assert rep in members
+    # canonical triples only use representatives
+    ent_reps = {r["representative"] for r in rows if r["kind"] == "entity"}
+    edge_reps = {r["representative"] for r in rows if r["kind"] == "edge"}
+    for r in res.triples.take_all():
+        assert r["subj"] in ent_reps and r["obj"] in ent_reps
+        assert r["pred"] in edge_reps
+
+
+def test_no_cluster_path(ray_session):
+    cfg = PipelineConfig(chunk_size=300, cluster=False,
+                         extractor_concurrency=2)
+    res, actual, truth = run_corpus(cfg=cfg)
+    # raw surface forms survive (no rewrite)
+    assert actual == truth
+    # alias map is the identity
+    for r in res.alias_map.take_all():
+        assert r["representative"] == r["member"]
+
+
+def test_skew_fixture(ray_session):
+    """Hot entity in ~30% of pages (FIXTURES.md §6): salted groupby still
+    produces the correct merged clusters."""
+    res, actual, truth = run_corpus(
+        n_pages=64, seed=3, hot_entity="machine learning", hot_fraction=0.3)
+    pr = precision_recall(actual, expected_canonical(truth))
+    assert pr["f1"] >= 0.95, pr
+    assert any(s == "machine learning" for s, _, _ in actual)
+
+
+def test_chunk_size_independence(ray_session):
+    """Canonical triples must not depend on the chunk size (facts are
+    sentence-local; chunking never splits a sentence under the limit)."""
+    _, a1, _ = run_corpus(cfg=PipelineConfig(chunk_size=200, extractor_concurrency=2))
+    _, a2, _ = run_corpus(cfg=PipelineConfig(chunk_size=2000, extractor_concurrency=2))
+    assert a1 == a2
+
+
+def test_graph_json_roundtrip(tmp_path, ray_session):
+    res, actual, _ = run_corpus(n_pages=16)
+    ents = {s for s, _, _ in actual} | {o for _, _, o in actual}
+    preds = {p for _, p, _ in actual}
+    clusters = {}
+    for r in res.alias_map.take_all():
+        if r["kind"] == "entity":
+            clusters.setdefault(r["representative"], set()).add(r["member"])
+    path = str(tmp_path / "graph.json")
+    write_graph_json(path, ents, actual, preds, entity_clusters=clusters)
+    g = read_graph_json(path)
+    assert g["entities"] == ents
+    assert g["relations"] == actual
+    assert g["edges"] == preds
+    assert g["entity_clusters"] == clusters
+    assert g["edge_clusters"] is None
+
+
+def test_write_graph(tmp_path, ray_session):
+    res, actual, _ = run_corpus(n_pages=16)
+    counts = res.write(str(tmp_path / "out"))
+    assert counts["triples"] == len(actual)
+    assert os.path.isdir(tmp_path / "out" / "triples")
+    t = rd.read_parquet(str(tmp_path / "out" / "triples")).take_all()
+    assert {(r["subj"], r["pred"], r["obj"]) for r in t} == actual
