@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in kg_gen_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every queries() entry is an implemented operator/pipeline from SURVEY.md §2
+or a training-data op; the oracle SQL mirrors the exact deterministic
+semantics (single-space tokenization, md5 hashing, the normalize_label
+suffix chain, float64 cosine) so DuckDB reproduces results bit-for-bit.
 """
 
 from __future__ import annotations
@@ -18,27 +14,508 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# shared helpers (Ray side)
+# ---------------------------------------------------------------------------
+
+def _pages(sf_dir: str):
+    from kg_gen_ray.sources.pages import pages_from_documents
+    return pages_from_documents(sf_dir)
+
+
+def _bigram_config():
+    from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+    # chunk_size=0: no chunk splitting, so triples are derivable from the
+    # full document text (what the SQL oracle sees)
+    return PipelineConfig(chunk_size=0,
+                          default_extractor=ExtractorConfig(backend="bigram"),
+                          extractor_concurrency=2,
+                          salt_buckets=8)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns)
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _distinct_triples(sf_dir: str):
+    from kg_gen_ray.pipelines.kg_pipeline import raw_triples
+    from kg_gen_ray.stages.rewrite import distinct
+    raw = raw_triples(_pages(sf_dir), _bigram_config())
+    return distinct(raw, ["subj", "pred", "obj"])
+
+
+def _build_kg(sf_dir: str):
+    from kg_gen_ray.pipelines.kg_pipeline import build_kg
+    return build_kg(_pages(sf_dir), _bigram_config())
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001: documents-as-pages -> extract_text
+    -> chunk -> triple extraction -> dedup -> canonicalize -> rewrite.
+    Returns the canonical triples Dataset."""
+    return _build_kg("/root/testdata/sf0.001").triples
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- KG pipeline chain (SURVEY.md §2: S1,M1,M2,X1/X2,A1,A2,A4,J1,T3,A6)
+        "kg_pages": q_kg_pages,
+        "kg_extract_text": q_kg_extract_text,
+        "kg_chunks": q_kg_chunks,                      # rows-only (sequential chunk packing)
+        "kg_triples_raw": q_kg_triples_raw,
+        "kg_triples": q_kg_triples,
+        "kg_nodes": q_kg_nodes,
+        "kg_edge_types": q_kg_edge_types,
+        "kg_alias_map": q_kg_alias_map,
+        "kg_canonical_triples": q_kg_canonical_triples,
+        "kg_top_entities": q_kg_top_entities,
+        "kg_graph_stats": q_kg_graph_stats,
+        # --- training-data ops: text analysis
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_hist": q_lang_hist,
+        "lang_id": q_lang_id,                          # rows-only (heuristic)
+        # --- dedup family
+        "dedup_exact": q_dedup_exact,
+        "text_shingles": q_text_shingles,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "dedup_simhash": q_dedup_simhash,              # rows-only (bit packing)
+        # --- similarity search
+        "ann_topk": q_ann_topk,
+        "ivf_assign": q_ivf_assign,
+        "near_dup_cosine": q_near_dup_cosine,
+        "near_dup_lsh": q_near_dup_lsh,                # rows-only (approximate)
+        # --- events (time bucketing)
+        "events_hourly": q_events_hourly,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def q_kg_pages(sf_dir: str):
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "lang": t["lang"],
+            "n_chars": pc.cast(pc.utf8_length(pc.cast(t["text"], pa.string())),
+                               pa.int64()),
+            "warc_ts": t["warc_ts"],
+        })
+    return _pages(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def q_kg_extract_text(sf_dir: str):
+    """Byte-identity invariant: extract_text(html) must equal the source
+    text column for every url."""
+    from kg_gen_ray.stages.extract_text import extract_text_stage
+    out = extract_text_stage(_pages(sf_dir))
+    return out.map_batches(
+        lambda t: pa.table({"url": t["url"],
+                            "text": pc.cast(t["text"], pa.string())}),
+        batch_format="pyarrow")
+
+
+def q_kg_chunks(sf_dir: str):
+    from kg_gen_ray.stages.chunker import chunk_stage
+    from kg_gen_ray.stages.extract_text import extract_text_stage
+    text = extract_text_stage(_pages(sf_dir))
+    return chunk_stage(text, max_chunk_size=200)
+
+
+def q_kg_triples_raw(sf_dir: str):
+    from kg_gen_ray.pipelines.kg_pipeline import raw_triples
+    raw = raw_triples(_pages(sf_dir), _bigram_config())
+    return raw.select_columns(["subj", "pred", "obj", "url"])
+
+
+def q_kg_triples(sf_dir: str):
+    return _distinct_triples(sf_dir)
+
+
+def q_kg_nodes(sf_dir: str):
+    from kg_gen_ray.stages.materialize import nodes_table
+    return nodes_table(_distinct_triples(sf_dir))
+
+
+def q_kg_edge_types(sf_dir: str):
+    from kg_gen_ray.stages.materialize import edge_types_table
+    return edge_types_table(_distinct_triples(sf_dir))
+
+
+def q_kg_alias_map(sf_dir: str):
+    return _build_kg(sf_dir).alias_map
+
+
+def q_kg_canonical_triples(sf_dir: str):
+    return _build_kg(sf_dir).triples
+
+
+def q_kg_top_entities(sf_dir: str):
+    from kg_gen_ray.stages.materialize import top_entities
+    res = _build_kg(sf_dir)
+    return top_entities(res.triples, 10)
+
+
+def q_kg_graph_stats(sf_dir: str):
+    res = _build_kg(sf_dir)
+    s = res.stats()
+    return pd.DataFrame({
+        "n_entities": pd.Series([s["n_entities"]], dtype="int64"),
+        "n_triples": pd.Series([s["n_triples"]], dtype="int64"),
+        "n_edge_types": pd.Series([s["n_edge_types"]], dtype="int64"),
+    })
+
+
+def q_text_tokens(sf_dir: str):
+    from kg_gen_ray.functions.text_analysis import token_stats
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_stats, batch_format="pyarrow")
+
+
+def q_text_quality(sf_dir: str):
+    from kg_gen_ray.functions.text_analysis import quality_score
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from kg_gen_ray.functions.text_analysis import fingerprint
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow")
+
+
+def q_lang_hist(sf_dir: str):
+    from ray.data.aggregate import Count
+    ds = _docs(sf_dir, ["lang"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+    return out
+
+
+def q_lang_id(sf_dir: str):
+    from kg_gen_ray.functions.text_analysis import lang_id_stage
+    return lang_id_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_exact(sf_dir: str):
+    from kg_gen_ray.functions.dedup import exact_dedup
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_text_shingles(sf_dir: str):
+    from kg_gen_ray.functions.dedup import shingle_stats
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        shingle_stats, batch_format="pyarrow")
+
+
+def q_minhash_signatures(sf_dir: str):
+    from kg_gen_ray.functions.dedup import minhash_signatures
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        minhash_signatures, batch_format="pyarrow")
+
+
+def q_minhash_band_pairs(sf_dir: str):
+    from kg_gen_ray.functions.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_simhash(sf_dir: str):
+    from kg_gen_ray.functions.dedup import simhash_batch
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "simhash_hex": pa.array([f"{int(h):016x}"
+                                     for h in t["simhash"].to_pylist()],
+                                    pa.string())}),
+        batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    from kg_gen_ray.functions.ann import brute_force_topk, get_query_vector
+    emb = _embeddings(sf_dir)
+    q = get_query_vector(emb, 0)
+    top = brute_force_topk(emb, q, k=10)
+    return top[["vec_id"]]
+
+
+def q_ivf_assign(sf_dir: str):
+    from kg_gen_ray.functions.ann import ivf_assign
+    emb = _embeddings(sf_dir)
+    cents = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(expr="vec_id < 8").sort("vec_id").take_all()])
+    return ivf_assign(emb, cents)
+
+
+def q_near_dup_cosine(sf_dir: str):
+    from kg_gen_ray.functions.ann import cosine_near_dup_pairs
+    return cosine_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
+
+
+def q_near_dup_lsh(sf_dir: str):
+    from kg_gen_ray.functions.ann import lsh_near_dup_pairs
+    return lsh_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
+
+
+def q_events_hourly(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+        })
+
+    return ds.map_batches(add_hour, batch_format="pyarrow") \
+             .groupby(["event_type", "hour"]) \
+             .aggregate(Count(alias_name="n_events"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — mirrors the deterministic semantics exactly
+# ---------------------------------------------------------------------------
+
+_URL = ("'https://example.org/' || lang || '/doc-' || "
+        "lpad(CAST(doc_id AS VARCHAR), 6, '0')")
+
+_DOCS = f"docs AS (SELECT doc_id, lang, text, {_URL} AS url FROM documents)"
+
+_TOKS = ("toks AS (SELECT url, lang, doc_id, "
+         "unnest(string_split(text, ' ')) AS w, "
+         "generate_subscripts(string_split(text, ' '), 1) AS pos FROM docs)")
+
+_RAW_TRIPLES = (
+    "raw AS ("
+    "SELECT a.w AS subj, 'precedes' AS pred, b.w AS obj, a.url AS url "
+    "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "UNION ALL "
+    "SELECT w AS subj, 'written_in' AS pred, lang AS obj, url FROM toks)")
+
+_TRIPLES = "triples AS (SELECT DISTINCT subj, pred, obj FROM raw)"
+
+# the normalize_label chain (keep in sync with
+# kg_gen_ray.stages.canonicalize.normalize_label)
+_NORM = """
+norm_{kind} AS (
+  SELECT member,
+    CASE WHEN length(s3) > 3 AND s3 LIKE '%e' THEN substr(s3, 1, length(s3)-1) ELSE s3 END AS nk
+  FROM (
+    SELECT member,
+      CASE WHEN length(s2) > 5 AND s2 LIKE '%ing' THEN substr(s2, 1, length(s2)-3) ELSE s2 END AS s3
+    FROM (
+      SELECT member,
+        CASE WHEN length(s1) > 3 AND s1 LIKE '%s' AND s1 NOT LIKE '%ss' THEN substr(s1, 1, length(s1)-1) ELSE s1 END AS s2
+      FROM (SELECT member, lower(trim(member)) AS s1 FROM labels_{kind}) t1
+    ) t2
+  ) t3
+),
+rep_{kind} AS (
+  SELECT nk, member AS representative
+  FROM (SELECT nk, member, row_number() OVER
+          (PARTITION BY nk ORDER BY length(member), member) AS rn FROM norm_{kind}) r
+  WHERE rn = 1
+),
+alias_{kind} AS (
+  SELECT '{kind}' AS kind, r.representative AS representative, n.member AS member
+  FROM norm_{kind} n JOIN rep_{kind} r USING (nk)
+)
+"""
+
+_LABELS = (
+    "labels_entity AS (SELECT subj AS member FROM triples "
+    "UNION SELECT obj FROM triples), "
+    "labels_edge AS (SELECT DISTINCT pred AS member FROM triples)")
+
+_ALIAS_FULL = (_LABELS + ", "
+               + _NORM.format(kind="entity") + ", "
+               + _NORM.format(kind="edge"))
+
+_CANONICAL = (
+    "canonical AS (SELECT DISTINCT ae_s.representative AS subj, "
+    "ap.representative AS pred, ae_o.representative AS obj "
+    "FROM triples t "
+    "JOIN alias_entity ae_s ON ae_s.member = t.subj "
+    "JOIN alias_entity ae_o ON ae_o.member = t.obj "
+    "JOIN alias_edge ap ON ap.member = t.pred)")
+
+_KG_PREFIX = f"WITH {_DOCS}, {_TOKS}, {_RAW_TRIPLES}, {_TRIPLES}"
+_KG_CANON_PREFIX = f"{_KG_PREFIX}, {_ALIAS_FULL}, {_CANONICAL}"
+
+# shingles with the <3-token / empty-text fallback (mirrors shingle_set)
+_SHINGLES = (
+    "shraw AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s "
+    "FROM toks a "
+    "JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+    "sh AS (SELECT DISTINCT doc_id, s FROM shraw "
+    "UNION SELECT doc_id, text AS s FROM docs "
+    "WHERE len(string_split(text, ' ')) < 3 AND text <> '')")
+
+_SIGS = (
+    "sigs0 AS (SELECT doc_id, "
+    "min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1, "
+    "min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3 "
+    "FROM sh GROUP BY doc_id), "
+    "sigs AS (SELECT d.doc_id, coalesce(h0, '') AS h0, coalesce(h1, '') AS h1, "
+    "coalesce(h2, '') AS h2, coalesce(h3, '') AS h3 "
+    "FROM docs d LEFT JOIN sigs0 USING (doc_id))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {}
+
+    sql["kg_pages"] = f"""
+        SELECT {_URL} AS url, lang, length(text)::BIGINT AS n_chars,
+               TIMESTAMP '2026-01-01' + doc_id * INTERVAL '1 second' AS warc_ts
+        FROM documents"""
+
+    sql["kg_extract_text"] = f"""
+        SELECT {_URL} AS url, text FROM documents"""
+
+    sql["kg_triples_raw"] = f"""
+        {_KG_PREFIX} SELECT subj, pred, obj, url FROM raw"""
+
+    sql["kg_triples"] = f"""
+        {_KG_PREFIX} SELECT subj, pred, obj FROM triples"""
+
+    sql["kg_nodes"] = f"""
+        {_KG_PREFIX},
+        endpoints AS (SELECT subj AS entity FROM triples
+                      UNION ALL SELECT obj FROM triples)
+        SELECT entity, count(*)::BIGINT AS degree FROM endpoints GROUP BY entity"""
+
+    sql["kg_edge_types"] = f"""
+        {_KG_PREFIX} SELECT pred, count(*)::BIGINT AS n_triples
+        FROM triples GROUP BY pred"""
+
+    sql["kg_alias_map"] = f"""
+        {_KG_PREFIX}, {_ALIAS_FULL}
+        SELECT kind, representative, member FROM alias_entity
+        UNION ALL SELECT kind, representative, member FROM alias_edge"""
+
+    sql["kg_canonical_triples"] = f"""
+        {_KG_CANON_PREFIX} SELECT subj, pred, obj FROM canonical"""
+
+    sql["kg_top_entities"] = f"""
+        {_KG_CANON_PREFIX},
+        endpoints AS (SELECT subj AS entity FROM canonical
+                      UNION ALL SELECT obj FROM canonical),
+        degrees AS (SELECT entity, count(*)::BIGINT AS degree
+                    FROM endpoints GROUP BY entity)
+        SELECT entity, degree FROM degrees
+        ORDER BY degree DESC, entity LIMIT 10"""
+
+    sql["kg_graph_stats"] = f"""
+        {_KG_CANON_PREFIX}
+        SELECT (SELECT count(*) FROM (SELECT subj FROM canonical
+                 UNION SELECT obj FROM canonical))::BIGINT AS n_entities,
+               (SELECT count(*) FROM canonical)::BIGINT AS n_triples,
+               (SELECT count(DISTINCT pred) FROM canonical)::BIGINT AS n_edge_types"""
+
+    sql["text_tokens"] = f"""
+        WITH {_DOCS}, {_TOKS}
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               count(DISTINCT w)::BIGINT AS n_unique_tokens
+        FROM toks GROUP BY doc_id"""
+
+    sql["text_quality"] = f"""
+        WITH {_DOCS}, {_TOKS},
+        agg AS (SELECT doc_id, count(*) AS n_tokens,
+                       sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS stops
+                FROM toks GROUP BY doc_id)
+        SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+               agg.n_tokens::BIGINT AS n_tokens,
+               agg.stops::DOUBLE / greatest(agg.n_tokens, 1) AS stop_ratio
+        FROM documents d JOIN agg USING (doc_id)"""
+
+    sql["doc_fingerprint"] = """
+        SELECT doc_id, md5(text) AS fp FROM documents"""
+
+    sql["lang_hist"] = """
+        SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"""
+
+    sql["dedup_exact"] = """
+        SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS fp
+        FROM documents GROUP BY md5(text)"""
+
+    sql["text_shingles"] = f"""
+        WITH {_DOCS}, {_TOKS}, {_SHINGLES},
+        cnt AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
+                FROM sh GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(cnt.n_shingles,
+                        CASE WHEN d.text = '' THEN 0 ELSE 1 END)::BIGINT AS n_shingles
+        FROM documents d LEFT JOIN cnt USING (doc_id)"""
+
+    sql["minhash_signatures"] = f"""
+        WITH {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS}
+        SELECT doc_id, h0, h1, h2, h3 FROM sigs"""
+
+    sql["minhash_band_pairs"] = f"""
+        WITH {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS},
+        bands AS (
+          SELECT doc_id, 0 AS band, md5('0:' || h0 || ':' || h1) AS band_key FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, md5('1:' || h2 || ':' || h3) FROM sigs)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+    sql["ann_topk"] = """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id FROM (
+          SELECT e.vec_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+          FROM embeddings e, q)
+        ORDER BY s DESC, vec_id LIMIT 10"""
+
+    sql["ivf_assign"] = """
+        WITH c AS (SELECT vec_id AS centroid_id,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8)
+        SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+                   DESC, c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN c)
+        WHERE rn = 1"""
+
+    sql["near_dup_cosine"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+
+    sql["events_hourly"] = """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY event_type, date_trunc('hour', ts)"""
+
+    return sql

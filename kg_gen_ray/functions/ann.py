@@ -1,0 +1,254 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — the exact baseline: per-block numpy matmul
+  against a broadcast query matrix, per-block partial top-k, tiny driver
+  merge. Scales linearly; no all-gather of the embedding table.
+* IVF variant — broadcast centroids, assign each vector to its nearest
+  centroid (one map_batches pass), search only the probed partitions.
+* Random-hyperplane LSH bucketing — the shuffle-free near-dup scale path.
+
+All cosine math is float64 over float32 inputs, matching the DuckDB oracle
+(``list_cosine_similarity(CAST(... AS DOUBLE[]), ...)``).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    flat = np.asarray(arr.flatten().to_pylist() if not isinstance(arr, pa.ChunkedArray)
+                      else arr.combine_chunks().flatten().to_pylist(),
+                      dtype=np.float64)
+    n = len(batch)
+    return flat.reshape(n, -1)
+
+
+def _cosine(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """block (n,d) x q (d,) -> (n,) cosine in float64."""
+    bn = np.linalg.norm(block, axis=1)
+    qn = np.linalg.norm(q)
+    denom = np.maximum(bn * qn, 1e-300)
+    return (block @ q) / denom
+
+
+def brute_force_topk(embeddings: "ray.data.Dataset", query: np.ndarray,
+                     k: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
+    """Exact cosine top-k -> DataFrame(vec_id, score), deterministic order
+    (score desc, vec_id asc)."""
+    q_ref = ray.put(np.asarray(query, dtype=np.float64))
+
+    def partial(batch: pa.Table, q_ref=q_ref) -> pa.Table:
+        q = ray.get(q_ref)
+        block = _mat(batch)
+        sims = _cosine(block, q)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # per-block partial top-k: only k rows leave each block
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order].astype(np.int64)),
+            "score": pa.array(sims[order], pa.float64()),
+        })
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+    top = heapq.nsmallest(k, parts, key=lambda r: (-r["score"], r[id_col]))
+    return pd.DataFrame({
+        id_col: pd.Series([r[id_col] for r in top], dtype="int64"),
+        "score": [r["score"] for r in top],
+    })
+
+
+def get_query_vector(embeddings: "ray.data.Dataset", vec_id: int,
+                     id_col: str = "vec_id") -> np.ndarray:
+    """Fetch one embedding row without materializing the table."""
+    row = embeddings.filter(
+        expr=f"{id_col} == {vec_id}").take(1)[0]
+    return np.asarray(row["embedding"], dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) partitioned search
+# ---------------------------------------------------------------------------
+
+def ivf_assign(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+               id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Assign each vector to its max-cosine centroid (ties -> lowest id).
+
+    Centroids are broadcast once via ``ray.put``; assignment is one numpy
+    matmul per block — this is the partitioning step of the scalable
+    canonicalization in the reference
+    (``/root/reference/experiments/wikiqa/utils/cluster_and_deduplication.py:151-243``
+    re-expressed without FAISS).
+    """
+    c = np.asarray(centroids, dtype=np.float64)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    c_ref = ray.put(c_norm)
+
+    def assign(batch: pa.Table, c_ref=c_ref) -> pa.Table:
+        cn = ray.get(c_ref)
+        block = _mat(batch)
+        bn = block / np.maximum(np.linalg.norm(block, axis=1, keepdims=True), 1e-300)
+        sims = bn @ cn.T                      # (n, n_centroids)
+        best = np.argmax(sims, axis=1)        # first max = lowest centroid id
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "centroid_id": pa.array(best.astype(np.int64)),
+        })
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+             query: np.ndarray, k: int = 10, n_probe: int = 2,
+             id_col: str = "vec_id") -> pd.DataFrame:
+    """Approximate top-k: search only the ``n_probe`` centroids nearest the
+    query. One extra filter pass instead of a full scan at scale (the
+    assignment would be precomputed/partition-pruned in a real deployment).
+    """
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    probe = set(np.argsort(-_cosine(c, q))[:n_probe].tolist())
+
+    assigned = ivf_assign(embeddings, centroids, id_col)
+    amap = {r[id_col]: r["centroid_id"] for r in assigned.take_all()}
+    probe_ids = {i for i, cid in amap.items() if cid in probe}
+    ref = ray.put(probe_ids)
+
+    def only_probed(t: pa.Table, ref=ref) -> pa.Table:
+        ids = ray.get(ref)
+        mask = pa.array([i in ids for i in t[id_col].to_pylist()])
+        return t.filter(mask)
+
+    subset = embeddings.map_batches(only_probed, batch_format="pyarrow")
+    return brute_force_topk(subset, query, k, id_col)
+
+
+def kmeans_centroids(embeddings: "ray.data.Dataset", n_centroids: int,
+                     n_iter: int = 5, id_col: str = "vec_id") -> np.ndarray:
+    """Distributed Lloyd's k-means (seeded from the lowest-id vectors).
+
+    Per-iteration: broadcast centroids -> per-block partial sums per cluster
+    (map_batches combiner) -> tiny driver reduce. Mirrors the reference's
+    FAISS ``niter=20`` k-means partitioner, Ray-Data-first.
+    """
+    first = embeddings.sort(id_col).limit(n_centroids)
+    cents = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                      for r in first.take_all()])
+    for _ in range(n_iter):
+        c_ref = ray.put(cents)
+
+        def partial_sums(batch: pa.Table, c_ref=c_ref) -> pa.Table:
+            c = ray.get(c_ref)
+            block = _mat(batch)
+            d = ((block[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d, axis=1)
+            sums = np.zeros_like(c)
+            counts = np.zeros(len(c), dtype=np.int64)
+            np.add.at(sums, best, block)
+            np.add.at(counts, best, 1)
+            nz = counts > 0
+            return pa.table({
+                "cid": pa.array(np.arange(len(c))[nz].astype(np.int64)),
+                "count": pa.array(counts[nz]),
+                "sum": pa.array(sums[nz].tolist()),
+            })
+
+        parts = embeddings.map_batches(partial_sums,
+                                       batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in parts:
+            sums[r["cid"]] += np.asarray(r["sum"])
+            counts[r["cid"]] += r["count"]
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
+    return cents
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (exact + LSH-bucketed scale path)
+# ---------------------------------------------------------------------------
+
+def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
+                          id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Exact pairs (a < b) with cosine >= threshold.
+
+    The normalized matrix is broadcast once; each block computes
+    block x all similarities. O(n^2/B) per task — the exact baseline; use
+    :func:`lsh_near_dup_pairs` when n is too large for a broadcast matrix.
+    """
+    rows = []
+    for b in embeddings.iter_batches(batch_format="pyarrow"):
+        ids = b[id_col].to_pylist()
+        m = _mat(b)
+        rows.append((ids, m))
+    all_ids = np.concatenate([np.asarray(i, dtype=np.int64) for i, _ in rows])
+    all_m = np.vstack([m for _, m in rows])
+    all_n = all_m / np.maximum(np.linalg.norm(all_m, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((all_ids, all_n))
+
+    def block_pairs(t: pa.Table, ref=ref) -> pa.Table:
+        ids_all, mat_all = ray.get(ref)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        m = _mat(t)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = mn @ mat_all.T
+        ai, bj = np.where(sims >= threshold)
+        a = ids[ai]
+        b = ids_all[bj]
+        keep = a < b
+        return pa.table({
+            "id_a": pa.array(a[keep]),
+            "id_b": pa.array(b[keep]),
+        })
+
+    return embeddings.map_batches(block_pairs, batch_format="pyarrow")
+
+
+def lsh_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
+                       n_planes: int = 12, seed: int = 7,
+                       id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Approximate near-dup pairs via random-hyperplane LSH buckets.
+
+    Vectors land in a bucket keyed by the sign pattern of ``n_planes``
+    seeded random projections; exact cosine verification runs only within
+    buckets (groupby). Recall < 1 by design — the 100 TB path.
+    """
+    dim = len(embeddings.take(1)[0]["embedding"])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    p_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table, p_ref=p_ref) -> pa.Table:
+        p = ray.get(p_ref)
+        m = _mat(t)
+        signs = (m @ p.T) > 0
+        keys = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "bucket": pa.array(keys.astype(np.int64)),
+            "embedding": t["embedding"],
+        })
+
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        m = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        sims = mn @ mn.T
+        ai, bj = np.where(np.triu(sims >= threshold, k=1))
+        a = np.minimum(ids[ai], ids[bj])
+        b = np.maximum(ids[ai], ids[bj])
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All deterministic and hash-based (md5, shared with the DuckDB oracle).
+The distributed shapes follow the standard scale patterns:
+
+* exact: content-hash in ``map_batches`` -> hash-partition groupby -> first
+  (SURVEY.md §2.7 D1 — the reference's implicit set semantics, done as a
+  shuffle).
+* MinHash+LSH: shingle -> minhash signature per doc (map_batches) -> explode
+  to (band, band_key, doc_id) rows -> groupby(band_key) -> candidate pairs
+  -> optional exact-Jaccard verify. No all-pairs comparison anywhere.
+* SimHash: 64-bit signature from token hashes; near-dup candidates share a
+  16-bit prefix bucket (groupby), verified by Hamming distance within the
+  bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+N_HASHES = 4          # minhash signature length
+BANDS = 2             # bands of 2 rows each -> candidate if either band matches
+SHINGLE_K = 3         # words per shingle
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Keep the min-id row per distinct content hash -> (doc_id, fp).
+
+    Partial min per batch (combiner) before the groupby shrinks the shuffle
+    to one row per (batch, fp).
+    """
+    from kg_gen_ray.functions.text_analysis import fingerprint
+
+    def local_min(t: pa.Table) -> pa.Table:
+        fp = fingerprint(t, text_col, id_col)
+        return fp.group_by(["fp"]).aggregate([(id_col, "min")]) \
+                 .rename_columns(["fp", id_col])
+
+    partial = docs.map_batches(local_min, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    out = partial.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
+    return out.select_columns([id_col, "fp"])
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingle_set(text: str, k: int = SHINGLE_K) -> set:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return {text} if text else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def shingle_stats(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_shingles) — distinct k-word shingles per doc."""
+    ns = [len(shingle_set(t)) for t in batch["text"].to_pylist()]
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "n_shingles": pa.array(ns, pa.int64()),
+    })
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def minhash_signature(text: str, n_hashes: int = N_HASHES) -> list:
+    """Signature h_k = min over shingles of md5("{k}:{shingle}") (hex-string
+    min — identical to DuckDB ``min(md5(k || ':' || shingle))``)."""
+    sh = shingle_set(text)
+    if not sh:
+        return [""] * n_hashes
+    return [min(_md5(f"{k}:{s}") for s in sh) for k in range(n_hashes)]
+
+
+def minhash_signatures(batch: pa.Table) -> pa.Table:
+    """(doc_id, h0..h{n-1}) minhash signature columns."""
+    sigs = [minhash_signature(t) for t in batch["text"].to_pylist()]
+    cols = {"doc_id": pc.cast(batch["doc_id"], pa.int64())}
+    for k in range(N_HASHES):
+        cols[f"h{k}"] = pa.array([s[k] for s in sigs], pa.string())
+    return pa.table(cols)
+
+
+def band_rows(batch: pa.Table) -> pa.Table:
+    """Explode signatures to (band, band_key, doc_id) LSH rows.
+
+    band_key = md5("{band}:{h_i}:{h_j}") over the band's rows.
+    """
+    sig_tab = minhash_signatures(batch)
+    doc_ids = sig_tab["doc_id"].to_pylist()
+    rows_per_band = N_HASHES // BANDS
+    bands, keys, ids = [], [], []
+    for i, did in enumerate(doc_ids):
+        for b in range(BANDS):
+            parts = [sig_tab[f"h{b * rows_per_band + r}"][i].as_py()
+                     for r in range(rows_per_band)]
+            bands.append(b)
+            keys.append(_md5(f"{b}:" + ":".join(parts)))
+            ids.append(did)
+    return pa.table({
+        "band": pa.array(bands, pa.int32()),
+        "band_key": pa.array(keys, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+    })
+
+
+def minhash_lsh_pairs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    groupby(band_key) -> within-bucket pairs (buckets are small by
+    construction; a pathological mega-bucket means the corpus is dominated
+    by one template and should be capped upstream). Output distinct
+    (doc_a, doc_b), doc_a < doc_b.
+    """
+    rows = docs.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        combos = list(itertools.combinations(ids, 2))
+        return pd.DataFrame({
+            "doc_a": [a for a, _ in combos],
+            "doc_b": [b for _, b in combos],
+        })
+
+    cand = rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    from kg_gen_ray.stages.rewrite import distinct
+    return distinct(cand, ["doc_a", "doc_b"])
+
+
+def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
+                   threshold: float = 0.8) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard over candidate pairs.
+
+    The doc->shingle-set map for *candidate docs only* is broadcast
+    (candidates are a tiny fraction of the corpus); each task verifies its
+    pair batch vectorized-in-Python against the shared dict.
+    """
+    import ray
+
+    cand_ids = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+
+    sh_map = {}
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if did in cand_ids:
+                sh_map[did] = shingle_set(text)
+    ref = ray.put(sh_map)
+
+    def verify(t: pa.Table, ref=ref) -> pa.Table:
+        m = ray.get(ref)
+        a_ids = t["doc_a"].to_pylist()
+        b_ids = t["doc_b"].to_pylist()
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(a_ids, b_ids):
+            sa, sb = m.get(a, set()), m.get(b, set())
+            denom = len(sa | sb)
+            j = (len(sa & sb) / denom) if denom else 0.0
+            if j >= threshold:
+                keep_a.append(a); keep_b.append(b); sims.append(j)
+        return pa.table({
+            "doc_a": pa.array(keep_a, pa.int64()),
+            "doc_b": pa.array(keep_b, pa.int64()),
+            "jaccard": pa.array(sims, pa.float64()),
+        })
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5-derived bit vectors)."""
+    toks = text.split(" ")
+    if not toks or toks == [""]:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for t in toks:
+        h = np.uint64(int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    hs = [simhash64(t) for t in batch["text"].to_pylist()]
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "simhash": pa.array([np.uint64(h) for h in hs], pa.uint64()),
+        "bucket": pa.array([h >> 48 for h in hs], pa.int64()),
+    })
+
+
+def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3
+                      ) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: bucket on the 16-bit prefix (groupby),
+    verify Hamming distance within the bucket."""
+    sigs = docs.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = list(g["doc_id"])
+        hs = [int(h) for h in g["simhash"]]
+        out_a, out_b, dist = [], [], []
+        for (i, j) in itertools.combinations(range(len(ids)), 2):
+            d = bin(hs[i] ^ hs[j]).count("1")
+            if d <= max_hamming:
+                a, b = sorted((ids[i], ids[j]))
+                out_a.append(a); out_b.append(b); dist.append(d)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                             "hamming": dist})
+
+    return sigs.groupby("bucket").map_groups(pairs, batch_format="pandas")

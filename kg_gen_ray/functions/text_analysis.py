@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Token counting, quality scoring, document fingerprinting, language ID —
+each a vectorized ``map_batches`` stage over the ``documents``/pages text
+column. Tokenization is a single-space split, chosen to be bit-identical to
+DuckDB ``string_split(text, ' ')`` so every op here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+STOPWORDS = ("the", "a")  # fixed tiny list shared with the SQL oracle
+
+
+def _tok_lists(batch: pa.Table, col: str = "text"):
+    toks = pc.split_pattern(pc.cast(batch[col], pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    return toks, lengths, flat
+
+
+def token_stats(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, n_unique_tokens) — vectorized per batch."""
+    toks, lengths, flat = _tok_lists(batch)
+    row_idx = np.repeat(np.arange(batch.num_rows), lengths)
+    # unique per row: sort (row, token) pairs and count boundaries
+    n_unique = np.zeros(batch.num_rows, dtype=np.int64)
+    if len(flat):
+        order = np.lexsort((flat.astype(str), row_idx))
+        r = row_idx[order]
+        f = flat[order]
+        new = np.ones(len(f), dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+        np.add.at(n_unique, r[new], 1)
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "n_tokens": pa.array(lengths.astype(np.int64)),
+        "n_unique_tokens": pa.array(n_unique),
+    })
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars, n_tokens, stop_ratio) — cheap quality heuristics
+    (length + stopword density; the punct/ratio family from the task brief).
+    """
+    toks, lengths, flat = _tok_lists(batch)
+    row_idx = np.repeat(np.arange(batch.num_rows), lengths)
+    stops = np.zeros(batch.num_rows, dtype=np.int64)
+    if len(flat):
+        is_stop = np.isin(flat.astype(str), STOPWORDS)
+        np.add.at(stops, row_idx[is_stop], 1)
+    n_chars = pc.utf8_length(pc.cast(batch["text"], pa.string())) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = stops / np.maximum(lengths, 1)
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "n_chars": pa.array(n_chars),
+        "n_tokens": pa.array(lengths.astype(np.int64)),
+        "stop_ratio": pa.array(ratio, pa.float64()),
+    })
+
+
+def fingerprint(batch: pa.Table, col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, fp) — md5 content fingerprint (mirrors DuckDB ``md5``)."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+           for t in batch[col].to_pylist()]
+    return pa.table({
+        id_col: pc.cast(batch[id_col], pa.int64()),
+        "fp": pa.array(fps, pa.string()),
+    })
+
+
+# --- language ID: n-gram/stopword heuristic -------------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "is", "to", "in", "it", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "une", "dans", "pas"},
+    "es": {"el", "los", "las", "es", "una", "para", "con", "por"},
+}
+
+
+class LangId:
+    """Actor-pool language identifier: marker tables built once per actor.
+
+    Heuristic marker-word voting with an ``unknown`` fallback — determinism
+    over accuracy (the engine contract is routing, not NLP quality).
+    """
+
+    def __init__(self):
+        self.markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
+        self.word_re = re.compile(r"[a-zA-Z]+")
+
+    def predict(self, text: str) -> str:
+        toks = [w.lower() for w in self.word_re.findall(text)]
+        if not toks:
+            return "unknown"
+        best, best_hits = "unknown", 0
+        for lang in sorted(self.markers):
+            hits = sum(t in self.markers[lang] for t in toks)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+
+def lang_id_stage(docs: "ray.data.Dataset", concurrency: int = 2
+                  ) -> "ray.data.Dataset":
+    return docs.map_batches(LangId, batch_format="pyarrow",
+                            concurrency=concurrency)
