@@ -1,0 +1,79 @@
+"""Similarity search: brute-force top-k vs numpy oracle, IVF recall,
+k-means, LSH near-dup recall vs exact."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.functions.ann import (
+    brute_force_topk, cosine_near_dup_pairs, get_query_vector, ivf_assign,
+    ivf_topk, kmeans_centroids, lsh_near_dup_pairs)
+
+SF = "/root/testdata/sf0.001"
+
+
+def emb_ds():
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def emb_numpy():
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, m
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    ids, m = emb_numpy()
+    q = m[ids == 0][0]
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))[:10]
+    expected = ids[order].tolist()
+    got = brute_force_topk(emb_ds(), q, k=10)["vec_id"].tolist()
+    assert got == expected
+
+
+def test_get_query_vector(ray_session):
+    ids, m = emb_numpy()
+    q = get_query_vector(emb_ds(), 5)
+    assert np.allclose(q, m[ids == 5][0])
+
+
+def test_ivf_assign_matches_numpy(ray_session):
+    ids, m = emb_numpy()
+    cents = m[:8]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    expected = np.argmax(mn @ cn.T, axis=1)
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(emb_ds(), cents).take_all()}
+    for i, vid in enumerate(ids):
+        assert got[vid] == expected[i]
+
+
+def test_ivf_topk_reasonable_recall(ray_session):
+    ids, m = emb_numpy()
+    q = m[ids == 3][0]
+    exact = set(brute_force_topk(emb_ds(), q, k=10)["vec_id"])
+    approx = set(ivf_topk(emb_ds(), m[:8], q, k=10, n_probe=4)["vec_id"])
+    assert len(exact & approx) >= 5    # probing half the partitions
+    assert 3 in approx                 # the query vector itself is found
+
+
+def test_kmeans_centroids(ray_session):
+    cents = kmeans_centroids(emb_ds(), n_centroids=4, n_iter=3)
+    assert cents.shape == (4, 64)
+    assert np.isfinite(cents).all()
+    # deterministic
+    again = kmeans_centroids(emb_ds(), n_centroids=4, n_iter=3)
+    assert np.allclose(cents, again)
+
+
+def test_lsh_near_dup_subset_of_exact(ray_session):
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_near_dup_pairs(emb_ds(), 0.3).take_all()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in lsh_near_dup_pairs(emb_ds(), 0.3).take_all()}
+    assert lsh <= exact                # LSH verifies within buckets -> no FPs
+    assert exact                       # dataset has near pairs at 0.3

@@ -1,0 +1,81 @@
+"""Dedup operators: exact, MinHash+LSH (planted near-dups must be found),
+SimHash, Jaccard verification."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.functions.dedup import (
+    exact_dedup, jaccard_verify, minhash_lsh_pairs, minhash_signature,
+    shingle_set, simhash64, simhash_near_dups)
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun "
+        "sets slowly behind the tall green hills of the old country")
+NEAR = BASE.replace("green", "blue")          # one-token change -> near-dup
+FAR = ("completely different text about databases and distributed "
+       "query engines running on large clusters of machines")
+
+
+def docs_ds(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_shingle_set():
+    assert shingle_set("a b c d", 3) == {"a b c", "b c d"}
+    assert shingle_set("a b", 3) == {"a b"}   # <k tokens -> whole text
+    assert shingle_set("", 3) == set()
+
+
+def test_minhash_signature_deterministic_and_similar():
+    s1 = minhash_signature(BASE)
+    s2 = minhash_signature(BASE)
+    assert s1 == s2
+    near = minhash_signature(NEAR)
+    far = minhash_signature(FAR)
+    assert sum(a == b for a, b in zip(s1, near)) > \
+        sum(a == b for a, b in zip(s1, far))
+
+
+def test_exact_dedup(ray_session):
+    ds = docs_ds([BASE, FAR, BASE, BASE])
+    out = exact_dedup(ds).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [0, 1]   # min doc_id per distinct content
+
+
+def test_minhash_lsh_finds_planted_near_dup(ray_session):
+    ds = docs_ds([BASE, NEAR, FAR, BASE])
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(ds).take_all()}
+    assert (0, 3) in pairs            # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs   # near-dup shares >=1 band
+    assert (0, 2) not in pairs        # unrelated text must not collide
+
+
+def test_jaccard_verify(ray_session):
+    ds = docs_ds([BASE, NEAR, FAR])
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([0, 0], pa.int64()),
+        "doc_b": pa.array([1, 2], pa.int64()),
+    }))
+    out = jaccard_verify(ds, pairs, threshold=0.5).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert (0, 1) in got and got[(0, 1)] >= 0.5
+    assert (0, 2) not in got
+
+
+def test_simhash_properties(ray_session):
+    h1, h2 = simhash64(BASE), simhash64(NEAR)
+    hf = simhash64(FAR)
+    d_near = bin(h1 ^ h2).count("1")
+    d_far = bin(h1 ^ hf).count("1")
+    assert d_near < d_far
+    assert simhash64("") == 0
+    ds = docs_ds([BASE, NEAR, FAR, BASE])
+    dups = {(r["doc_a"], r["doc_b"]) for r in
+            simhash_near_dups(ds, max_hamming=6).take_all()}
+    assert (0, 3) in dups             # identical -> hamming 0
+    assert (0, 2) not in dups

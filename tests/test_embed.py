@@ -1,0 +1,43 @@
+"""Embedder stage: determinism, shape, actor-pool plumbing, gated backend."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kg_gen_ray.stages.embed import HashEmbedder, embed_stage
+
+
+def test_hash_embedder_deterministic():
+    e = HashEmbedder(dim=32)
+    v1 = e.embed_one("cat")
+    v2 = HashEmbedder(dim=32).embed_one("cat")
+    assert np.allclose(v1, v2)
+    assert v1.shape == (32,)
+    assert abs(np.linalg.norm(v1) - 1.0) < 1e-5
+    assert not np.allclose(v1, e.embed_one("dog"))
+
+
+def test_embed_stage(ray_session):
+    labels = rd.from_arrow(pa.table({
+        "member": pa.array(["cat", "dog", "tree"], pa.string())}))
+    out = embed_stage(labels, backend="hash", dim=16).take_all()
+    assert len(out) == 3
+    for r in out:
+        assert len(r["embedding"]) == 16
+    # same vector as direct call
+    direct = HashEmbedder(16).embed_one("cat")
+    got = next(np.asarray(r["embedding"]) for r in out if r["member"] == "cat")
+    assert np.allclose(got, direct, atol=1e-6)
+
+
+def test_sentence_transformer_gated(ray_session):
+    from kg_gen_ray.stages.embed import SentenceTransformerEmbedder
+    with pytest.raises(NotImplementedError):
+        SentenceTransformerEmbedder()
+
+
+def test_unknown_backend(ray_session):
+    labels = rd.from_arrow(pa.table({"member": pa.array(["x"], pa.string())}))
+    with pytest.raises(ValueError):
+        embed_stage(labels, backend="bogus")

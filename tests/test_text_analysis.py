@@ -1,0 +1,43 @@
+"""Text-analysis operators: token stats, quality, fingerprint, lang-id."""
+
+import hashlib
+
+import pyarrow as pa
+
+from kg_gen_ray.functions.text_analysis import (
+    LangId, fingerprint, quality_score, token_stats)
+
+
+def doc_batch(texts):
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_token_stats():
+    out = token_stats(doc_batch(["a b a c", "x", "", "q q q"]))
+    assert out["n_tokens"].to_pylist() == [4, 1, 1, 3]   # ''.split(' ') == ['']
+    assert out["n_unique_tokens"].to_pylist() == [3, 1, 1, 1]
+
+
+def test_quality_score():
+    out = quality_score(doc_batch(["the cat sat on a mat", "nothing here"]))
+    assert out["n_chars"].to_pylist() == [20, 12]
+    assert out["n_tokens"].to_pylist() == [6, 2]
+    assert out["stop_ratio"].to_pylist()[0] == 2 / 6   # 'the' and 'a'
+    assert out["stop_ratio"].to_pylist()[1] == 0.0
+
+
+def test_fingerprint_is_md5():
+    out = fingerprint(doc_batch(["hello"]))
+    assert out["fp"].to_pylist() == [hashlib.md5(b"hello").hexdigest()]
+
+
+def test_lang_id_heuristic():
+    l = LangId()
+    assert l.predict("the cat and the dog of the house") == "en"
+    assert l.predict("der Hund und die Katze ist nicht da") == "de"
+    assert l.predict("le chat est dans la maison et pas dehors") == "fr"
+    assert l.predict("") == "unknown"
+    assert l.predict("zzz qqq xxx") == "unknown"
