@@ -39,15 +39,26 @@ def _bigram_config():
                           salt_buckets=8)
 
 
+def _read_blocks() -> int:
+    """Read parallelism ~= cluster cores. At toy scale Ray's size-based
+    default makes hundreds of near-empty blocks, and every downstream
+    shuffle pays per-block overhead; at real scale files/row-groups set
+    the floor and this override is a no-op-ish hint."""
+    import ray
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
 def _docs(sf_dir: str, columns=None):
     import ray.data
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=columns)
+                                 columns=columns,
+                                 override_num_blocks=_read_blocks())
 
 
 def _embeddings(sf_dir: str):
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 override_num_blocks=_read_blocks())
 
 
 def _distinct_triples(sf_dir: str):
@@ -283,7 +294,8 @@ def q_events_hourly(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "ts"])
+                               columns=["event_type", "ts"],
+                               override_num_blocks=_read_blocks())
 
     def add_hour(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -292,8 +304,8 @@ def q_events_hourly(sf_dir: str):
         })
 
     return ds.map_batches(add_hour, batch_format="pyarrow") \
-             .groupby(["event_type", "hour"]) \
-             .aggregate(Count(alias_name="n_events"))
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Count(alias_name="n_events"))
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,10 @@ class PipelineConfig:
     cluster: bool = True
     salt_buckets: int = 16          # hot-key salt for the canonicalization groupby
     max_group_size: int = 128       # per-group cap (ref cluster_and_deduplication.py:153)
+    # shuffle width override for post-combiner aggregations:
+    # None = Ray default (input-block-driven; right for huge data),
+    # "auto" = one partition per cluster CPU, int = explicit
+    shuffle_partitions: object = None
     # output
     sort_output: bool = True        # deterministic (pred, subj, obj) ordering
 

@@ -36,20 +36,23 @@ SHINGLE_K = 3         # words per shingle
 # ---------------------------------------------------------------------------
 
 def exact_dedup(docs: "ray.data.Dataset", text_col: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
+                id_col: str = "doc_id",
+                shuffle_partitions=None) -> "ray.data.Dataset":
     """Keep the min-id row per distinct content hash -> (doc_id, fp).
 
     Partial min per batch (combiner) before the groupby shrinks the shuffle
     to one row per (batch, fp).
     """
     from kg_gen_ray.functions.text_analysis import fingerprint
+    from kg_gen_ray.stages.common import coalesce
 
     def local_min(t: pa.Table) -> pa.Table:
         fp = fingerprint(t, text_col, id_col)
         return fp.group_by(["fp"]).aggregate([(id_col, "min")]) \
                  .rename_columns(["fp", id_col])
 
-    partial = docs.map_batches(local_min, batch_format="pyarrow")
+    partial = coalesce(docs.map_batches(local_min, batch_format="pyarrow"),
+                       shuffle_partitions)
     from ray.data.aggregate import Min
     out = partial.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
     return out.select_columns([id_col, "fp"])
@@ -120,15 +123,43 @@ def band_rows(batch: pa.Table) -> pa.Table:
     })
 
 
-def minhash_lsh_pairs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def minhash_lsh_pairs(docs: "ray.data.Dataset",
+                      shuffle_partitions=None) -> "ray.data.Dataset":
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
-    groupby(band_key) -> within-bucket pairs (buckets are small by
-    construction; a pathological mega-bucket means the corpus is dominated
-    by one template and should be capped upstream). Output distinct
-    (doc_a, doc_b), doc_a < doc_b.
+    Almost every bucket holds exactly one doc, so pairing work is gated by
+    a *hot-bucket prefilter*: a vectorized Count aggregate finds buckets
+    with >= 2 docs (a tiny set by construction), that key set is broadcast,
+    and only matching band rows reach the per-bucket pairing groupby. A
+    pathological mega-bucket means the corpus is dominated by one template
+    and should be capped upstream. Output distinct (doc_a, doc_b),
+    doc_a < doc_b.
     """
-    rows = docs.map_batches(band_rows, batch_format="pyarrow")
+    import ray
+    from ray.data.aggregate import Count
+
+    from kg_gen_ray.stages.common import coalesce
+    from kg_gen_ray.stages.rewrite import distinct
+
+    rows = coalesce(docs.map_batches(band_rows, batch_format="pyarrow"),
+                    shuffle_partitions).materialize()
+
+    counts = rows.groupby("band_key").aggregate(Count(alias_name="n"))
+    hot = set()
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        hot.update(k for k, n in zip(b["band_key"].to_pylist(),
+                                     b["n"].to_pylist()) if n > 1)
+    if not hot:
+        import pyarrow as _pa
+        return ray.data.from_arrow(_pa.table({
+            "doc_a": _pa.array([], _pa.int64()),
+            "doc_b": _pa.array([], _pa.int64())}))
+    hot_ref = ray.put(hot)
+
+    def only_hot(t: pa.Table, hot_ref=hot_ref) -> pa.Table:
+        h = ray.get(hot_ref)
+        mask = pa.array([k in h for k in t["band_key"].to_pylist()])
+        return t.filter(mask)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
@@ -138,9 +169,9 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             "doc_b": [b for _, b in combos],
         })
 
-    cand = rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
-    from kg_gen_ray.stages.rewrite import distinct
-    return distinct(cand, ["doc_a", "doc_b"])
+    cand = rows.map_batches(only_hot, batch_format="pyarrow") \
+               .groupby("band_key").map_groups(pairs, batch_format="pandas")
+    return distinct(cand, ["doc_a", "doc_b"], shuffle_partitions)
 
 
 def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
@@ -216,11 +247,36 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3
-                      ) -> "ray.data.Dataset":
-    """Near-dup pairs by SimHash: bucket on the 16-bit prefix (groupby),
-    verify Hamming distance within the bucket."""
-    sigs = docs.map_batches(simhash_batch, batch_format="pyarrow")
+def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3,
+                      shuffle_partitions=None) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: bucket on the 16-bit prefix, hot-bucket
+    prefilter (same pattern as :func:`minhash_lsh_pairs`), verify Hamming
+    distance within buckets holding >= 2 docs."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from kg_gen_ray.stages.common import coalesce
+
+    sigs = coalesce(docs.map_batches(simhash_batch, batch_format="pyarrow"),
+                    shuffle_partitions).materialize()
+    counts = sigs.groupby("bucket").aggregate(Count(alias_name="n"))
+    hot = set()
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        hot.update(k for k, n in zip(b["bucket"].to_pylist(),
+                                     b["n"].to_pylist()) if n > 1)
+    if not hot:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
+    hot_ref = ray.put(hot)
+
+    def only_hot(t: pa.Table, hot_ref=hot_ref) -> pa.Table:
+        h = ray.get(hot_ref)
+        mask = pa.array([k in h for k in t["bucket"].to_pylist()])
+        return t.filter(mask)
+
+    sigs = sigs.map_batches(only_hot, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = list(g["doc_id"])

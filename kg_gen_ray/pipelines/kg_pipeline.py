@@ -39,10 +39,11 @@ class KGResult:
     config: PipelineConfig
 
     def stats(self) -> dict:
-        return graph_stats(self.triples)
+        return graph_stats(self.triples, self.config.shuffle_partitions)
 
     def write(self, out_dir: str) -> dict:
-        counts = write_graph(self.triples, out_dir, self.config.sort_output)
+        counts = write_graph(self.triples, out_dir, self.config.sort_output,
+                             self.config.shuffle_partitions)
         self.alias_map.write_parquet(f"{out_dir}/alias_map")
         return counts
 
@@ -55,7 +56,8 @@ def raw_triples(pages: "ray.data.Dataset", config: PipelineConfig
     return extract_stage(chunks, config)
 
 
-def entity_labels(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+def entity_labels(triples: "ray.data.Dataset",
+                  shuffle_partitions=None) -> "ray.data.Dataset":
     """distinct entity labels (subj union obj) as a 'member' column."""
     import pyarrow as pa
 
@@ -65,10 +67,11 @@ def entity_labels(triples: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table({"member": ents}).group_by(["member"]).aggregate([])
 
     return distinct(triples.map_batches(endpoints, batch_format="pyarrow"),
-                    ["member"])
+                    ["member"], shuffle_partitions)
 
 
-def edge_labels(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+def edge_labels(triples: "ray.data.Dataset",
+                shuffle_partitions=None) -> "ray.data.Dataset":
     import pyarrow as pa
 
     def preds(t: pa.Table) -> pa.Table:
@@ -76,7 +79,7 @@ def edge_labels(triples: "ray.data.Dataset") -> "ray.data.Dataset":
                  .group_by(["member"]).aggregate([])
 
     return distinct(triples.map_batches(preds, batch_format="pyarrow"),
-                    ["member"])
+                    ["member"], shuffle_partitions)
 
 
 def build_kg(pages: "ray.data.Dataset",
@@ -91,7 +94,8 @@ def build_kg(pages: "ray.data.Dataset",
     # (entity labels, edge labels, rewrite). The distinct triple set is the
     # small, reused intermediate; in the resumable path
     # (pipelines.partitioned) this checkpoint lives on disk instead.
-    triples = distinct(raw, ["subj", "pred", "obj"]).materialize()
+    sp = config.shuffle_partitions
+    triples = distinct(raw, ["subj", "pred", "obj"], sp).materialize()
 
     if not config.cluster:
         # no-cluster path (ref generate(cluster=False)): identity alias map
@@ -105,21 +109,23 @@ def build_kg(pages: "ray.data.Dataset",
                 "member": m,
             })
 
-        am = entity_labels(triples).map_batches(
+        am = entity_labels(triples, sp).map_batches(
             lambda t: ident(t, "entity"), batch_format="pyarrow").union(
-            edge_labels(triples).map_batches(
+            edge_labels(triples, sp).map_batches(
                 lambda t: ident(t, "edge"), batch_format="pyarrow"))
         return KGResult(triples=triples, alias_map=am, config=config)
 
-    ent_alias = canonicalize_labels(entity_labels(triples), "entity",
+    ent_alias = canonicalize_labels(entity_labels(triples, sp), "entity",
                                     config.salt_buckets,
-                                    max_group_size=config.max_group_size)
-    edge_alias = canonicalize_labels(edge_labels(triples), "edge",
+                                    max_group_size=config.max_group_size,
+                                    shuffle_partitions=sp)
+    edge_alias = canonicalize_labels(edge_labels(triples, sp), "edge",
                                      config.salt_buckets,
-                                     max_group_size=config.max_group_size)
+                                     max_group_size=config.max_group_size,
+                                     shuffle_partitions=sp)
     alias_map = ent_alias.union(edge_alias)
 
     ent_dict, edge_dict = build_alias_dicts(alias_map)
     rewritten = rewrite_stage(triples, ent_dict, edge_dict)
-    canonical = distinct(rewritten, ["subj", "pred", "obj"])
+    canonical = distinct(rewritten, ["subj", "pred", "obj"], sp)
     return KGResult(triples=canonical, alias_map=alias_map, config=config)

@@ -1,0 +1,132 @@
+"""Resumable, partitioned execution of the KG pipeline.
+
+Phase 1 (embarrassingly parallel, checkpointed): each input-shard partition
+runs pages -> extract_text -> chunk -> extract -> local distinct and writes
+its raw-triples Parquet directory atomically with a lineage manifest.
+A rerun (crash, preemption, new shards) skips completed partitions.
+
+Phase 2 (the wide stages, cheap relative to extraction): read all partition
+outputs, global distinct, canonicalize, rewrite, materialize. Phase 2 is
+idempotent and simply re-runs; its input is the phase-1 checkpoint, so no
+extraction work is ever repeated — the property the reference gets from its
+per-article output-file skip (``_2_generate_kgs.py:127-129``), generalized.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+from kg_gen_ray.config import PipelineConfig
+from kg_gen_ray.pipelines.kg_pipeline import KGResult, raw_triples
+from kg_gen_ray.state import lineage
+
+
+def partition_inputs(input_files: list, n_partitions: int) -> list:
+    """Deterministic round-robin file sharding (sorted for stability)."""
+    files = sorted(input_files)
+    n_partitions = min(n_partitions, len(files)) or 1
+    parts = [[] for _ in range(n_partitions)]
+    for i, f in enumerate(files):
+        parts[i % n_partitions].append(f)
+    return parts
+
+
+def run_partition(pid: int, files: list, out_dir: str,
+                  config: PipelineConfig) -> lineage.PartitionManifest:
+    """Extract one partition to ``{out_dir}/triples_raw/part-{pid}`` with a
+    manifest. No-op if already complete for this config."""
+    manifest_dir = os.path.join(out_dir, "manifests")
+    cfg_hash = config.config_hash()
+    if lineage.is_complete(manifest_dir, pid, cfg_hash):
+        return lineage.read_manifest(manifest_dir, pid)
+
+    t0 = lineage.now()
+    pages = ray.data.read_parquet(files)
+    n_pages = pages.count()
+    raw = raw_triples(pages, config)
+    # local (partition-level) distinct shrinks the phase-2 shuffle input;
+    # global dedup happens in phase 2
+    from kg_gen_ray.stages.rewrite import distinct
+    part = distinct(raw, ["subj", "pred", "obj"])
+
+    final = os.path.join(out_dir, "triples_raw", f"part-{pid:05d}")
+    with lineage.atomic_output_dir(final) as tmp:
+        part.write_parquet(tmp)
+    n_triples = ray.data.read_parquet(final).count()
+
+    m = lineage.PartitionManifest(
+        partition_id=pid,
+        input_files=sorted(files),
+        config_hash=cfg_hash,
+        row_counts={"pages": n_pages, "triples_raw_distinct": n_triples},
+        metrics={"extract_seconds": round(lineage.now() - t0, 3)},
+        finished_at=lineage.now(),
+    )
+    m.write(manifest_dir)
+    return m
+
+
+def run_partitioned(input_files: list, out_dir: str,
+                    config: PipelineConfig | None = None,
+                    n_partitions: int = 8,
+                    stop_after_partitions: int | None = None) -> dict:
+    """Full resumable run. ``stop_after_partitions`` simulates a crash for
+    the resume tests (FIXTURES.md §5). Returns a summary dict; graph tables
+    land in ``{out_dir}/graph``."""
+    config = config or PipelineConfig()
+    config.validate()
+    parts = partition_inputs(input_files, n_partitions)
+
+    manifests = []
+    for pid, files in enumerate(parts):
+        if stop_after_partitions is not None and pid >= stop_after_partitions:
+            return {"completed_partitions": len(manifests),
+                    "total_partitions": len(parts), "interrupted": True}
+        manifests.append(run_partition(pid, files, out_dir, config))
+
+    # phase 2: wide stages over the checkpointed raw triples
+    from kg_gen_ray.pipelines.kg_pipeline import (
+        edge_labels, entity_labels)
+    from kg_gen_ray.stages.canonicalize import canonicalize_labels
+    from kg_gen_ray.stages.rewrite import (
+        build_alias_dicts, distinct, rewrite_stage)
+
+    raw = ray.data.read_parquet(os.path.join(out_dir, "triples_raw"))
+    triples = distinct(raw, ["subj", "pred", "obj"]).materialize()
+
+    if config.cluster:
+        ent_alias = canonicalize_labels(entity_labels(triples), "entity",
+                                        config.salt_buckets,
+                                        max_group_size=config.max_group_size)
+        edge_alias = canonicalize_labels(edge_labels(triples), "edge",
+                                         config.salt_buckets,
+                                         max_group_size=config.max_group_size)
+        alias_map = ent_alias.union(edge_alias)
+        ent_dict, edge_dict = build_alias_dicts(alias_map)
+        canonical = distinct(rewrite_stage(triples, ent_dict, edge_dict),
+                             ["subj", "pred", "obj"])
+    else:
+        canonical = triples
+        import pyarrow as pa
+        alias_map = ray.data.from_arrow(pa.table({
+            "kind": pa.array([], pa.string()),
+            "representative": pa.array([], pa.string()),
+            "member": pa.array([], pa.string())}))
+
+    res = KGResult(triples=canonical, alias_map=alias_map, config=config)
+    counts = res.write(os.path.join(out_dir, "graph"))
+    summary = {
+        "completed_partitions": len(manifests),
+        "total_partitions": len(parts),
+        "interrupted": False,
+        "graph_counts": counts,
+        "partition_rows": {m.partition_id: m.row_counts for m in manifests},
+    }
+    lineage.PartitionManifest(
+        partition_id=-1, input_files=sorted(input_files),
+        config_hash=config.config_hash(),
+        row_counts=counts, metrics={}, finished_at=lineage.now(),
+    ).write(os.path.join(out_dir, "manifests_global"))
+    return summary

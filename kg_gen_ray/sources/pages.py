@@ -68,8 +68,11 @@ def pages_from_documents(sf_dir: str) -> "ray.data.Dataset":
     warc_ts = 2026-01-01 + doc_id seconds, html = minimal wrapper around
     text. All columns SQL-derivable from the documents view.
     """
+    import ray as _ray
+    nb = max(8, int(_ray.cluster_resources().get("CPU", 8)))
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang"])
+                               columns=["doc_id", "text", "lang"],
+                               override_num_blocks=nb)
     return ds.map_batches(_pages_batch, batch_format="pyarrow")
 
 

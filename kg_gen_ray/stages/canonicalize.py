@@ -169,25 +169,28 @@ def _add_keys(buckets: int):
             "member": pa.array(members, pa.string()),
             "norm_key": pa.array(norm, pa.string()),
             "salt": pa.array(salt, pa.int32()),
+            "rank_enc": pa.array([_encode_rank(m) for m in members],
+                                 pa.string()),
         })
     return fn
 
 
-def _partial_rep(g: pd.DataFrame) -> pd.DataFrame:
-    rep = choose_representative(list(g["member"]))
-    return pd.DataFrame({"norm_key": [g["norm_key"].iloc[0]],
-                         "candidate": [rep]})
+def _encode_rank(member: str) -> str:
+    """Order-preserving encoding of the (len, lex) representative rule:
+    the plain string Min of ``{len:06d}|{member}`` IS the shortest-then-
+    lexicographic member, so representative choice becomes a vectorized
+    Arrow Min aggregate instead of per-group Python."""
+    return f"{len(member):06d}|{member}"
 
 
-def _final_rep(g: pd.DataFrame) -> pd.DataFrame:
-    rep = choose_representative(list(g["candidate"]))
-    return pd.DataFrame({"norm_key": [g["norm_key"].iloc[0]],
-                         "representative": [rep]})
+def _decode_rank(enc: str) -> str:
+    return enc[7:]
 
 
 def canonicalize_labels(labels: "ray.data.Dataset", kind: str,
                         salt_buckets: int = 16,
-                        judge=None, max_group_size: int = 128
+                        judge=None, max_group_size: int = 128,
+                        shuffle_partitions=None
                         ) -> "ray.data.Dataset":
     """distinct labels(member) -> alias_map(kind, representative, member).
 
@@ -197,14 +200,21 @@ def canonicalize_labels(labels: "ray.data.Dataset", kind: str,
     without one, normalization groups are the clusters (deterministic
     default used for conformance).
     """
-    keyed = labels.map_batches(_add_keys(salt_buckets), batch_format="pyarrow")
+    from kg_gen_ray.stages.common import coalesce
+    keyed = coalesce(labels.map_batches(_add_keys(salt_buckets),
+                                        batch_format="pyarrow"),
+                     shuffle_partitions)
 
     if judge is None:
-        partial = keyed.groupby(["norm_key", "salt"]).map_groups(
-            _partial_rep, batch_format="pandas")
-        reps = partial.groupby("norm_key").map_groups(
-            _final_rep, batch_format="pandas")
-        rep_map = {r["norm_key"]: r["representative"] for r in reps.take_all()}
+        from ray.data.aggregate import Min
+        # salted partial min, then tiny global min per norm_key — both are
+        # vectorized Arrow aggregates (see _encode_rank)
+        partial = keyed.groupby(["norm_key", "salt"]).aggregate(
+            Min("rank_enc", alias_name="rank_enc"))
+        reps = partial.groupby("norm_key").aggregate(
+            Min("rank_enc", alias_name="rank_enc"))
+        rep_map = {r["norm_key"]: _decode_rank(r["rank_enc"])
+                   for r in reps.take_all()}
         ref = ray.put(rep_map)
 
         def emit(t: pa.Table, ref=ref) -> pa.Table:

@@ -77,6 +77,10 @@ class PatternExtractor:
              lambda m: (m.group(1), "is a type of", m.group(2))),
         ]
 
+    # conversation lines arrive flattened as "role: content" (sources.messages,
+    # mirroring ref kg_gen.py:190-193); the role prefix is not part of any fact
+    _ROLE_PREFIX = re.compile(r"^(user|assistant): ")
+
     def extract_batch(self, batch: pa.Table) -> pa.Table:
         from kg_gen_ray.stages.chunker import split_sentences
         subj, pred, obj, urls, cids = [], [], [], [], []
@@ -84,6 +88,7 @@ class PatternExtractor:
                                   batch["chunk_id"].to_pylist(),
                                   batch["text"].to_pylist()):
             for sent in split_sentences(text):
+                sent = self._ROLE_PREFIX.sub("", sent)
                 for rx, emit in self._rules:
                     m = rx.match(sent)
                     if m:

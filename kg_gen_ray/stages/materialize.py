@@ -16,7 +16,8 @@ import ray.data
 from ray.data.aggregate import Count
 
 
-def nodes_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+def nodes_table(triples: "ray.data.Dataset",
+                shuffle_partitions=None) -> "ray.data.Dataset":
     """distinct triples -> nodes(entity, degree).
 
     degree = number of triples in which the entity appears as subject plus
@@ -31,27 +32,33 @@ def nodes_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
                 .aggregate([([], "count_all")])
         return tmp.rename_columns(["entity", "partial"])
 
-    partial = triples.map_batches(endpoints, batch_format="pyarrow")
+    from kg_gen_ray.stages.common import coalesce
+    partial = coalesce(triples.map_batches(endpoints, batch_format="pyarrow"),
+                       shuffle_partitions)
     from ray.data.aggregate import Sum
     out = partial.groupby("entity").aggregate(Sum("partial", alias_name="degree"))
     return out
 
 
-def edge_types_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+def edge_types_table(triples: "ray.data.Dataset",
+                     shuffle_partitions=None) -> "ray.data.Dataset":
     """distinct triples -> edge_types(pred, n_triples)."""
     def local(t: pa.Table) -> pa.Table:
         tmp = t.select(["pred"]).group_by(["pred"]).aggregate([([], "count_all")])
         return tmp.rename_columns(["pred", "partial"])
 
-    partial = triples.map_batches(local, batch_format="pyarrow")
+    from kg_gen_ray.stages.common import coalesce
+    partial = coalesce(triples.map_batches(local, batch_format="pyarrow"),
+                       shuffle_partitions)
     from ray.data.aggregate import Sum
     return partial.groupby("pred").aggregate(Sum("partial", alias_name="n_triples"))
 
 
-def top_entities(triples: "ray.data.Dataset", k: int = 10) -> "ray.data.Dataset":
+def top_entities(triples: "ray.data.Dataset", k: int = 10,
+                 shuffle_partitions=None) -> "ray.data.Dataset":
     """Top-k entities by degree, deterministic tiebreak on entity asc
     (reference shows top-10 entities, ``visualize_kg.py:191-216``)."""
-    nodes = nodes_table(triples)
+    nodes = nodes_table(triples, shuffle_partitions)
     # sort by (-degree, entity): negate degree so one ascending sort gives
     # a deterministic total order, then limit
     def neg(t: pa.Table) -> pa.Table:
@@ -68,7 +75,7 @@ def sorted_triples(triples: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 def write_graph(triples: "ray.data.Dataset", out_dir: str,
-                sort_output: bool = True) -> dict:
+                sort_output: bool = True, shuffle_partitions=None) -> dict:
     """Write nodes / edge_types / triples Parquet directories.
 
     Each is a directory of part files (never one giant file); returns row
@@ -76,9 +83,9 @@ def write_graph(triples: "ray.data.Dataset", out_dir: str,
     """
     t = sorted_triples(triples) if sort_output else triples
     t.write_parquet(f"{out_dir}/triples")
-    n = nodes_table(triples)
+    n = nodes_table(triples, shuffle_partitions)
     n.write_parquet(f"{out_dir}/nodes")
-    e = edge_types_table(triples)
+    e = edge_types_table(triples, shuffle_partitions)
     e.write_parquet(f"{out_dir}/edge_types")
     import ray.data as rd
     return {
@@ -88,10 +95,10 @@ def write_graph(triples: "ray.data.Dataset", out_dir: str,
     }
 
 
-def graph_stats(triples: "ray.data.Dataset") -> dict:
+def graph_stats(triples: "ray.data.Dataset", shuffle_partitions=None) -> dict:
     """Small summary dict (subset of ``visualize_kg.py:97-234`` stats)."""
     n_triples = triples.count()
-    n_entities = nodes_table(triples).count()
-    n_preds = edge_types_table(triples).count()
+    n_entities = nodes_table(triples, shuffle_partitions).count()
+    n_preds = edge_types_table(triples, shuffle_partitions).count()
     return {"n_entities": n_entities, "n_triples": n_triples,
             "n_edge_types": n_preds}

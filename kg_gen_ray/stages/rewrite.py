@@ -20,19 +20,27 @@ import ray
 import ray.data
 
 
-def distinct(ds: "ray.data.Dataset", keys: list[str]) -> "ray.data.Dataset":
+def distinct(ds: "ray.data.Dataset", keys: list[str],
+             shuffle_partitions=None) -> "ray.data.Dataset":
     """Exact multi-column dedup (reference set semantics, SURVEY.md §2.7 D1).
 
     Two-level: per-batch local dedup first (pyarrow group_by — a free
     combiner that shrinks the shuffle input), then the global hash-shuffle
-    groupby. Returns only ``keys`` columns.
+    groupby with a vectorized Count aggregate (NOT per-group Python
+    ``map_groups`` — the aggregate path stays in Arrow end to end).
+    Returns only ``keys`` columns.
     """
+    from ray.data.aggregate import Count
+
+    from kg_gen_ray.stages.common import coalesce
+
     def local(t: pa.Table) -> pa.Table:
         return t.select(keys).group_by(keys).aggregate([])
 
-    pre = ds.map_batches(local, batch_format="pyarrow")
-    return pre.groupby(keys).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pre = coalesce(ds.map_batches(local, batch_format="pyarrow"),
+                   shuffle_partitions)
+    agg = pre.groupby(keys).aggregate(Count(alias_name="__n"))
+    return agg.select_columns(keys)
 
 
 def build_alias_dicts(alias_map: "ray.data.Dataset") -> tuple[dict, dict]:

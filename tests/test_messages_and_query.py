@@ -1,0 +1,82 @@
+"""Conversation ingestion (reference flattening rules) and graph retrieval."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kg_gen_ray.sources.messages import conversations_to_pages, flatten_messages
+
+
+def test_flatten_rules():
+    msgs = [
+        {"role": "system", "content": "be nice"},
+        {"role": "user", "content": "Linda is Josh's mother."},
+        {"role": "assistant", "content": "Noted."},
+    ]
+    # system dropped, user/assistant flattened as "role: content" lines
+    assert flatten_messages(msgs) == \
+        "user: Linda is Josh's mother.\nassistant: Noted."
+
+
+def test_flatten_invalid_message_raises():
+    with pytest.raises(ValueError):
+        flatten_messages([{"role": "user"}])          # missing content
+    with pytest.raises(ValueError):
+        flatten_messages(["not a dict"])
+
+
+def test_conversations_to_pages_pipeline(ray_session):
+    convs = rd.from_items([
+        {"conv_id": 1, "messages": [
+            {"role": "user", "content": "The capital of France is Paris."},
+            {"role": "assistant", "content": "oak is a type of tree."},
+        ]},
+    ])
+    pages = conversations_to_pages(convs)
+    rows = pages.take_all()
+    assert rows[0]["url"] == "conv://1"
+    assert "user: The capital of France is Paris." in rows[0]["text"]
+
+    # conversations flow through the extraction pipeline; the pattern rules
+    # match inside the flattened lines via sentence splitting
+    from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+    from kg_gen_ray.stages.chunker import chunk_stage
+    from kg_gen_ray.stages.extract import extract_stage
+    cfg = PipelineConfig(chunk_size=500, extractor_concurrency=1)
+    chunks = chunk_stage(pages, 500)
+    triples = extract_stage(chunks, cfg).take_all()
+    got = {(r["subj"], r["pred"], r["obj"]) for r in triples}
+    assert ("oak", "is a type of", "tree") in got
+
+
+def test_neighborhood_and_context(ray_session):
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array(["a", "b", "c", "x"], pa.string()),
+        "pred": pa.array(["r1", "r2", "r3", "r4"], pa.string()),
+        "obj": pa.array(["b", "c", "d", "y"], pa.string()),
+    }))
+    from kg_gen_ray.pipelines.query import context_sentences, neighborhood
+    # depth 1 from 'a': only a->b
+    n1 = {(r["subj"], r["obj"]) for r in
+          neighborhood(triples, {"a"}, depth=1).take_all()}
+    assert n1 == {("a", "b")}
+    # depth 2: a->b plus b->c
+    n2 = {(r["subj"], r["obj"]) for r in
+          neighborhood(triples, {"a"}, depth=2).take_all()}
+    assert n2 == {("a", "b"), ("b", "c")}
+    # x/y component untouched
+    assert all(s != "x" for s, _ in n2)
+    ctx = context_sentences(triples, {"a"}, depth=2)
+    assert "a r1 b." in ctx and "b r2 c." in ctx
+
+
+def test_relevant_nodes(ray_session):
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array(["alpha", "beta"], pa.string()),
+        "pred": pa.array(["p", "p"], pa.string()),
+        "obj": pa.array(["gamma", "delta"], pa.string()),
+    }))
+    from kg_gen_ray.pipelines.query import relevant_nodes
+    out = relevant_nodes(triples, "alpha", k=2)
+    assert len(out) == 2
+    assert out[0] == "alpha"   # identical label embeds identically -> top hit

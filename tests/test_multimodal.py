@@ -1,0 +1,61 @@
+"""Multimodal plumbing: schema, actor stages, row expansion, gated codec."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kg_gen_ray.stages.multimodal import (
+    FakeCodec, PilCodec, FrameSample, features_stage, frame_sample_stage,
+    probe_stage, resize_stage)
+
+
+def media_ds(n=6):
+    payloads = [hashlib.md5(f"media{i}".encode()).digest() * (i + 1)
+                for i in range(n)]
+    return rd.from_arrow(pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array(["image/png"] * n, pa.string()),
+        "content": pa.array(payloads, pa.binary()),
+    }))
+
+
+def test_probe_stage(ray_session):
+    out = probe_stage(media_ds()).take_all()
+    assert len(out) == 6
+    for r in out:
+        assert 16 <= r["width"] < 256 and 16 <= r["height"] < 256
+    # deterministic
+    again = probe_stage(media_ds()).take_all()
+    assert sorted((r["media_id"], r["width"]) for r in out) == \
+        sorted((r["media_id"], r["width"]) for r in again)
+
+
+def test_features_stage(ray_session):
+    out = features_stage(media_ds(), dim=8).take_all()
+    assert len(out) == 6
+    for r in out:
+        assert len(r["features"]) == 8
+
+
+def test_resize_stage(ray_session):
+    out = resize_stage(media_ds(), 32, 32).take_all()
+    assert len(out) == 6
+    for r in out:
+        assert isinstance(r["content"], bytes) and len(r["content"]) == 16
+    assert {r["media_type"] for r in out} == {"image/png"}
+
+
+def test_frame_sample_row_expansion(ray_session):
+    out = frame_sample_stage(media_ds(3), n_frames=4).take_all()
+    assert len(out) == 12
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r["frame_id"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
+
+
+def test_pil_codec_gated():
+    with pytest.raises(NotImplementedError):
+        PilCodec()
