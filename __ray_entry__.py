@@ -11,6 +11,8 @@ suffix chain, float64 cosine) so DuckDB reproduces results bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
@@ -18,6 +20,41 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# -- import robustness -------------------------------------------------------
+# Ray workers inherit the DRIVER's sys.path as captured at ray.init() time.
+# The driver inits Ray before importing this module, possibly from a cwd
+# where `kg_gen_ray` is not importable; in that case every UDF pickled by
+# reference fails to deserialize on workers. Defense: make the repo
+# importable in this process, then probe one worker — if it cannot import
+# the package, ship the package code by value inside each serialized UDF
+# (on a real cluster the package would instead be installed / shipped via
+# runtime_env py_modules at job submission).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+
+def _ensure_workers_can_import() -> None:
+    import ray
+    if not ray.is_initialized():
+        return
+
+    def probe() -> bool:
+        import importlib.util
+        return importlib.util.find_spec("kg_gen_ray") is not None
+
+    try:
+        ok = ray.get(ray.remote(num_cpus=0)(probe).remote(), timeout=60)
+    except Exception:
+        ok = False
+    if not ok:
+        import kg_gen_ray
+        from ray import cloudpickle
+        cloudpickle.register_pickle_by_value(kg_gen_ray)
+
+
+_ensure_workers_can_import()
 
 
 # ---------------------------------------------------------------------------
@@ -36,7 +73,8 @@ def _bigram_config():
     return PipelineConfig(chunk_size=0,
                           default_extractor=ExtractorConfig(backend="bigram"),
                           extractor_concurrency=2,
-                          salt_buckets=8)
+                          salt_buckets=8,
+                          shuffle_partitions="auto")
 
 
 def _read_blocks() -> int:

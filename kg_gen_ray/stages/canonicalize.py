@@ -163,9 +163,12 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20
 def _add_keys(buckets: int):
     def fn(t: pa.Table) -> pa.Table:
         members = t["member"].to_pylist()
+        kinds = (t["kind"].to_pylist() if "kind" in t.column_names
+                 else ["entity"] * len(members))
         norm = [normalize_label(m) for m in members]
         salt = [salt_of(m, buckets) for m in members]
         return pa.table({
+            "kind": pa.array(kinds, pa.string()),
             "member": pa.array(members, pa.string()),
             "norm_key": pa.array(norm, pa.string()),
             "salt": pa.array(salt, pa.int32()),
@@ -187,18 +190,20 @@ def _decode_rank(enc: str) -> str:
     return enc[7:]
 
 
-def canonicalize_labels(labels: "ray.data.Dataset", kind: str,
-                        salt_buckets: int = 16,
-                        judge=None, max_group_size: int = 128,
-                        shuffle_partitions=None
-                        ) -> "ray.data.Dataset":
-    """distinct labels(member) -> alias_map(kind, representative, member).
+def canonicalize_label_table(labels: "ray.data.Dataset",
+                             salt_buckets: int = 16,
+                             judge=None, max_group_size: int = 128,
+                             shuffle_partitions=None
+                             ) -> "ray.data.Dataset":
+    """distinct labels(kind, member) -> alias_map(kind, representative, member).
 
-    Two-shuffle salted flow (see module docstring). With a ``judge``
-    (callable ``list[str] -> list[list[str]]`` partitioning a normalization
-    group into clusters) the group is processed in capacity-capped chunks;
-    without one, normalization groups are the clusters (deterministic
-    default used for conformance).
+    The fused multi-kind flow (entity and edge labels canonicalize in ONE
+    pair of shuffles, keyed by (kind, norm_key)). Two-shuffle salted flow
+    per module docstring. With a ``judge`` (callable ``list[str] ->
+    list[list[str]]`` partitioning a normalization group into clusters) the
+    group is processed in capacity-capped chunks; without one,
+    normalization groups are the clusters (deterministic default used for
+    conformance).
     """
     from kg_gen_ray.stages.common import coalesce
     keyed = coalesce(labels.map_batches(_add_keys(salt_buckets),
@@ -207,30 +212,34 @@ def canonicalize_labels(labels: "ray.data.Dataset", kind: str,
 
     if judge is None:
         from ray.data.aggregate import Min
-        # salted partial min, then tiny global min per norm_key — both are
-        # vectorized Arrow aggregates (see _encode_rank)
-        partial = keyed.groupby(["norm_key", "salt"]).aggregate(
+        keyed = keyed.materialize()   # consumed twice: rep choice + emit
+        # salted partial min, then tiny global min per (kind, norm_key) —
+        # both vectorized Arrow aggregates (see _encode_rank)
+        partial = keyed.groupby(["kind", "norm_key", "salt"]).aggregate(
             Min("rank_enc", alias_name="rank_enc"))
-        reps = partial.groupby("norm_key").aggregate(
+        reps = partial.groupby(["kind", "norm_key"]).aggregate(
             Min("rank_enc", alias_name="rank_enc"))
-        rep_map = {r["norm_key"]: _decode_rank(r["rank_enc"])
+        rep_map = {(r["kind"], r["norm_key"]): _decode_rank(r["rank_enc"])
                    for r in reps.take_all()}
         ref = ray.put(rep_map)
 
         def emit(t: pa.Table, ref=ref) -> pa.Table:
             m = ray.get(ref)
+            kinds = t["kind"].to_pylist()
             members = t["member"].to_pylist()
             norms = t["norm_key"].to_pylist()
             return pa.table({
-                "kind": pa.array([kind] * len(members), pa.string()),
-                "representative": pa.array([m[nk] for nk in norms], pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "representative": pa.array(
+                    [m[(k, nk)] for k, nk in zip(kinds, norms)], pa.string()),
                 "member": pa.array(members, pa.string()),
             })
 
         return keyed.map_batches(emit, batch_format="pyarrow")
 
-    # judge path: full group per norm_key, size-capped chunks
+    # judge path: full group per (kind, norm_key), size-capped chunks
     def judged(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].iloc[0]
         members = sorted(g["member"], key=lambda m: (len(m), m))
         reps, mems = [], []
         for lo in range(0, len(members), max_group_size):
@@ -246,4 +255,23 @@ def canonicalize_labels(labels: "ray.data.Dataset", kind: str,
             "member": mems,
         })
 
-    return keyed.groupby("norm_key").map_groups(judged, batch_format="pandas")
+    return keyed.groupby(["kind", "norm_key"]).map_groups(
+        judged, batch_format="pandas")
+
+
+def canonicalize_labels(labels: "ray.data.Dataset", kind: str,
+                        salt_buckets: int = 16,
+                        judge=None, max_group_size: int = 128,
+                        shuffle_partitions=None
+                        ) -> "ray.data.Dataset":
+    """Single-kind convenience wrapper over
+    :func:`canonicalize_label_table` (adds a constant ``kind`` column)."""
+    def add_kind(t: pa.Table) -> pa.Table:
+        if "kind" in t.column_names:
+            return t
+        return t.append_column(
+            "kind", pa.array([kind] * t.num_rows, pa.string()))
+
+    with_kind = labels.map_batches(add_kind, batch_format="pyarrow")
+    return canonicalize_label_table(with_kind, salt_buckets, judge,
+                                    max_group_size, shuffle_partitions)

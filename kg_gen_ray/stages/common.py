@@ -23,7 +23,10 @@ def resolve_shuffle_partitions(shuffle_partitions):
     if shuffle_partitions is None:
         return None
     if shuffle_partitions == "auto":
-        return max(8, int(ray.cluster_resources().get("CPU", 8)))
+        # half the cores: reduce partitions of combined partials are cheap
+        # to process, and fewer partitions means quadratically fewer
+        # shuffle-block fetches in the sort-based exchange
+        return max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     return int(shuffle_partitions)
 
 
@@ -32,3 +35,25 @@ def coalesce(ds: "ray.data.Dataset", shuffle_partitions):
     when a width override is requested."""
     n = resolve_shuffle_partitions(shuffle_partitions)
     return ds if n is None else ds.repartition(n)
+
+
+def compact_if_small(mds: "ray.data.Dataset",
+                     max_bytes: int = 256 * 1024 * 1024,
+                     target_blocks: int = 8) -> "ray.data.Dataset":
+    """Adaptive (AQE-style) compaction of a MATERIALIZED dataset.
+
+    A shuffle output inherits the upstream partition count, so a tiny
+    aggregate result can be spread over dozens of near-empty blocks; every
+    downstream stage then pays per-block overhead. Size is known after
+    materialize, so compaction is a runtime decision: small result ->
+    repartition to a few blocks (cheap — the data is tiny by definition);
+    large result -> leave partitioning alone (the 100 TB case).
+    """
+    try:
+        size = mds.size_bytes()
+        blocks = mds.num_blocks()
+    except Exception:
+        return mds
+    if size is not None and size < max_bytes and blocks > target_blocks:
+        return mds.repartition(target_blocks).materialize()
+    return mds

@@ -36,6 +36,10 @@ import pyarrow.compute as pc
 import ray.data
 
 from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+# module-level (not lazy inside extract_batch): worker processes that receive
+# this module by value (see __ray_entry__ pickle-by-value fallback) must not
+# re-import kg_gen_ray at call time
+from kg_gen_ray.stages.chunker import split_sentences
 
 TRIPLES_SCHEMA = pa.schema([
     ("subj", pa.string()),
@@ -82,7 +86,6 @@ class PatternExtractor:
     _ROLE_PREFIX = re.compile(r"^(user|assistant): ")
 
     def extract_batch(self, batch: pa.Table) -> pa.Table:
-        from kg_gen_ray.stages.chunker import split_sentences
         subj, pred, obj, urls, cids = [], [], [], [], []
         for url, cid, text in zip(batch["url"].to_pylist(),
                                   batch["chunk_id"].to_pylist(),
@@ -260,17 +263,44 @@ class TripleExtractor:
         return pa.concat_tables(parts)
 
 
+# process-level extractor cache for the stateless-task path: one
+# TripleExtractor per (worker process, config), built on first batch
+_TASK_EXTRACTORS: dict = {}
+
+
+def _task_extract(batch: pa.Table, config: PipelineConfig) -> pa.Table:
+    key = config.config_hash()
+    ex = _TASK_EXTRACTORS.get(key)
+    if ex is None:
+        ex = _TASK_EXTRACTORS.setdefault(key, TripleExtractor(config))
+    return ex(batch)
+
+
 def extract_stage(chunks: "ray.data.Dataset", config: PipelineConfig
                   ) -> "ray.data.Dataset":
-    """chunks -> triples_raw via an actor pool.
+    """chunks -> triples_raw.
 
-    ``concurrency`` creates a fixed pool of actors; state (compiled patterns,
-    LLM clients) is built once per actor, not per batch.
+    Deterministic backends (pattern/bigram) hold only compiled regexes, so
+    they run as stateless TASKS — elastic scheduling, no actor-pool startup
+    latency — with the state cached per worker process. An LLM-backed
+    config becomes an ACTOR POOL (client built once per actor in
+    ``__init__``), the canonical stateful-stage shape.
     """
+    import functools
+
+    needs_actor = any(cfg.backend == "llm"
+                      for cfg in [config.default_extractor,
+                                  *config.lang_routes.values()])
+    if needs_actor:
+        return chunks.map_batches(
+            TripleExtractor,
+            fn_constructor_args=(config,),
+            batch_format="pyarrow",
+            batch_size=config.extractor_batch_size,
+            concurrency=config.extractor_concurrency,
+        )
     return chunks.map_batches(
-        TripleExtractor,
-        fn_constructor_args=(config,),
+        functools.partial(_task_extract, config=config),
         batch_format="pyarrow",
         batch_size=config.extractor_batch_size,
-        concurrency=config.extractor_concurrency,
     )
