@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "dedup_simhash": q_dedup_simhash,              # rows-only (bit packing)
+        # --- retrieval (SURVEY §2 X4 BM25 / T2 rank fusion)
+        "bm25_scores": q_bm25_scores,
+        "rank_fusion_topk": q_rank_fusion_topk,
         # --- similarity search
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
@@ -299,6 +302,24 @@ def q_dedup_simhash(sf_dir: str):
                                      for h in t["simhash"].to_pylist()],
                                     pa.string())}),
         batch_format="pyarrow")
+
+
+_BM25_QUERY = "table scan fast"
+
+
+def q_bm25_scores(sf_dir: str):
+    from kg_gen_ray.functions.bm25 import bm25_scores
+    return bm25_scores(_docs(sf_dir, ["doc_id", "text"]), _BM25_QUERY)
+
+
+def q_rank_fusion_topk(sf_dir: str):
+    from kg_gen_ray.functions.ann import get_query_vector
+    from kg_gen_ray.functions.bm25 import rank_fusion_topk
+    emb = _embeddings(sf_dir)
+    q = get_query_vector(emb, 0)
+    top = rank_fusion_topk(_docs(sf_dir, ["doc_id", "text"]), emb,
+                           _BM25_QUERY, q, k=10)
+    return top.select_columns(["doc_id"])
 
 
 def q_ann_topk(sf_dir: str):
@@ -535,6 +556,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+    # BM25Okapi semantics (see kg_gen_ray.functions.bm25): whitespace-split
+    # lowercase tokens, Okapi idf with the epsilon * average_idf floor
+    _BM25 = """
+        btoks AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\\s+')) AS w
+                  FROM documents),
+        btoksf AS (SELECT doc_id, w FROM btoks WHERE w <> ''),
+        bdl AS (SELECT doc_id, count(*) AS dl FROM btoksf GROUP BY doc_id),
+        bconsts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                           (SELECT coalesce(sum(dl), 0) FROM bdl)::DOUBLE
+                           / (SELECT count(*) FROM documents) AS avgdl),
+        bdf AS (SELECT w, count(DISTINCT doc_id) AS df FROM btoksf GROUP BY w),
+        bidf0 AS (SELECT w, ln((n - df + 0.5) / (df + 0.5)) AS idf
+                  FROM bdf, bconsts),
+        bavgidf AS (SELECT avg(idf) AS ai FROM bidf0),
+        bidf AS (SELECT w, CASE WHEN idf >= 0 THEN idf
+                                ELSE 0.25 * ai END AS idf
+                 FROM bidf0, bavgidf),
+        bq AS (SELECT unnest(['table', 'scan', 'fast']) AS w),
+        btf AS (SELECT t.doc_id, t.w, count(*) AS tf
+                FROM btoksf t JOIN bq USING (w) GROUP BY t.doc_id, t.w),
+        bscores0 AS (
+          SELECT btf.doc_id,
+                 sum(bidf.idf * btf.tf * (1.5 + 1)
+                     / (btf.tf + 1.5 * (1 - 0.75 + 0.75 * bdl.dl / bconsts.avgdl))
+                 ) AS score
+          FROM btf JOIN bidf USING (w) JOIN bdl USING (doc_id), bconsts
+          GROUP BY btf.doc_id),
+        bscores AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score
+                    FROM documents d LEFT JOIN bscores0 s USING (doc_id))"""
+
+    sql["bm25_scores"] = f"""
+        WITH {_BM25}
+        SELECT doc_id, score FROM bscores"""
+
+    sql["rank_fusion_topk"] = f"""
+        WITH {_BM25},
+        q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0),
+        fused AS (
+          SELECT b.doc_id,
+                 0.5 * b.score + 0.5 * list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qv) AS fs
+          FROM bscores b JOIN embeddings e ON e.vec_id = b.doc_id, q)
+        SELECT doc_id FROM fused ORDER BY fs DESC, doc_id LIMIT 10"""
 
     sql["ann_topk"] = """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
