@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_top_entities": q_kg_top_entities,
         "kg_graph_stats": q_kg_graph_stats,
+        "kg_degrees": q_kg_degrees,
+        "kg_top_relations": q_kg_top_relations,
+        "kg_components": q_kg_components,             # rows-only (iterative)
         # --- training-data ops: text analysis
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -237,6 +240,21 @@ def q_kg_graph_stats(sf_dir: str):
         "n_triples": pd.Series([s["n_triples"]], dtype="int64"),
         "n_edge_types": pd.Series([s["n_edge_types"]], dtype="int64"),
     })
+
+
+def q_kg_degrees(sf_dir: str):
+    from kg_gen_ray.stages.viz import degree_table
+    return degree_table(_distinct_triples(sf_dir))
+
+
+def q_kg_top_relations(sf_dir: str):
+    from kg_gen_ray.stages.viz import top_relations
+    return top_relations(_distinct_triples(sf_dir), 10)
+
+
+def q_kg_components(sf_dir: str):
+    from kg_gen_ray.stages.viz import components_table
+    return components_table(_distinct_triples(sf_dir))
 
 
 def q_text_tokens(sf_dir: str):
@@ -507,6 +525,21 @@ def oracle_sql() -> dict[str, str]:
                  UNION SELECT obj FROM canonical))::BIGINT AS n_entities,
                (SELECT count(*) FROM canonical)::BIGINT AS n_triples,
                (SELECT count(DISTINCT pred) FROM canonical)::BIGINT AS n_edge_types"""
+
+    sql["kg_degrees"] = f"""
+        {_KG_PREFIX},
+        deg AS (
+          SELECT subj AS entity, 1 AS outdeg, 0 AS indeg FROM triples
+          UNION ALL SELECT obj, 0, 1 FROM triples)
+        SELECT entity, count(*)::BIGINT AS degree,
+               sum(indeg)::BIGINT AS indegree,
+               sum(outdeg)::BIGINT AS outdegree
+        FROM deg GROUP BY entity"""
+
+    sql["kg_top_relations"] = f"""
+        {_KG_PREFIX}
+        SELECT pred, count(*)::BIGINT AS n_triples FROM triples
+        GROUP BY pred ORDER BY n_triples DESC, pred LIMIT 10"""
 
     sql["text_tokens"] = f"""
         WITH {_DOCS}, {_TOKS}

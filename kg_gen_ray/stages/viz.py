@@ -1,0 +1,261 @@
+"""Graph statistics + visualization view-model (SURVEY.md §2 A6 / S6 / F3).
+
+Distributed counterparts of everything the reference's visualizer computes
+on the driver (``/root/reference/src/kg_gen/utils/visualize_kg.py:97-234``):
+degree/in/out tables, predicate top-k, weakly-connected components, the
+summary stats dict — and a driver-side small-graph view-model/JSON export
+mirroring the reference's HTML payload shape (``visualize_kg.py:247-258``),
+including its sha1-HSL deterministic label colors (``visualize_kg.py:16-23``).
+
+The wide parts are grouped aggregations with per-batch combiners; the
+view-model export is explicitly a SMALL-graph driver-side artifact (the
+scalable representation is the Parquet tables from
+:mod:`kg_gen_ray.stages.materialize`).
+"""
+
+from __future__ import annotations
+
+import colorsys
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def string_to_color(label: str) -> str:
+    """Deterministic pastel color (byte-identical to ref ``_string_to_color``)."""
+    digest = hashlib.sha1(label.encode("utf-8")).hexdigest()
+    hue = int(digest[:2], 16) / 255.0
+    saturation = 0.55 + (int(digest[2:4], 16) / 255.0) * 0.3
+    lightness = 0.45 + (int(digest[4:6], 16) / 255.0) * 0.25
+    r, g, b = colorsys.hls_to_rgb(hue, lightness, saturation)
+    return f"#{int(r * 255):02x}{int(g * 255):02x}{int(b * 255):02x}"
+
+
+def degree_table(triples: "ray.data.Dataset",
+                 shuffle_partitions=None) -> "ray.data.Dataset":
+    """(entity, degree, indegree, outdegree) — degree counts every triple
+    endpoint occurrence (self-loop counts twice), matching the reference's
+    Counter loop (``visualize_kg.py:97-115``)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        subj = t["subj"].combine_chunks().cast(pa.string())
+        obj = t["obj"].combine_chunks().cast(pa.string())
+        n_s, n_o = len(subj), len(obj)
+        ents = pa.concat_arrays([subj, obj])
+        ones = [1] * n_s
+        zeros = [0] * n_s
+        tmp = pa.table({
+            "entity": ents,
+            "outdeg": pa.array(ones + [0] * n_o, pa.int64()),
+            "indeg": pa.array(zeros + [1] * n_o, pa.int64()),
+        })
+        agg = tmp.group_by(["entity"]).aggregate(
+            [("outdeg", "sum"), ("indeg", "sum"), ([], "count_all")])
+        return agg.rename_columns(["entity", "outdeg", "indeg", "deg"])
+
+    from kg_gen_ray.stages.common import coalesce
+    part = coalesce(triples.map_batches(partial, batch_format="pyarrow"),
+                    shuffle_partitions)
+    return part.groupby("entity").aggregate(
+        Sum("deg", alias_name="degree"),
+        Sum("indeg", alias_name="indegree"),
+        Sum("outdeg", alias_name="outdegree"))
+
+
+def top_relations(triples: "ray.data.Dataset", k: int = 10,
+                  shuffle_partitions=None) -> "ray.data.Dataset":
+    """Top-k predicates by triple count, deterministic (-count, pred)
+    ordering (ref shows top-10 relations, ``visualize_kg.py:210-216``)."""
+    from kg_gen_ray.stages.materialize import edge_types_table
+    et = edge_types_table(triples, shuffle_partitions)
+
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.append_column("_neg", pc.negate(t["n_triples"]))
+
+    return (et.map_batches(neg, batch_format="pyarrow")
+            .sort(["_neg", "pred"]).limit(k)
+            .select_columns(["pred", "n_triples"]))
+
+
+def components_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, component) — weakly-connected components of the triple graph
+    by distributed min-label propagation (the scalable re-expression of the
+    reference's driver-side BFS, ``visualize_kg.py:143-169``)."""
+    from kg_gen_ray.stages.canonicalize import label_propagation
+    from kg_gen_ray.stages.rewrite import distinct
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t["subj"].combine_chunks().cast(pa.string()),
+            "b": t["obj"].combine_chunks().cast(pa.string()),
+        })
+
+    edges = distinct(triples.map_batches(as_edges, batch_format="pyarrow"),
+                     ["a", "b"])
+    return label_propagation(edges)
+
+
+def extended_stats(triples: "ray.data.Dataset",
+                   entities: "ray.data.Dataset | None" = None,
+                   shuffle_partitions=None) -> dict:
+    """The reference's stats payload (``visualize_kg.py:218-234``), computed
+    distributed. ``entities`` (optional, one ``entity`` column) supplies
+    extracted-but-unconnected entities; isolated count is 0 without it
+    (every endpoint entity has degree >= 1 by construction)."""
+    deg = degree_table(triples, shuffle_partitions).materialize()
+    n_triples = triples.count()
+    n_connected = deg.count()
+    degree_sum = deg.sum("degree") if n_connected else 0
+
+    n_isolated = 0
+    n_entities = n_connected
+    if entities is not None:
+        n_entities = entities.count()
+        n_isolated = max(0, n_entities - n_connected)
+
+    from ray.data.aggregate import Count
+    n_preds = triples.groupby("pred").aggregate(Count()).count()
+    n_components_connected = (components_table(triples)
+                              .groupby("component").aggregate(Count()).count())
+    n_components = n_components_connected + n_isolated
+
+    return {
+        "entities": n_entities,
+        "relations": n_triples,
+        "relationTypes": n_preds,
+        "isolatedEntities": n_isolated,
+        "components": n_components,
+        "averageDegree": round(degree_sum / n_entities, 2) if n_entities else 0,
+        "density": round(n_triples / (n_entities * (n_entities - 1)), 3)
+        if n_entities > 1 else 0,
+    }
+
+
+def view_model(triples: "ray.data.Dataset",
+               alias_map: "ray.data.Dataset | None" = None,
+               max_triples: int = 200_000) -> dict:
+    """Driver-side SMALL-graph view-model in the reference's HTML-payload
+    shape (nodes/edges/topEntities/topRelations/stats/components). Guarded:
+    refuses graphs above ``max_triples`` — at scale, use the Parquet tables.
+    """
+    n = triples.count()
+    if n > max_triples:
+        raise ValueError(
+            f"view_model is a small-graph export ({n} > {max_triples} "
+            "triples); use materialize.write_graph for large graphs")
+
+    rels = [(r["subj"], r["pred"], r["obj"])
+            for r in triples.take_all()]
+
+    ent_clusters: dict = {}
+    edge_clusters: dict = {}
+    if alias_map is not None:
+        for r in alias_map.take_all():
+            tgt = ent_clusters if r["kind"] == "entity" else edge_clusters
+            tgt.setdefault(r["representative"], set()).add(r["member"])
+
+    from collections import Counter, defaultdict, deque
+    degree: Counter = Counter()
+    indeg: Counter = Counter()
+    outdeg: Counter = Counter()
+    pred_counts: Counter = Counter()
+    adjacency = defaultdict(set)
+    entities_in_order: dict = {}
+
+    edges_view = []
+    member_to_cluster = {m: rep for rep, ms in ent_clusters.items() for m in ms}
+    for i, (s, p, o) in enumerate(sorted(rels)):
+        pred_counts[p] += 1
+        degree[s] += 1
+        degree[o] += 1
+        outdeg[s] += 1
+        indeg[o] += 1
+        adjacency[s].add(o)
+        adjacency[o].add(s)
+        entities_in_order.setdefault(s, None)
+        entities_in_order.setdefault(o, None)
+        edges_view.append({
+            "id": f"e{i}", "source": s, "target": o, "predicate": p,
+            "color": string_to_color(f"predicate::{p}"),
+            "tooltip": f"{s} —{p}→ {o}",
+        })
+
+    entities = list(entities_in_order)
+    visited: set = set()
+    components = []
+    for node in entities:
+        if node in visited:
+            continue
+        queue = deque([node])
+        visited.add(node)
+        members = []
+        while queue:
+            cur = queue.popleft()
+            members.append(cur)
+            for nbr in adjacency[cur]:
+                if nbr not in visited:
+                    visited.add(nbr)
+                    queue.append(nbr)
+        components.append({
+            "size": len(members),
+            "members": sorted(members, key=str.casefold),
+        })
+    components.sort(key=lambda c: (-c["size"], c["members"][0]))
+
+    nodes_view = [{
+        "id": e, "label": e,
+        "cluster": member_to_cluster.get(e),
+        "degree": degree[e], "indegree": indeg[e], "outdegree": outdeg[e],
+        "color": string_to_color(f"entity::{member_to_cluster.get(e, e)}"),
+    } for e in entities]
+
+    top_entities = sorted(
+        ({"label": n_["label"], "degree": n_["degree"],
+          "indegree": n_["indegree"], "outdegree": n_["outdegree"]}
+         for n_ in nodes_view),
+        key=lambda it: (-it["degree"], it["label"].lower()))[:10]
+    top_rels = sorted(
+        ({"predicate": p, "count": c} for p, c in pred_counts.items()),
+        key=lambda it: (-it["count"], it["predicate"].lower()))[:10]
+
+    n_ent = len(entities)
+    return {
+        "nodes": nodes_view,
+        "edges": edges_view,
+        "clusters": [{"representative": r, "members": sorted(m)}
+                     for r, m in sorted(ent_clusters.items())],
+        "edgeClusters": [{"representative": r, "members": sorted(m)}
+                         for r, m in sorted(edge_clusters.items())],
+        "topEntities": top_entities,
+        "topRelations": top_rels,
+        "components": components,
+        "stats": {
+            "entities": n_ent,
+            "relations": len(edges_view),
+            "relationTypes": len(pred_counts),
+            "entityClusters": len(ent_clusters),
+            "edgeClusters": len(edge_clusters),
+            "isolatedEntities": 0,
+            "components": len(components),
+            "averageDegree": round(sum(degree[e] for e in entities) / n_ent, 2)
+            if n_ent else 0,
+            "density": round(len(edges_view) / (n_ent * (n_ent - 1)), 3)
+            if n_ent > 1 else 0,
+        },
+    }
+
+
+def write_view_model(triples: "ray.data.Dataset", path: str,
+                     alias_map: "ray.data.Dataset | None" = None) -> str:
+    """Serialize the view-model JSON (the payload the reference injects into
+    its HTML template, ``visualize_kg.py:264-304``)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(view_model(triples, alias_map), f, indent=2)
+    return path

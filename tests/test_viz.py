@@ -1,0 +1,112 @@
+"""Graph stats / view-model tests (SURVEY.md §2 A6, S6, F3).
+
+Semantics target: /root/reference/src/kg_gen/utils/visualize_kg.py:97-234
+(degree counters, BFS components, stats payload) and :16-23 (color hash).
+"""
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kg_gen_ray.stages.viz import (
+    components_table,
+    degree_table,
+    extended_stats,
+    string_to_color,
+    top_relations,
+    view_model,
+)
+
+# two components: {a,b,c} via a->b->c, {x,y}; self-loop on a
+TRIPLES = [
+    ("a", "knows", "b"),
+    ("b", "knows", "c"),
+    ("a", "likes", "a"),
+    ("x", "knows", "y"),
+]
+
+
+def _triples():
+    s, p, o = zip(*TRIPLES)
+    return rd.from_arrow(pa.table({"subj": list(s), "pred": list(p),
+                                   "obj": list(o)}))
+
+
+def test_degree_table(ray_session):
+    deg = {r["entity"]: (r["degree"], r["indegree"], r["outdegree"])
+           for r in degree_table(_triples()).take_all()}
+    assert deg["a"] == (3, 1, 2)     # self-loop counts twice in degree
+    assert deg["b"] == (2, 1, 1)
+    assert deg["c"] == (1, 1, 0)
+    assert deg["x"] == (1, 0, 1)
+    assert deg["y"] == (1, 1, 0)
+
+
+def test_top_relations_order(ray_session):
+    top = top_relations(_triples(), 10).take_all()
+    assert [(r["pred"], r["n_triples"]) for r in top] == [
+        ("knows", 3), ("likes", 1)]
+
+
+def test_components(ray_session):
+    comp = {r["node"]: r["component"]
+            for r in components_table(_triples()).take_all()}
+    assert comp["a"] == comp["b"] == comp["c"]
+    assert comp["x"] == comp["y"]
+    assert comp["a"] != comp["x"]
+
+
+def test_extended_stats(ray_session):
+    st = extended_stats(_triples())
+    assert st["entities"] == 5
+    assert st["relations"] == 4
+    assert st["relationTypes"] == 2
+    assert st["components"] == 2
+    assert st["isolatedEntities"] == 0
+    assert st["averageDegree"] == round(8 / 5, 2)
+    assert st["density"] == round(4 / (5 * 4), 3)
+
+
+def test_extended_stats_with_isolated_entities(ray_session):
+    ents = rd.from_arrow(pa.table(
+        {"entity": ["a", "b", "c", "x", "y", "lonely"]}))
+    st = extended_stats(_triples(), entities=ents)
+    assert st["entities"] == 6
+    assert st["isolatedEntities"] == 1
+    assert st["components"] == 3     # lonely is its own component
+
+
+def test_view_model_shape_and_stats(ray_session):
+    vm = view_model(_triples())
+    assert {n["id"] for n in vm["nodes"]} == {"a", "b", "c", "x", "y"}
+    assert len(vm["edges"]) == 4
+    assert vm["stats"]["components"] == 2
+    assert vm["components"][0]["size"] == 3
+    assert vm["components"][0]["members"] == ["a", "b", "c"]
+    assert vm["topEntities"][0]["label"] == "a"
+    assert vm["topRelations"][0] == {"predicate": "knows", "count": 3}
+    # every edge id unique, tooltip matches reference format
+    ids = [e["id"] for e in vm["edges"]]
+    assert len(set(ids)) == len(ids)
+    assert vm["edges"][0]["tooltip"].count("—") == 1
+
+
+def test_view_model_size_guard(ray_session):
+    with pytest.raises(ValueError, match="small-graph"):
+        view_model(_triples(), max_triples=2)
+
+
+def test_color_hash_reference_parity():
+    # values computed with the reference's _string_to_color implementation
+    import colorsys
+    import hashlib
+
+    def ref_color(label):
+        digest = hashlib.sha1(label.encode("utf-8")).hexdigest()
+        hue = int(digest[:2], 16) / 255.0
+        sat = 0.55 + (int(digest[2:4], 16) / 255.0) * 0.3
+        light = 0.45 + (int(digest[4:6], 16) / 255.0) * 0.25
+        r, g, b = colorsys.hls_to_rgb(hue, light, sat)
+        return f"#{int(r * 255):02x}{int(g * 255):02x}{int(b * 255):02x}"
+
+    for label in ["entity::alice", "predicate::knows", "äöü"]:
+        assert string_to_color(label) == ref_color(label)
