@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q_kg_degrees,
         "kg_top_relations": q_kg_top_relations,
         "kg_components": q_kg_components,             # rows-only (iterative)
+        "kg_semantic_alias": q_kg_semantic_alias,     # rows-only (k-means + judge loop)
         # --- training-data ops: text analysis
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -255,6 +256,15 @@ def q_kg_top_relations(sf_dir: str):
 def q_kg_components(sf_dir: str):
     from kg_gen_ray.stages.viz import components_table
     return components_table(_distinct_triples(sf_dir))
+
+
+def q_kg_semantic_alias(sf_dir: str):
+    """A5/X6 scale path: embed -> k-means partition -> per-cluster
+    retrieve-and-judge dedup (rows-only: iterative, not SQL-expressible)."""
+    from kg_gen_ray.pipelines.kg_pipeline import entity_labels
+    from kg_gen_ray.stages.semantic_dedup import semantic_canonicalize
+    labels = entity_labels(_distinct_triples(sf_dir))
+    return semantic_canonicalize(labels)
 
 
 def q_text_tokens(sf_dir: str):

@@ -40,6 +40,39 @@ def _tokens(text: str) -> list[str]:
     return text.lower().split()
 
 
+def okapi_scores(corpus_tokens: list, query_tokens: list,
+                 k1: float = K1, b: float = B,
+                 epsilon: float = EPSILON) -> np.ndarray:
+    """Pure in-memory BM25Okapi over a small tokenized corpus — the
+    group-local building block (used inside ``map_groups`` judges, where the
+    corpus is one capacity-capped cluster; the distributed corpus-scale path
+    is :func:`bm25_scores`)."""
+    n = len(corpus_tokens)
+    if n == 0:
+        return np.zeros(0)
+    dl = np.asarray([len(t) for t in corpus_tokens], dtype=np.float64)
+    avgdl = dl.mean() if n else 0.0
+    df: dict = {}
+    for toks in corpus_tokens:
+        for w in set(toks):
+            df[w] = df.get(w, 0) + 1
+    idf = {w: math.log((n - d + 0.5) / (d + 0.5)) for w, d in df.items()}
+    if idf:
+        avg = sum(idf.values()) / len(idf)
+        idf = {w: (v if v >= 0 else epsilon * avg) for w, v in idf.items()}
+    out = np.zeros(n)
+    denom_norm = k1 * (1 - b + b * dl / avgdl) if avgdl else np.full(n, k1)
+    for term in query_tokens:
+        w = idf.get(term)
+        if w is None:
+            continue
+        tf = np.asarray([t.count(term) for t in corpus_tokens],
+                        dtype=np.float64)
+        nz = tf > 0
+        out[nz] += w * tf[nz] * (k1 + 1) / (tf[nz] + denom_norm[nz])
+    return out
+
+
 def corpus_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """docs(doc_id, text) -> (word, df) + one sentinel row
     ``word=''`` holding (n_docs, sum_dl) in the ``df``/``sum_dl`` columns."""

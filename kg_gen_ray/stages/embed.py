@@ -37,11 +37,11 @@ class HashEmbedder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         labels = batch["member"].to_pylist()
         vecs = [self.embed_one(x) for x in labels]
-        return pa.table({
-            "member": pa.array(labels, pa.string()),
-            "embedding": pa.array([v.tolist() for v in vecs],
-                                  pa.list_(pa.float32())),
-        })
+        # pass input columns through: embedding is an added column, not a
+        # projection (callers keep kind/ids without a re-join)
+        return batch.append_column(
+            "embedding", pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())))
 
 
 class SentenceTransformerEmbedder:
@@ -61,11 +61,9 @@ class SentenceTransformerEmbedder:
     def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
         labels = batch["member"].to_pylist()
         vecs = self.model.encode(labels, convert_to_numpy=True)
-        return pa.table({
-            "member": pa.array(labels, pa.string()),
-            "embedding": pa.array([v.tolist() for v in vecs],
-                                  pa.list_(pa.float32())),
-        })
+        return batch.append_column(
+            "embedding", pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())))
 
 
 def embed_stage(labels: "ray.data.Dataset", backend: str = "hash",

@@ -1,0 +1,164 @@
+"""Scalable semantic canonicalization — the reference's wikiqa variant
+(SURVEY.md §2 A5 / X5 / X6), Ray-Data-first.
+
+Reference flow (``/root/reference/experiments/wikiqa/utils/
+cluster_and_deduplication.py:151-296``): embed all distinct labels
+(all-mpnet-base-v2), FAISS k-means into ~``n/128`` capacity-bounded
+clusters, then per cluster a sequential dedup loop — for each remaining
+item retrieve the 16 most similar labels by 0.5*BM25 + 0.5*cosine rank
+fusion and ask an LLM judge which are duplicates; merge into global
+``entities``/``entity_clusters``.
+
+Ours: embed via the pluggable actor-pool :mod:`kg_gen_ray.stages.embed`
+stage → distributed Lloyd's k-means (:func:`kg_gen_ray.functions.ann.
+kmeans_centroids`: broadcast centroids, per-block partial sums) → cosine
+cluster assignment in ``map_batches`` → ``groupby(cluster).map_groups``
+running the same retrieve-then-judge loop with a pluggable judge
+(deterministic ``normalize_label`` equality by default; an LLM judge is a
+drop-in callable). Like the reference, merges happen only *within* an
+embedding cluster — canonicalization quality depends on k-means locality,
+which is the documented trade of this scale path (the exact-by-key path is
+:func:`kg_gen_ray.stages.canonicalize.canonicalize_label_table`).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+CLUSTER_CAPACITY = 128   # ref: cluster_and_deduplication.py:153
+RETRIEVAL_K = 16         # ref: cluster_and_deduplication.py:262
+
+
+def norm_equality_judge(item: str, candidates: list) -> list:
+    """Deterministic stand-in for the reference's LLM duplicate judge
+    (``deduplicate_cluster``, ``cluster_and_deduplication.py:245-296``):
+    duplicates = candidates sharing the item's normalization key."""
+    from kg_gen_ray.stages.canonicalize import normalize_label
+    key = normalize_label(item)
+    return [c for c in candidates if normalize_label(c) == key]
+
+
+def dedup_cluster(members: list, embeddings: np.ndarray,
+                  judge=norm_equality_judge,
+                  retrieval_k: int = RETRIEVAL_K) -> list:
+    """The per-cluster sequential loop: returns (representative, member)
+    pairs. ``members`` sorted deterministically by the caller."""
+    from kg_gen_ray.functions.bm25 import okapi_scores
+    from kg_gen_ray.stages.canonicalize import choose_representative
+
+    tokens = [m.lower().split() for m in members]
+    norms = np.linalg.norm(embeddings, axis=1)
+    norms[norms == 0] = 1.0
+    unit = embeddings / norms[:, None]
+
+    remaining = list(range(len(members)))
+    out = []
+    while remaining:
+        i = remaining[0]
+        rest = remaining[1:]
+        if rest:
+            # rank fusion over the cluster (ref get_relevant_items)
+            bm = okapi_scores([tokens[j] for j in rest], tokens[i])
+            cos = unit[rest] @ unit[i]
+            fused = 0.5 * bm + 0.5 * cos
+            order = sorted(range(len(rest)),
+                           key=lambda r: (-fused[r], members[rest[r]]))
+            cand_idx = [rest[r] for r in order[:retrieval_k]]
+        else:
+            cand_idx = []
+        dup_names = set(judge(members[i], [members[j] for j in cand_idx]))
+        cluster = [i] + [j for j in cand_idx if members[j] in dup_names]
+        rep = choose_representative([members[j] for j in cluster])
+        for j in cluster:
+            out.append((rep, members[j]))
+        taken = set(cluster)
+        remaining = [j for j in remaining if j not in taken]
+    return out
+
+
+def semantic_canonicalize(labels: "ray.data.Dataset",
+                          embed_backend: str = "hash", dim: int = 64,
+                          cluster_capacity: int = CLUSTER_CAPACITY,
+                          retrieval_k: int = RETRIEVAL_K,
+                          judge=norm_equality_judge,
+                          embed_concurrency: int = 2,
+                          kmeans_iter: int = 5) -> "ray.data.Dataset":
+    """distinct labels(kind, member) -> alias_map(kind, representative, member).
+
+    ``n_clusters = max(1, n // cluster_capacity)`` mirrors the reference's
+    ``num_clusters = n // 128``; per-group work is additionally chunked to
+    ``cluster_capacity`` so a skewed k-means cell cannot produce an
+    unbounded group (same bound the reference enforces by capacity-aware
+    assignment).
+    """
+    from kg_gen_ray.functions.ann import ivf_assign, kmeans_centroids
+    from kg_gen_ray.stages.embed import embed_stage
+
+    def ensure_kind(t: pa.Table) -> pa.Table:
+        if "kind" not in t.column_names:
+            t = t.append_column("kind",
+                                pa.array(["entity"] * t.num_rows, pa.string()))
+        return t.select(["kind", "member"])
+
+    emb = embed_stage(labels.map_batches(ensure_kind, batch_format="pyarrow"),
+                      backend=embed_backend, dim=dim,
+                      concurrency=embed_concurrency)
+
+    # stable int id per label for k-means seeding / assignment
+    def with_id(t: pa.Table) -> pa.Table:
+        ids = [zlib.crc32(f"{k}\x00{m}".encode("utf-8"))
+               for k, m in zip(t["kind"].to_pylist(),
+                               t["member"].to_pylist())]
+        return t.append_column("lid", pa.array(ids, pa.int64()))
+
+    emb = emb.map_batches(with_id, batch_format="pyarrow").materialize()
+    n = emb.count()
+    n_clusters = max(1, n // cluster_capacity)
+
+    if n_clusters == 1:
+        assigned = emb.map_batches(
+            lambda t: t.append_column(
+                "centroid_id", pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        cents = kmeans_centroids(emb, n_clusters, n_iter=kmeans_iter,
+                                 id_col="lid")
+        cmap = ivf_assign(emb, cents, id_col="lid")
+        id_to_cid = {r["lid"]: r["centroid_id"] for r in cmap.take_all()}
+        import ray
+        ref = ray.put(id_to_cid)
+
+        def attach(t: pa.Table, ref=ref) -> pa.Table:
+            m = ray.get(ref)
+            cids = [m[i] for i in t["lid"].to_pylist()]
+            return t.append_column("centroid_id",
+                                   pa.array(cids, pa.int64()))
+
+        assigned = emb.map_batches(attach, batch_format="pyarrow")
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        kind = g["kind"].iloc[0]
+        order = sorted(range(len(g)),
+                       key=lambda i: ((len(g["member"].iloc[i]),
+                                       g["member"].iloc[i])))
+        members = [g["member"].iloc[i] for i in order]
+        vecs = np.asarray([np.asarray(g["embedding"].iloc[i],
+                                      dtype=np.float64) for i in order])
+        reps, mems = [], []
+        for lo in range(0, len(members), cluster_capacity):
+            chunk = members[lo:lo + cluster_capacity]
+            cvecs = vecs[lo:lo + cluster_capacity]
+            for rep, m in dedup_cluster(chunk, cvecs, judge, retrieval_k):
+                reps.append(rep)
+                mems.append(m)
+        return pd.DataFrame({"kind": [kind] * len(mems),
+                             "representative": reps, "member": mems})
+
+    return assigned.groupby(["kind", "centroid_id"]).map_groups(
+        per_cluster, batch_format="pandas")
