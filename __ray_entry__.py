@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_relations": q_kg_top_relations,
         "kg_components": q_kg_components,             # rows-only (iterative)
         "kg_semantic_alias": q_kg_semantic_alias,     # rows-only (k-means + judge loop)
+        "kg_incremental": q_kg_incremental,
         # --- training-data ops: text analysis
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -156,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "dedup_simhash": q_dedup_simhash,              # rows-only (bit packing)
+        "fused_text_fast": q_fused_text_fast,          # rows-only (u64 engine hashes)
         # --- retrieval (SURVEY §2 X4 BM25 / T2 rank fusion)
         "bm25_scores": q_bm25_scores,
         "rank_fusion_topk": q_rank_fusion_topk,
@@ -267,6 +269,28 @@ def q_kg_semantic_alias(sf_dir: str):
     return semantic_canonicalize(labels)
 
 
+def q_kg_incremental(sf_dir: str):
+    """Incremental add (S5/A3): build from the first half of the corpus,
+    then add the second half — must equal the one-shot batch build (the
+    oracle is the same SQL as kg_canonical_triples)."""
+    from kg_gen_ray.pipelines.incremental import add_pages
+
+    pages = _pages(sf_dir)
+
+    def split(keep: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(pc.cast(t["lang"], pa.string()),
+                            value_set=pa.array(["en", "de"]))
+            return t.filter(mask if keep else pc.invert(mask))
+        return fn
+
+    half1 = pages.map_batches(split(True), batch_format="pyarrow")
+    half2 = pages.map_batches(split(False), batch_format="pyarrow")
+    cfg = _bigram_config()
+    first = add_pages(None, half1, cfg)
+    return add_pages(first.triples, half2, cfg).triples
+
+
 def q_text_tokens(sf_dir: str):
     from kg_gen_ray.functions.text_analysis import token_stats
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -348,6 +372,14 @@ def q_rank_fusion_topk(sf_dir: str):
     top = rank_fusion_topk(_docs(sf_dir, ["doc_id", "text"]), emb,
                            _BM25_QUERY, q, k=10)
     return top.select_columns(["doc_id"])
+
+
+def q_fused_text_fast(sf_dir: str):
+    """Scale-path fused analysis (token stats + SimHash + MinHash in one
+    vectorized pass; engine-internal u64 hashes -> rows-only check)."""
+    from kg_gen_ray.functions.fast_text import fused_text_analysis
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fused_text_analysis, batch_format="pyarrow")
 
 
 def q_ann_topk(sf_dir: str):
@@ -535,6 +567,9 @@ def oracle_sql() -> dict[str, str]:
                  UNION SELECT obj FROM canonical))::BIGINT AS n_entities,
                (SELECT count(*) FROM canonical)::BIGINT AS n_triples,
                (SELECT count(DISTINCT pred) FROM canonical)::BIGINT AS n_edge_types"""
+
+    # incremental(half1)+add(half2) must equal the batch build
+    sql["kg_incremental"] = sql["kg_canonical_triples"]
 
     sql["kg_degrees"] = f"""
         {_KG_PREFIX},

@@ -26,7 +26,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_PAGES = int(os.environ.get("KG_BENCH_PAGES", "200000"))
+BENCH_PAGES = int(os.environ.get("KG_BENCH_PAGES", "400000"))
 # "rich" profile: 25-50 fact sentences per page (~2-3 KB of text, a
 # realistic web-page payload) so stage compute, not barrier overhead,
 # dominates the scaling measurement
@@ -96,8 +96,10 @@ def warm_cluster(corpus: str) -> None:
     def touch(path: str) -> int:
         # heavy imports once per worker process + file bytes into page cache
         import numpy  # noqa: F401
+        import polars  # noqa: F401
         import pyarrow.compute  # noqa: F401
         import kg_gen_ray.functions.dedup  # noqa: F401
+        import kg_gen_ray.functions.fast_text  # noqa: F401
         import kg_gen_ray.pipelines.kg_pipeline  # noqa: F401
         n = 0
         with open(path, "rb") as f:
@@ -119,8 +121,7 @@ def run_synth() -> dict:
     import ray.data as rd
 
     from kg_gen_ray.config import PipelineConfig
-    from kg_gen_ray.functions.dedup import minhash_signatures, simhash_batch
-    from kg_gen_ray.functions.text_analysis import token_stats
+    from kg_gen_ray.functions.fast_text import fused_text_analysis
     from kg_gen_ray.pipelines.kg_pipeline import build_kg
 
     corpus = ensure_corpus()
@@ -142,18 +143,9 @@ def run_synth() -> dict:
             "text": pc.cast(t["text"], pa.string()),
         })
 
-    def analysis(t: pa.Table) -> pa.Table:
-        # fused single-pass text analysis: MinHash signature + SimHash +
-        # token stats (one read, one stage — a real pipeline fuses these)
-        sigs = minhash_signatures(t)
-        sims = simhash_batch(t)
-        toks = token_stats(t)
-        return pa.table({
-            "doc_id": sigs["doc_id"],
-            "h0": sigs["h0"],
-            "simhash": sims["simhash"],
-            "n_tokens": toks["n_tokens"],
-        })
+    # fused single-pass text analysis (one tokenization -> token stats +
+    # SimHash + MinHash, fully vectorized) — the scale-path operator
+    analysis = fused_text_analysis
 
     t0 = time.time()
     docs = rd.read_parquet(corpus, columns=["url", "text"]) \
@@ -236,8 +228,12 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # warm run also generates/caches the corpus so both timed runs see it
-    one(hi)
+    # generate/cache the corpus once (children warm themselves via
+    # warm_cluster, so no full warm run is needed)
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(hi))
+    subprocess.run([sys.executable, os.path.abspath(__file__),
+                    "--gen-corpus"], env=env, capture_output=True,
+                   text=True, check=True)
     r_lo = one(lo)
     r_hi = one(hi)
     eff = (r_lo["total_sec"] / r_hi["total_sec"]) / (hi / lo)
@@ -256,7 +252,14 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-child" in sys.argv:
+    if "--gen-corpus" in sys.argv:
+        import ray
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+        print(ensure_corpus())
+        ray.shutdown()
+    elif "--scaling-child" in sys.argv:
         print(json.dumps(run_scaling_child()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))

@@ -24,7 +24,6 @@ from dataclasses import dataclass
 import ray.data
 
 from kg_gen_ray.config import PipelineConfig
-from kg_gen_ray.stages.canonicalize import canonicalize_labels
 from kg_gen_ray.stages.chunker import chunk_stage
 from kg_gen_ray.stages.extract import extract_stage
 from kg_gen_ray.stages.extract_text import extract_text_stage
@@ -116,13 +115,21 @@ def build_kg(pages: "ray.data.Dataset",
     a single fused (kind, norm_key) flow — one distinct shuffle + one
     salted aggregate pair for both kinds.
     """
+    config = config or PipelineConfig()
+    config.validate()
+    raw = raw_triples(pages, config)
+    return canonicalize_triples(raw, config)
+
+
+def canonicalize_triples(raw: "ray.data.Dataset",
+                         config: PipelineConfig | None = None) -> KGResult:
+    """The pipeline tail: raw/unioned triples -> distinct -> canonicalize
+    -> rewrite. Shared by :func:`build_kg`, graph aggregation
+    (:mod:`kg_gen_ray.pipelines.incremental`) and the resumable phase-2."""
     from kg_gen_ray.stages.canonicalize import canonicalize_label_table
     from kg_gen_ray.stages.common import compact_if_small
 
     config = config or PipelineConfig()
-    config.validate()
-
-    raw = raw_triples(pages, config)
     sp = config.shuffle_partitions
     triples = compact_if_small(
         distinct(raw, ["subj", "pred", "obj"], sp).materialize())

@@ -1,0 +1,93 @@
+"""Fused vectorized text-analysis tests (the scale-path operator)."""
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.functions.fast_text import (
+    fused_text_analysis,
+    minhash_lsh_pairs_fast,
+)
+from kg_gen_ray.functions.text_analysis import token_stats
+
+
+def _batch(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_stats_agree_with_reference_op():
+    texts = ["a b c a", "x", "", "the quick brown fox the"]
+    got = fused_text_analysis(_batch(texts))
+    ref = token_stats(_batch(texts))
+    assert got["n_tokens"].to_pylist() == ref["n_tokens"].to_pylist()
+    assert got["n_unique_tokens"].to_pylist() == ref["n_unique_tokens"].to_pylist()
+
+
+def test_deterministic_and_identity():
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "totally different text here"]
+    a = fused_text_analysis(_batch(texts))
+    b = fused_text_analysis(_batch(texts))
+    assert a.equals(b)
+    # identical docs -> identical signatures; different doc differs
+    for col in ["simhash", "m0", "m1", "m2", "m3"]:
+        assert a[col][0].as_py() == a[col][1].as_py()
+    assert any(a[f"m{k}"][0].as_py() != a[f"m{k}"][2].as_py()
+               for k in range(4))
+
+
+def test_minhash_similarity_monotonic():
+    # high-overlap docs share more signature components than disjoint docs
+    base = "w" + " w".join(str(i) for i in range(50))
+    near = base.replace("w49", "w999")        # one token changed
+    far = " ".join(f"z{i}" for i in range(50))
+    t = fused_text_analysis(_batch([base, near, far]))
+    near_matches = sum(t[f"m{k}"][0].as_py() == t[f"m{k}"][1].as_py()
+                       for k in range(4))
+    far_matches = sum(t[f"m{k}"][0].as_py() == t[f"m{k}"][2].as_py()
+                      for k in range(4))
+    assert near_matches >= 3
+    assert far_matches == 0
+
+
+def test_simhash_hamming_reflects_similarity():
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = base + " extra"
+    far = " ".join(f"other{i}" for i in range(100))
+    t = fused_text_analysis(_batch([base, near, far]))
+    h = [int(v) for v in t["simhash"].to_pylist()]
+    d_near = bin(h[0] ^ h[1]).count("1")
+    d_far = bin(h[0] ^ h[2]).count("1")
+    assert d_near < d_far
+
+
+def test_edge_rows():
+    t = fused_text_analysis(_batch(["", "x", "x y", ""]))
+    assert t.num_rows == 4
+    # single-space-split semantics: "" -> one empty token (DuckDB
+    # string_split parity), so it gets a whole-row shingle signature —
+    # deterministic and equal across empty docs
+    assert t["m0"][0].as_py() == t["m0"][3].as_py()
+    assert t["m0"][0].as_py() != np.iinfo(np.uint64).max
+    assert t["m0"][1].as_py() != t["m0"][2].as_py()
+
+
+def test_empty_batch():
+    t = fused_text_analysis(_batch([]))
+    assert t.num_rows == 0
+    assert "simhash" in t.column_names
+
+
+def test_lsh_pairs_fast_finds_duplicates(ray_session):
+    texts = []
+    for i in range(40):
+        texts.append(" ".join(f"word{i}_{j}" for j in range(30)))
+    texts.append(texts[0])                     # exact dup of doc 0
+    texts.append(texts[5] + " tail")           # near dup of doc 5
+    docs = rd.from_arrow(_batch(texts))
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs_fast(docs).take_all()}
+    assert (0, 40) in pairs
+    assert (5, 41) in pairs
+    # disjoint docs never pair
+    assert all(a != 1 and b != 1 for a, b in pairs)

@@ -1,0 +1,67 @@
+"""Aggregation / incremental-update tests (SURVEY.md §2 A3/D4/S5).
+
+Reference: KGGen.aggregate (kg_gen.py:291-304) unions sets and drops
+cluster maps; MCP add_memories (mcp/server.py:130-166) generates + merges +
+persists. Key semantic: re-canonicalization after aggregate can merge
+surface forms across the two inputs.
+"""
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.config import PipelineConfig
+from kg_gen_ray.pipelines.incremental import add_pages, aggregate_graphs, load_graph
+from kg_gen_ray.sources.pages import synthetic_pages_table
+
+
+def _triples(rows):
+    s, p, o = zip(*rows)
+    return rd.from_arrow(pa.table({"subj": list(s), "pred": list(p),
+                                   "obj": list(o)}))
+
+
+def test_aggregate_unions_and_dedups(ray_session):
+    a = _triples([("x", "r", "y"), ("x", "r", "z")])
+    b = _triples([("x", "r", "y"), ("w", "r", "x")])
+    res = aggregate_graphs([a, b])
+    got = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.take_all()}
+    assert got == {("x", "r", "y"), ("x", "r", "z"), ("w", "r", "x")}
+
+
+def test_aggregate_recanonicalizes_across_inputs(ray_session):
+    # "cats" appears only in graph A, "cat" only in graph B; after
+    # aggregation both collapse to one node (the reference's
+    # cluster-after-aggregate semantics)
+    a = _triples([("cats", "eat", "fish")])
+    b = _triples([("cat", "eat", "mice")])
+    res = aggregate_graphs([a, b])
+    got = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.take_all()}
+    assert got == {("cat", "eat", "fish"), ("cat", "eat", "mice")}
+
+
+def test_add_pages_first_and_second_batch(ray_session, tmp_path):
+    cfg = PipelineConfig(chunk_size=300, extractor_concurrency=2,
+                         salt_buckets=4)
+    pages1 = rd.from_arrow(synthetic_pages_table(8, seed=1))
+    pages2 = rd.from_arrow(synthetic_pages_table(8, seed=99))
+
+    res1 = add_pages(None, pages1, cfg)
+    n1 = res1.triples.count()
+    out = str(tmp_path / "graph")
+    res1.write(out)
+
+    # reload the persisted store (MCP restart flow) and add a second batch
+    existing = load_graph(out)
+    res2 = add_pages(existing, pages2, cfg)
+    n2 = res2.triples.count()
+    assert n1 > 0
+    assert n2 >= n1  # adding pages never shrinks the graph
+
+    # idempotence: re-adding the same pages adds nothing
+    res3 = add_pages(res2.triples, pages2, cfg)
+    assert res3.triples.count() == n2
+
+
+def test_aggregate_requires_input(ray_session):
+    import pytest
+    with pytest.raises(ValueError):
+        aggregate_graphs([])
