@@ -77,26 +77,40 @@ def _bigram_config():
                           shuffle_partitions="auto")
 
 
-def _read_blocks() -> int:
-    """Read parallelism ~= cluster cores. At toy scale Ray's size-based
-    default makes hundreds of near-empty blocks, and every downstream
-    shuffle pays per-block overhead; at real scale files/row-groups set
-    the floor and this override is a no-op-ish hint."""
+def _read_blocks(path: str) -> int:
+    """Size-aware read parallelism: ~2 MB of file or ~8k rows per block
+    (whichever implies more blocks), clamped to [4, cluster cores]. Ray's
+    own default over-fragments tiny files into hundreds of near-empty
+    blocks and every downstream shuffle pays per-block overhead; a flat
+    cores-sized override over-fragments them too. The row term matters for
+    heavily-compressed row-dense files (an aggregation's width follows
+    input blocks). At real scale files/row-groups set the floor and this
+    override is a no-op-ish hint."""
+    import os
+
     import ray
-    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    cores = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    try:
+        size = os.path.getsize(path)
+        import pyarrow.parquet as pq
+        rows = pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return cores
+    return max(4, min(cores, max((size >> 21) + 1, rows // 8192 + 1)))
 
 
 def _docs(sf_dir: str, columns=None):
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=columns,
-                                 override_num_blocks=_read_blocks())
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=_read_blocks(path))
 
 
 def _embeddings(sf_dir: str):
     import ray.data
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                 override_num_blocks=_read_blocks())
+    path = f"{sf_dir}/embeddings.parquet"
+    return ray.data.read_parquet(path,
+                                 override_num_blocks=_read_blocks(path))
 
 
 def _distinct_triples(sf_dir: str):
@@ -412,9 +426,9 @@ def q_near_dup_lsh(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "ts"],
-                               override_num_blocks=_read_blocks())
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["event_type", "ts"],
+                               override_num_blocks=_read_blocks(path))
 
     def add_hour(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -1,0 +1,170 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+Replaces the reference's CLI (``/root/reference/src/kg_gen/cli.py:88-139``,
+which only launches the MCP server) with the batch-engine commands a
+cluster job actually needs::
+
+    python -m kg_gen_ray build --input <pages.parquet|dir> --out <dir>
+        [--chunk-size 500] [--backend pattern|bigram] [--no-cluster]
+        [--salt-buckets 16] [--resumable --partitions N]
+    python -m kg_gen_ray stats --graph <dir>
+    python -m kg_gen_ray export-json --graph <dir> --out graph.json
+    python -m kg_gen_ray add --input <pages.parquet> --graph <dir>
+
+On a cluster: ``ray job submit -- python -m kg_gen_ray build ...`` — the
+script owns its Ray session (guarded init; the driver-contract module
+``__ray_entry__`` never inits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
+    return ray
+
+
+def _config(args) -> "object":
+    from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+    return PipelineConfig(
+        chunk_size=args.chunk_size,
+        default_extractor=ExtractorConfig(backend=args.backend),
+        cluster=not args.no_cluster,
+        salt_buckets=args.salt_buckets,
+        shuffle_partitions="auto",
+    )
+
+
+def _input_files(spec: str) -> list:
+    if os.path.isdir(spec):
+        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
+    return sorted(glob.glob(spec)) or [spec]
+
+
+def cmd_build(args) -> int:
+    ray = _init_ray()
+    import ray.data as rd
+
+    from kg_gen_ray.pipelines.kg_pipeline import build_kg
+
+    files = _input_files(args.input)
+    if args.resumable:
+        from kg_gen_ray.pipelines.partitioned import run_partitioned
+        summary = run_partitioned(files, args.out, _config(args),
+                                  n_partitions=args.partitions)
+        print(json.dumps({"out": args.out, "summary": summary}, default=str))
+    else:
+        pages = rd.read_parquet(files)
+        result = build_kg(pages, _config(args))
+        result.write(args.out)
+        print(json.dumps({"out": args.out, "stats": result.stats()}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_add(args) -> int:
+    ray = _init_ray()
+    import ray.data as rd
+
+    from kg_gen_ray.pipelines.incremental import add_pages, load_graph
+
+    pages = rd.read_parquet(_input_files(args.input))
+    existing = load_graph(args.graph) if os.path.isdir(
+        os.path.join(args.graph, "triples")) else None
+    res = add_pages(existing, pages, _config(args))
+    # write to a new versioned dir then report (caller swaps atomically)
+    out = args.out or f"{args.graph}.new"
+    res.write(out)
+    print(json.dumps({"out": out, "stats": res.stats()}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    ray = _init_ray()
+    from kg_gen_ray.pipelines.incremental import load_graph
+    from kg_gen_ray.stages.viz import extended_stats
+
+    triples = load_graph(args.graph)
+    print(json.dumps(extended_stats(triples)))
+    ray.shutdown()
+    return 0
+
+
+def cmd_export_json(args) -> int:
+    ray = _init_ray()
+    import ray.data as rd
+
+    from kg_gen_ray.pipelines.incremental import load_graph
+    from kg_gen_ray.sources.graph_json import write_graph_json
+
+    triples = load_graph(args.graph)
+    rels = [(r["subj"], r["pred"], r["obj"]) for r in triples.take_all()]
+    entities = {s for s, _, _ in rels} | {o for _, _, o in rels}
+    edges = {p for _, p, _ in rels}
+    alias_dir = os.path.join(args.graph, "alias_map")
+    ent_clusters = edge_clusters = None
+    if os.path.isdir(alias_dir):
+        ent_clusters, edge_clusters = {}, {}
+        for r in rd.read_parquet(alias_dir).take_all():
+            tgt = ent_clusters if r["kind"] == "entity" else edge_clusters
+            tgt.setdefault(r["representative"], set()).add(r["member"])
+    write_graph_json(args.out, entities, rels, edges,
+                     ent_clusters, edge_clusters)
+    print(json.dumps({"out": args.out, "entities": len(entities),
+                      "relations": len(rels)}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kg_gen_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--chunk-size", type=int, default=500)
+        sp.add_argument("--backend", choices=["pattern", "bigram"],
+                        default="pattern")
+        sp.add_argument("--no-cluster", action="store_true")
+        sp.add_argument("--salt-buckets", type=int, default=16)
+
+    b = sub.add_parser("build", help="pages parquet -> graph tables")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--resumable", action="store_true",
+                   help="per-partition checkpointed run (skips completed)")
+    b.add_argument("--partitions", type=int, default=8)
+    common(b)
+    b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("add", help="incremental add into an existing graph")
+    a.add_argument("--input", required=True)
+    a.add_argument("--graph", required=True)
+    a.add_argument("--out", default=None)
+    common(a)
+    a.set_defaults(fn=cmd_add)
+
+    s = sub.add_parser("stats", help="graph summary stats")
+    s.add_argument("--graph", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    e = sub.add_parser("export-json", help="reference-shape graph.json")
+    e.add_argument("--graph", required=True)
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_export_json)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,7 +116,12 @@ def run_partitioned(input_files: list, out_dir: str,
             "member": pa.array([], pa.string())}))
 
     res = KGResult(triples=canonical, alias_map=alias_map, config=config)
-    counts = res.write(os.path.join(out_dir, "graph"))
+    # phase 2 is idempotent-by-rerun: write the graph ATOMICALLY (temp dir
+    # + rename) — write_parquet into an existing directory would append new
+    # part files and double every table on a re-run
+    graph_dir = os.path.join(out_dir, "graph")
+    with lineage.atomic_output_dir(graph_dir) as tmp:
+        counts = res.write(tmp)
     summary = {
         "completed_partitions": len(manifests),
         "total_partitions": len(parts),

@@ -68,10 +68,19 @@ def pages_from_documents(sf_dir: str) -> "ray.data.Dataset":
     warc_ts = 2026-01-01 + doc_id seconds, html = minimal wrapper around
     text. All columns SQL-derivable from the documents view.
     """
+    import os
+
     import ray as _ray
-    nb = max(8, int(_ray.cluster_resources().get("CPU", 8)))
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "lang"],
+    path = f"{sf_dir}/documents.parquet"
+    # size-aware width (~2 MB/block, clamped to [4, cores]): tiny inputs
+    # don't get fragmented into per-block shuffle overhead, big inputs
+    # still fan out to every core
+    cores = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    try:
+        nb = max(4, min(cores, (os.path.getsize(path) >> 21) + 1))
+    except OSError:
+        nb = cores
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text", "lang"],
                                override_num_blocks=nb)
     return ds.map_batches(_pages_batch, batch_format="pyarrow")
 

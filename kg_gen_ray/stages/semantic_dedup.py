@@ -31,6 +31,12 @@ import pyarrow as pa
 
 import ray.data
 
+# module-level, not lazy inside the worker-side functions below: workers
+# that receive this module by value (__ray_entry__ pickle-by-value
+# fallback) must not re-import kg_gen_ray at call time
+from kg_gen_ray.functions.bm25 import okapi_scores
+from kg_gen_ray.stages.canonicalize import choose_representative, normalize_label
+
 CLUSTER_CAPACITY = 128   # ref: cluster_and_deduplication.py:153
 RETRIEVAL_K = 16         # ref: cluster_and_deduplication.py:262
 
@@ -39,7 +45,6 @@ def norm_equality_judge(item: str, candidates: list) -> list:
     """Deterministic stand-in for the reference's LLM duplicate judge
     (``deduplicate_cluster``, ``cluster_and_deduplication.py:245-296``):
     duplicates = candidates sharing the item's normalization key."""
-    from kg_gen_ray.stages.canonicalize import normalize_label
     key = normalize_label(item)
     return [c for c in candidates if normalize_label(c) == key]
 
@@ -49,8 +54,6 @@ def dedup_cluster(members: list, embeddings: np.ndarray,
                   retrieval_k: int = RETRIEVAL_K) -> list:
     """The per-cluster sequential loop: returns (representative, member)
     pairs. ``members`` sorted deterministically by the caller."""
-    from kg_gen_ray.functions.bm25 import okapi_scores
-    from kg_gen_ray.stages.canonicalize import choose_representative
 
     tokens = [m.lower().split() for m in members]
     norms = np.linalg.norm(embeddings, axis=1)

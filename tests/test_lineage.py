@@ -71,6 +71,18 @@ def test_interrupted_then_resumed_equals_uninterrupted(
     assert triples_set(f"{out_a}/graph") == triples_set(f"{out_b}/graph")
 
 
+def test_rerun_of_completed_run_is_idempotent(corpus_dir, tmp_path,
+                                              ray_session):
+    # regression: phase-2 write_parquet into the existing graph dir used to
+    # APPEND part files, doubling every table on re-run
+    files = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    out = str(tmp_path / "run_idem")
+    first = run_partitioned(files, out, cfg(), n_partitions=2)
+    second = run_partitioned(files, out, cfg(), n_partitions=2)
+    assert first["graph_counts"] == second["graph_counts"]
+    assert len(triples_set(f"{out}/graph")) == first["graph_counts"]["triples"]
+
+
 def test_config_change_invalidates(corpus_dir, tmp_path, ray_session):
     files = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
     out = str(tmp_path / "run_c")
