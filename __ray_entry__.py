@@ -180,8 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_assign": q_ivf_assign,
         "near_dup_cosine": q_near_dup_cosine,
         "near_dup_lsh": q_near_dup_lsh,                # rows-only (approximate)
-        # --- events (time bucketing)
+        # --- events (time bucketing, windows, as-of)
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
     }
 
 
@@ -439,6 +441,59 @@ def q_events_hourly(sf_dir: str):
     return ds.map_batches(add_hour, batch_format="pyarrow") \
         .groupby(["event_type", "hour"]) \
         .aggregate(Count(alias_name="n_events"))
+
+
+def q_events_sliding(sf_dir: str):
+    """1-hour windows sliding every 30 min; sum emitted as integer cents so
+    float summation order cannot flip the 6-dp value hash."""
+    import ray.data
+    from kg_gen_ray.functions.windows import sliding_window
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["event_type", "ts", "value"],
+                               override_num_blocks=_read_blocks(path))
+    out = sliding_window(ds, window_sec=3600, slide_sec=1800)
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_cents": pc.cast(pc.round(
+                pc.multiply(t["sum_value"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    return out.map_batches(cents, batch_format="pyarrow")
+
+
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: each event picks the latest order (by customer)
+    at or before its timestamp. Right side pre-reduced to one row per
+    (custkey, orderdate) so the match is unambiguous."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from kg_gen_ray.functions.windows import asof_join
+    epath = f"{sf_dir}/events.parquet"
+    opath = f"{sf_dir}/orders.parquet"
+    events = ray.data.read_parquet(epath, columns=["event_id", "user_id", "ts"],
+                                   override_num_blocks=_read_blocks(epath))
+    orders = ray.data.read_parquet(
+        opath, columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_read_blocks(opath))
+    orders1 = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
+        Max("o_totalprice", alias_name="o_totalprice"))
+    joined = asof_join(events, orders1, key_col="user_id", ts_col="ts",
+                       right_ts_col="o_orderdate",
+                       right_value_cols=["o_totalprice"],
+                       right_key_col="o_custkey")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["l_event_id"], pa.int64()),
+            "asof_totalprice": pc.cast(t["r_o_totalprice"], pa.float64()),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -726,5 +781,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, date_trunc('hour', ts) AS hour,
                count(*)::BIGINT AS n_events
         FROM events GROUP BY event_type, date_trunc('hour', ts)"""
+
+    # 1h windows sliding 30min: every event belongs to exactly 2 windows
+    sql["events_sliding"] = """
+        WITH w AS (
+          SELECT event_type, value,
+                 make_timestamp((floor(epoch(ts) / 1800) * 1800 * 1000000)::BIGINT)
+                   AS s1
+          FROM events),
+        exploded AS (
+          SELECT event_type, value, s1 AS window_start FROM w
+          UNION ALL
+          SELECT event_type, value, s1 - INTERVAL '1800 seconds' FROM w)
+        SELECT event_type, window_start,
+               count(*)::BIGINT AS n_events,
+               round(sum(value) * 100)::BIGINT AS sum_cents
+        FROM exploded GROUP BY event_type, window_start"""
+
+    sql["events_asof"] = """
+        WITH o1 AS (
+          SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+          FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, o1.o_totalprice AS asof_totalprice
+        FROM events e
+        ASOF LEFT JOIN o1
+          ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate"""
 
     return sql

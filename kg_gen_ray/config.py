@@ -49,6 +49,11 @@ class PipelineConfig:
     # None = Ray default (input-block-driven; right for huge data),
     # "auto" = one partition per cluster CPU, int = explicit
     shuffle_partitions: object = None
+    # rewrite strategy: alias maps under this many bytes are broadcast
+    # (ray.put dict + vectorized lookup); above it, the rewrite falls back
+    # to a shuffle join (rewrite_stage_join) — at 10^12 docs the distinct-
+    # label table can outgrow any broadcast
+    broadcast_alias_limit: int = 128 * 1024 * 1024
     # output
     sort_output: bool = True        # deterministic (pred, subj, obj) ordering
 

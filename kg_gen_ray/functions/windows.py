@@ -1,0 +1,166 @@
+"""Windowed aggregates and as-of joins — custom operators Ray Data lacks.
+
+The reference is strictly batch with no time logic (SURVEY.md §2.9), but a
+large-scale training-data pipeline needs time-windowed statistics (burst
+detection, rate features) and as-of alignment (joining each event to the
+latest preceding reference row). Both are expressed as compositions of
+``map_batches`` + ``groupby`` per the (a)-strategy in the build rules:
+
+* tumbling window: floor the timestamp to the window — one groupby.
+* sliding window: each row belongs to ``window/slide`` windows — a
+  vectorized row-expansion ``map_batches`` (emit one (window_start, ...)
+  row per covering window) followed by one groupby. Window count per row
+  is a small constant, so the expansion is bounded.
+* as-of join: partition both sides by key, ``map_groups`` sorts the
+  (small) per-key group and runs a vectorized ``searchsorted``. The
+  partitioning assumption: one key's rows fit in one group (true for
+  per-user event streams; a globally-sorted merge join would replace this
+  at extreme per-key cardinality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+US = 1_000_000
+
+
+def _ts_us(arr: "pa.ChunkedArray") -> np.ndarray:
+    return pc.cast(arr, pa.timestamp("us")).cast(pa.int64()) \
+             .to_numpy(zero_copy_only=False)
+
+
+def tumbling_window(events: "ray.data.Dataset", window_sec: int,
+                    ts_col: str = "ts", key_col: str = "event_type",
+                    value_col: str = "value") -> "ray.data.Dataset":
+    """(key, window_start, n_events, sum_value) — fixed windows."""
+    w_us = window_sec * US
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t[ts_col])
+        start = (ts // w_us) * w_us
+        return pa.table({
+            key_col: t[key_col],
+            "window_start": pa.array(start).cast(pa.timestamp("us")),
+            value_col: t[value_col],
+        })
+
+    return (events.map_batches(bucket, batch_format="pyarrow")
+            .groupby([key_col, "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum(value_col, alias_name="sum_value")))
+
+
+def sliding_window(events: "ray.data.Dataset", window_sec: int,
+                   slide_sec: int, ts_col: str = "ts",
+                   key_col: str = "event_type",
+                   value_col: str = "value") -> "ray.data.Dataset":
+    """(key, window_start, n_events, sum_value) over windows of
+    ``window_sec`` advancing every ``slide_sec``. A row at time t belongs
+    to every window with start in (t - window, t], start ≡ 0 mod slide."""
+    if window_sec % slide_sec != 0:
+        raise ValueError("window_sec must be a multiple of slide_sec")
+    w_us, s_us = window_sec * US, slide_sec * US
+    k = window_sec // slide_sec   # windows covering each row
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = _ts_us(t[ts_col])
+        last = (ts // s_us) * s_us                 # latest covering start
+        # starts: last, last - s, ..., last - (k-1) s ; keep start > ts - w
+        starts = last[:, None] - np.arange(k)[None, :] * s_us   # (n, k)
+        valid = starts > (ts[:, None] - w_us)
+        row_idx = np.repeat(np.arange(n), k)[valid.ravel()]
+        flat = starts.ravel()[valid.ravel()]
+        keys = t[key_col].combine_chunks().take(pa.array(row_idx))
+        vals = t[value_col].combine_chunks().take(pa.array(row_idx))
+        return pa.table({
+            key_col: keys,
+            "window_start": pa.array(flat).cast(pa.timestamp("us")),
+            value_col: vals,
+        })
+
+    return (events.map_batches(explode, batch_format="pyarrow")
+            .groupby([key_col, "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum(value_col, alias_name="sum_value")))
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              key_col: str, ts_col: str, right_ts_col: str,
+              right_value_cols: list, right_key_col: str | None = None,
+              ) -> "ray.data.Dataset":
+    """For each left row, attach the right row with the same key and the
+    greatest ``right_ts_col`` <= left ``ts_col`` (backward as-of join).
+    Missing match -> nulls. Composition: union both sides tagged, group by
+    key, per-group vectorized searchsorted."""
+
+    # the union below needs one schema: type the left side's (all-null)
+    # right-payload columns from the right schema, and vice versa for the
+    # right side's left-payload columns
+    right_schema = right.schema()
+    rtypes = {c: right_schema.types[right_schema.names.index(c)]
+              for c in right_value_cols}
+    left_schema = left.schema()
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {
+            "__key": t[key_col],
+            "__ts": pc.cast(t[ts_col], pa.timestamp("us")),
+            "__side": pa.array([0] * t.num_rows, pa.int8()),
+        }
+        for c in t.column_names:
+            cols[f"l_{c}"] = t[c]
+        for c in right_value_cols:
+            cols[f"r_{c}"] = pa.nulls(t.num_rows, type=rtypes[c])
+        return pa.table(cols)
+
+    rkey = right_key_col or key_col
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "__key": t[rkey],
+            "__ts": pc.cast(t[right_ts_col], pa.timestamp("us")),
+            "__side": pa.array([1] * n, pa.int8()),
+        }
+        for c, typ in ltypes.items():
+            cols[f"l_{c}"] = pa.nulls(n, type=typ)
+        for c in right_value_cols:
+            cols[f"r_{c}"] = t[c]
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    left_cols = [f"l_{c}" for c in left_schema.names]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["__side"] == 0]
+        refs = g[g["__side"] == 1].sort_values("__ts")
+        # empty `rows` (right-only key) flows through the common path,
+        # keeping dtypes intact (an untyped empty frame breaks Arrow)
+        out = rows[left_cols].copy()
+        if len(refs):
+            idx = np.searchsorted(refs["__ts"].to_numpy(),
+                                  rows["__ts"].to_numpy(), side="right") - 1
+            ok = idx >= 0
+            for c in right_value_cols:
+                vals = refs[f"r_{c}"].to_numpy()
+                col = np.full(len(rows), None, dtype=object)
+                col[ok] = vals[idx[ok]]
+                out[f"r_{c}"] = col
+        else:
+            for c in right_value_cols:
+                out[f"r_{c}"] = None
+        return out
+
+    return lt.union(rt).groupby("__key").map_groups(
+        per_key, batch_format="pandas")

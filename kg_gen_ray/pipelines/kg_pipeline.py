@@ -153,7 +153,14 @@ def canonicalize_triples(raw: "ray.data.Dataset",
         labels, config.salt_buckets, max_group_size=config.max_group_size,
         shuffle_partitions=sp).materialize()
 
-    ent_dict, edge_dict = build_alias_dicts(alias_map)
-    rewritten = rewrite_stage(triples, ent_dict, edge_dict)
+    # rewrite strategy by measured size (alias_map is materialized):
+    # broadcast dict when small, shuffle join when it wouldn't fit
+    alias_bytes = alias_map.size_bytes() or 0
+    if alias_bytes <= config.broadcast_alias_limit:
+        ent_dict, edge_dict = build_alias_dicts(alias_map)
+        rewritten = rewrite_stage(triples, ent_dict, edge_dict)
+    else:
+        from kg_gen_ray.stages.rewrite import rewrite_stage_join
+        rewritten = rewrite_stage_join(triples, alias_map)
     canonical = distinct(rewritten, ["subj", "pred", "obj"], sp)
     return KGResult(triples=canonical, alias_map=alias_map, config=config)

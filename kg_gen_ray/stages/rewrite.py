@@ -84,3 +84,55 @@ def rewrite_stage(triples: "ray.data.Dataset",
         return df
 
     return triples.map_batches(sub, batch_format="pandas")
+
+
+def rewrite_stage_join(triples: "ray.data.Dataset",
+                       alias_map: "ray.data.Dataset",
+                       num_partitions: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Shuffle-join rewrite — the fallback when the alias map is too large
+    to broadcast (at 10^12 documents the distinct-label table can reach
+    many GB; a driver-side dict would not fit, and re-shipping it per task
+    would dominate the run). Three hash joins on (member -> representative),
+    one per triple position, each keyed on the column being rewritten.
+
+    Left-outer semantics via an identity guard are emulated by coalescing
+    missing matches back to the original label (alias maps from
+    canonicalization are total over observed labels, so at most the
+    identity rows are absent)."""
+    import pyarrow.compute as pc
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def prep(kind: str, member_col: str, rep_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["kind"], kind)
+            sub = t.filter(mask)
+            return pa.table({
+                member_col: sub["member"].combine_chunks().cast(pa.string()),
+                rep_col: sub["representative"].combine_chunks().cast(pa.string()),
+            })
+        return fn
+
+    def coalesce_col(t: pa.Table, out: str, rep: str, orig: str) -> pa.Table:
+        fixed = pc.coalesce(t[rep], t[orig])
+        t = t.drop_columns([c for c in (rep, orig) if c in t.column_names])
+        return t.append_column(out, fixed)
+
+    ent = alias_map.map_batches(prep("entity", "__m", "__r"),
+                                batch_format="pyarrow")
+    edg = alias_map.map_batches(prep("edge", "__m", "__r"),
+                                batch_format="pyarrow")
+
+    out = triples.select_columns(["subj", "pred", "obj"])
+    for col, side in (("subj", ent), ("obj", ent), ("pred", edg)):
+        renamed = side.map_batches(
+            lambda t, c=col: t.rename_columns([c, f"__r_{c}"]),
+            batch_format="pyarrow")
+        out = out.join(renamed, join_type="left_outer", on=(col,),
+                       num_partitions=num_partitions)
+        out = out.map_batches(
+            lambda t, c=col: coalesce_col(t, c, f"__r_{c}", c),
+            batch_format="pyarrow")
+    return out.select_columns(["subj", "pred", "obj"])

@@ -30,6 +30,16 @@ def test_pr_gate(ray_session):
     assert pr["recall"] >= 0.95, pr
 
 
+def test_join_rewrite_equals_broadcast_rewrite(ray_session):
+    # broadcast_alias_limit=0 forces the shuffle-join rewrite fallback
+    # (the >broadcast-size alias-map path); results must be identical
+    _, bcast, _ = run_corpus()
+    _, joined, _ = run_corpus(cfg=PipelineConfig(
+        chunk_size=300, extractor_concurrency=2, salt_buckets=4,
+        broadcast_alias_limit=0))
+    assert joined == bcast
+
+
 def test_graph_invariants(ray_session):
     from kg_gen_ray.stages.materialize import (
         edge_types_table, nodes_table, top_entities)

@@ -1,0 +1,100 @@
+"""Windowed aggregate + as-of join tests (custom operators beyond the
+reference; see kg_gen_ray/functions/windows.py)."""
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kg_gen_ray.functions.windows import asof_join, sliding_window, tumbling_window
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events(rows):
+    # rows: (seconds_offset, key, value)
+    return rd.from_arrow(pa.table({
+        "ts": pa.array([T0 + dt.timedelta(seconds=s) for s, _, _ in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([k for _, k, _ in rows], pa.string()),
+        "value": pa.array([v for _, _, v in rows], pa.float64()),
+    }))
+
+
+def test_tumbling_window(ray_session):
+    ev = _events([(0, "a", 1.0), (59, "a", 2.0), (60, "a", 4.0),
+                  (0, "b", 8.0)])
+    out = {(r["event_type"], r["window_start"].second // 60 + r["window_start"].minute):
+           (r["n_events"], r["sum_value"])
+           for r in tumbling_window(ev, 60).take_all()}
+    assert out[("a", 0)] == (2, 3.0)
+    assert out[("a", 1)] == (1, 4.0)
+    assert out[("b", 0)] == (1, 8.0)
+
+
+def test_sliding_window_membership(ray_session):
+    # window 60s sliding 30s: event at t=45 belongs to starts 30 and 0
+    ev = _events([(45, "a", 1.0)])
+    starts = sorted(r["window_start"].strftime("%M:%S")
+                    for r in sliding_window(ev, 60, 30).take_all())
+    assert starts == ["00:00", "00:30"]
+
+
+def test_sliding_window_counts(ray_session):
+    ev = _events([(0, "a", 1.0), (29, "a", 1.0), (31, "a", 1.0),
+                  (61, "a", 1.0)])
+    out = {r["window_start"].strftime("%M:%S"): r["n_events"]
+           for r in sliding_window(ev, 60, 30).take_all()}
+    # window [0,60): events at 0,29,31; window [30,90): 31,61;
+    # window [60,120): 61 ... plus the "start=-30" window [ -30,30): 0,29
+    assert out["00:00"] == 3
+    assert out["00:30"] == 2
+    assert out["01:00"] == 1
+
+
+def test_sliding_window_validates_slide(ray_session):
+    with pytest.raises(ValueError):
+        sliding_window(_events([(0, "a", 1.0)]), 60, 45)
+
+
+def _asof_fixture():
+    left = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([T0 + dt.timedelta(days=d) for d in (5, 1, 5, 5)],
+                       pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "rts": pa.array([T0, T0 + dt.timedelta(days=3), T0 + dt.timedelta(days=9)],
+                        pa.timestamp("us")),
+        "price": pa.array([100.0, 300.0, 900.0], pa.float64()),
+    }))
+    return left, right
+
+
+def test_asof_join_backward(ray_session):
+    left, right = _asof_fixture()
+    out = {r["l_event_id"]: r["r_price"]
+           for r in asof_join(left, right, key_col="user_id", ts_col="ts",
+                              right_ts_col="rts",
+                              right_value_cols=["price"]).take_all()}
+    assert out[10] == 300.0   # day 5: latest ref at day 3
+    assert out[11] == 100.0   # day 1: latest ref at day 0
+    assert out[12] is None    # user 2: only future ref (day 9)
+    assert out[13] is None    # user 3: no refs at all
+    assert len(out) == 4      # every left row survives
+
+
+def test_asof_join_exact_timestamp_inclusive(ray_session):
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "ts": pa.array([T0], pa.timestamp("us")),
+        "id": pa.array([1], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "rts": pa.array([T0], pa.timestamp("us")),
+        "v": pa.array([7.0], pa.float64())}))
+    out = asof_join(left, right, key_col="k", ts_col="ts",
+                    right_ts_col="rts", right_value_cols=["v"]).take_all()
+    assert out[0]["r_v"] == 7.0   # ts == rts matches (backward inclusive)
