@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": q_kg_components,             # rows-only (iterative)
         "kg_semantic_alias": q_kg_semantic_alias,     # rows-only (k-means + judge loop)
         "kg_incremental": q_kg_incremental,
+        "kg_triples_llm": q_kg_triples_llm,
         # --- training-data ops: text analysis
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -180,6 +181,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_assign": q_ivf_assign,
         "near_dup_cosine": q_near_dup_cosine,
         "near_dup_lsh": q_near_dup_lsh,                # rows-only (approximate)
+        # --- relational pipelines (TPC-H-style operator demos)
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_region": q_revenue_by_region,
+        "top_parts": q_top_parts,
         # --- events (time bucketing, windows, as-of)
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -307,6 +312,28 @@ def q_kg_incremental(sf_dir: str):
     return add_pages(first.triples, half2, cfg).triples
 
 
+def q_kg_triples_llm(sf_dir: str):
+    """The actor-pool LLM extraction path (stateful stage: transport/client
+    built once per actor in __init__) run hermetically with a deterministic
+    adjacency transport — output is SQL-expressible, so the whole
+    strict-ladder + entity-post-filter machinery is oracle-checked."""
+    from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+    from kg_gen_ray.stages.chunker import chunk_stage
+    from kg_gen_ray.stages.extract import AdjacencyFakeTransport, extract_stage
+    from kg_gen_ray.stages.extract_text import extract_text_stage
+    from kg_gen_ray.stages.rewrite import distinct
+
+    cfg = PipelineConfig(chunk_size=0,
+                         default_extractor=ExtractorConfig(backend="llm"),
+                         extractor_concurrency=2,
+                         shuffle_partitions="auto")
+    text = extract_text_stage(_pages(sf_dir))
+    chunks = chunk_stage(text, cfg.chunk_size)
+    raw = extract_stage(chunks, cfg,
+                        transports={"default": AdjacencyFakeTransport()})
+    return distinct(raw, ["subj", "pred", "obj"])
+
+
 def q_text_tokens(sf_dir: str):
     from kg_gen_ray.functions.text_analysis import token_stats
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -423,6 +450,21 @@ def q_near_dup_cosine(sf_dir: str):
 def q_near_dup_lsh(sf_dir: str):
     from kg_gen_ray.functions.ann import lsh_near_dup_pairs
     return lsh_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
+
+
+def q_pricing_summary(sf_dir: str):
+    from kg_gen_ray.pipelines.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def q_revenue_by_region(sf_dir: str):
+    from kg_gen_ray.pipelines.relational import revenue_by_region
+    return revenue_by_region(sf_dir)
+
+
+def q_top_parts(sf_dir: str):
+    from kg_gen_ray.pipelines.relational import top_parts_by_quantity
+    return top_parts_by_quantity(sf_dir, 10)
 
 
 def q_events_hourly(sf_dir: str):
@@ -640,6 +682,10 @@ def oracle_sql() -> dict[str, str]:
     # incremental(half1)+add(half2) must equal the batch build
     sql["kg_incremental"] = sql["kg_canonical_triples"]
 
+    sql["kg_triples_llm"] = f"""
+        {_KG_PREFIX}
+        SELECT DISTINCT subj, pred, obj FROM raw WHERE pred = 'precedes'"""
+
     sql["kg_degrees"] = f"""
         {_KG_PREFIX},
         deg AS (
@@ -776,6 +822,35 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity) * 100)::BIGINT AS sum_qty_cents,
+               round(sum(l_extendedprice) * 100)::BIGINT AS sum_base_cents,
+               round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT
+                 AS sum_disc_cents,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""
+
+    sql["revenue_by_region"] = """
+        SELECT r.r_name,
+               round(sum(o.o_totalprice) * 100)::BIGINT AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name"""
+
+    sql["top_parts"] = """
+        WITH q AS (
+          SELECT l_partkey,
+                 round(sum(l_quantity) * 100)::BIGINT AS qty_cents
+          FROM lineitem GROUP BY l_partkey)
+        SELECT q.l_partkey, q.qty_cents, p.p_name
+        FROM q JOIN part p ON p.p_partkey = q.l_partkey
+        ORDER BY q.qty_cents DESC, q.l_partkey LIMIT 10"""
 
     sql["events_hourly"] = """
         SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -1,0 +1,179 @@
+"""Relational pipelines over the TPC-H-style tables — the generic
+query-engine operator set (filter pushdown, partial aggregation, hash join,
+broadcast dimension join, top-k enrich) exercised at the largest testdata
+row counts (lineitem).
+
+These are not kg-gen operators; they demonstrate that the engine's building
+blocks (column-pruned reads, per-batch combiners ahead of groupby shuffles,
+broadcast small sides, sort+limit top-k) compose into classic analytics
+shapes. Sums are emitted as integer cents so DuckDB oracles hash-match
+despite float summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _read(sf_dir: str, table: str, columns: list) -> "ray.data.Dataset":
+    import os
+
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/{table}.parquet"
+    cores = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    try:
+        nb = max(4, min(cores, max(os.path.getsize(path) >> 21,
+                                   pq.ParquetFile(path).metadata.num_rows
+                                   // 8192) + 1))
+    except OSError:
+        nb = cores
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=nb)
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
+                    ) -> "ray.data.Dataset":
+    """TPC-H Q1 shape: shipdate filter -> per-batch partial sums ->
+    one small groupby. Output sums in integer cents."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"].combine_chunks(), pa.timestamp("us"))
+        mask = pc.less_equal(ship, pa.scalar(cutoff_us,
+                                             pa.timestamp("us")))
+        t = t.filter(mask)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        tmp = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pa.array(qty),
+            "base": pa.array(price),
+            "disc_price": pa.array(price * (1.0 - disc)),
+        })
+        agg = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
+             ([], "count_all")])
+        return agg.rename_columns(["l_returnflag", "l_linestatus",
+                                   "qty", "base", "disc_price", "n"])
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty", alias_name="qty"),
+                      Sum("base", alias_name="base"),
+                      Sum("disc_price", alias_name="disc_price"),
+                      Sum("n", alias_name="count_order")))
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty_cents": pc.cast(pc.round(
+                pc.multiply(t["qty"], pa.scalar(100.0))), pa.int64()),
+            "sum_base_cents": pc.cast(pc.round(
+                pc.multiply(t["base"], pa.scalar(100.0))), pa.int64()),
+            "sum_disc_cents": pc.cast(pc.round(
+                pc.multiply(t["disc_price"], pa.scalar(100.0))), pa.int64()),
+            "count_order": pc.cast(t["count_order"], pa.int64()),
+        })
+
+    return agg.map_batches(cents, batch_format="pyarrow")
+
+
+def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer (hash join on custkey) ⋈ nation ⋈ region
+    (broadcast tiny dims) -> revenue per region in cents."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    # tiny dims: nation/region fit on the driver, broadcast once
+    nation = {r["n_nationkey"]: r["n_regionkey"]
+              for r in _read(sf_dir, "nation",
+                             ["n_nationkey", "n_regionkey"]).take_all()}
+    region = {r["r_regionkey"]: r["r_name"]
+              for r in _read(sf_dir, "region",
+                             ["r_regionkey", "r_name"]).take_all()}
+    dim = ray.put((nation, region))
+
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = orders.join(
+        cust.map_batches(lambda t: t.rename_columns(
+            ["o_custkey", "c_nationkey"]), batch_format="pyarrow"),
+        join_type="inner", on=("o_custkey",), num_partitions=n_parts)
+
+    def attach_region(t: pa.Table, dim=dim) -> pa.Table:
+        nat, reg = ray.get(dim)
+        names = [reg[nat[nk]] for nk in t["c_nationkey"].to_pylist()]
+        tmp = pa.table({
+            "r_name": pa.array(names, pa.string()),
+            "rev": t["o_totalprice"],
+        })
+        agg = tmp.group_by(["r_name"]).aggregate([("rev", "sum")])
+        return agg.rename_columns(["r_name", "rev"])
+
+    agg = (joined.map_batches(attach_region, batch_format="pyarrow")
+           .groupby("r_name").aggregate(Sum("rev", alias_name="rev")))
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": t["r_name"],
+            "revenue_cents": pc.cast(pc.round(
+                pc.multiply(t["rev"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    return agg.map_batches(cents, batch_format="pyarrow")
+
+
+def top_parts_by_quantity(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """lineitem partial-sum per partkey -> groupby -> top-k -> broadcast
+    enrich with part names."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["l_partkey"]).aggregate([("l_quantity", "sum")])
+        return agg.rename_columns(["l_partkey", "qty"])
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_partkey").aggregate(Sum("qty", alias_name="qty")))
+
+    def neg(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "qty_cents": pc.cast(pc.round(
+                pc.multiply(t["qty"], pa.scalar(100.0))), pa.int64()),
+            "_neg": pc.negate(pc.cast(pc.round(
+                pc.multiply(t["qty"], pa.scalar(100.0))), pa.int64())),
+        })
+
+    # top-k is tiny by construction: collect it, then prune the part scan
+    # to just those keys (never collect the full dimension table)
+    top_rows = (agg.map_batches(neg, batch_format="pyarrow")
+                .sort(["_neg", "l_partkey"]).limit(k)
+                .select_columns(["l_partkey", "qty_cents"]).take_all())
+    keys = {r["l_partkey"] for r in top_rows}
+
+    def only_top(t: pa.Table) -> pa.Table:
+        mask = pa.array([pk in keys for pk in t["p_partkey"].to_pylist()])
+        return t.filter(mask)
+
+    names = {r["p_partkey"]: r["p_name"]
+             for r in _read(sf_dir, "part", ["p_partkey", "p_name"])
+             .map_batches(only_top, batch_format="pyarrow").take_all()}
+
+    out = pa.table({
+        "l_partkey": pa.array([r["l_partkey"] for r in top_rows], pa.int64()),
+        "qty_cents": pa.array([r["qty_cents"] for r in top_rows], pa.int64()),
+        "p_name": pa.array([names.get(r["l_partkey"]) for r in top_rows],
+                           pa.string()),
+    })
+    return ray.data.from_arrow(out)

@@ -223,6 +223,29 @@ class LLMExtractor:
         return _triples_table(subj, pred, obj, urls, cids)
 
 
+class AdjacencyFakeTransport:
+    """Deterministic LLM-transport stand-in (network-free): answers the
+    three prompt shapes of :class:`LLMExtractor`'s ladder with
+    token-adjacency output — entities = whitespace tokens, relations =
+    ``tok_i|precedes|tok_{i+1}``. Lets the full actor-pool LLM path run
+    hermetically and be oracle-checked (the output is SQL-expressible)."""
+
+    def __call__(self, prompt: str) -> str:
+        kind, _, rest = prompt.partition("\n")
+        if kind == "ENTITIES":
+            # rest = "{context}\n{text}"
+            text = rest.partition("\n")[2]
+            return "\n".join(dict.fromkeys(text.split(" ")))
+        if kind == "RELATIONS_STRICT":
+            text = rest.rpartition("\n---\n")[2]
+            toks = text.split(" ")
+            return "\n".join(f"{a}|precedes|{b}"
+                             for a, b in zip(toks, toks[1:]))
+        # FIX / RELATIONS_ANY fallback rungs: echo nothing (the strict rung
+        # always succeeds for this transport)
+        return ""
+
+
 _BACKENDS = {
     "pattern": PatternExtractor,
     "bigram": BigramExtractor,
@@ -276,8 +299,8 @@ def _task_extract(batch: pa.Table, config: PipelineConfig) -> pa.Table:
     return ex(batch)
 
 
-def extract_stage(chunks: "ray.data.Dataset", config: PipelineConfig
-                  ) -> "ray.data.Dataset":
+def extract_stage(chunks: "ray.data.Dataset", config: PipelineConfig,
+                  transports: dict | None = None) -> "ray.data.Dataset":
     """chunks -> triples_raw.
 
     Deterministic backends (pattern/bigram) hold only compiled regexes, so
@@ -294,7 +317,7 @@ def extract_stage(chunks: "ray.data.Dataset", config: PipelineConfig
     if needs_actor:
         return chunks.map_batches(
             TripleExtractor,
-            fn_constructor_args=(config,),
+            fn_constructor_args=(config, transports),
             batch_format="pyarrow",
             batch_size=config.extractor_batch_size,
             concurrency=config.extractor_concurrency,
