@@ -512,7 +512,6 @@ def q_events_asof(sf_dir: str):
     at or before its timestamp. Right side pre-reduced to one row per
     (custkey, orderdate) so the match is unambiguous."""
     import ray.data
-    from ray.data.aggregate import Max
 
     from kg_gen_ray.functions.windows import asof_join
     epath = f"{sf_dir}/events.parquet"
@@ -522,12 +521,17 @@ def q_events_asof(sf_dir: str):
     orders = ray.data.read_parquet(
         opath, columns=["o_custkey", "o_orderdate", "o_totalprice"],
         override_num_blocks=_read_blocks(opath))
-    orders1 = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
-        Max("o_totalprice", alias_name="o_totalprice"))
-    joined = asof_join(events, orders1, key_col="user_id", ts_col="ts",
+
+    def max_per_key_ts(refs):
+        # disambiguate duplicate (custkey, orderdate) rows in-bucket —
+        # replaces a whole Ray pre-aggregation pass over orders
+        return refs.groupby(["__key", "__ts"], as_index=False).max()
+
+    joined = asof_join(events, orders, key_col="user_id", ts_col="ts",
                        right_ts_col="o_orderdate",
                        right_value_cols=["o_totalprice"],
-                       right_key_col="o_custkey")
+                       right_key_col="o_custkey",
+                       right_reduce=max_per_key_ts)
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -95,11 +95,19 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key_col: str, ts_col: str, right_ts_col: str,
               right_value_cols: list, right_key_col: str | None = None,
-              ) -> "ray.data.Dataset":
+              right_reduce=None) -> "ray.data.Dataset":
     """For each left row, attach the right row with the same key and the
     greatest ``right_ts_col`` <= left ``ts_col`` (backward as-of join).
-    Missing match -> nulls. Composition: union both sides tagged, group by
-    key, per-group vectorized searchsorted."""
+    Missing match -> nulls. Composition: union both sides tagged, group
+    into key-hash buckets, vectorized ``pandas.merge_asof(by=key)`` per
+    bucket.
+
+    ``right_reduce`` (optional): pandas function applied to each bucket's
+    reference rows (columns ``__key, __ts, r_*``) before the as-of match —
+    e.g. a per-(key, ts) max to disambiguate duplicate timestamps. Doing
+    this inside the bucket avoids a whole Ray pre-aggregation pass over the
+    right side (and the extra execution its ``schema()`` would trigger);
+    keep ``right`` a plain read so its schema comes from file metadata."""
 
     # the union below needs one schema: type the left side's (all-null)
     # right-payload columns from the right schema, and vice versa for the
@@ -137,30 +145,49 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             cols[f"r_{c}"] = t[c]
         return pa.table(cols)
 
-    lt = left.map_batches(tag_left, batch_format="pyarrow")
-    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    # bucket keys instead of grouping per key: thousands of tiny per-key
+    # pandas groups pay Python overhead per group; ~2x-cores buckets keep
+    # the shuffle narrow and the per-bucket work one vectorized
+    # pandas.merge_asof(by=key) call
+    n_buckets = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = t["__key"]
+        if pa.types.is_integer(key.type):
+            kv = pc.cast(key, pa.int64()).to_numpy(zero_copy_only=False)
+            bucket = pa.array((kv & ((1 << 62) - 1)) % n_buckets, pa.int64())
+        else:
+            import zlib
+            bucket = pa.array(
+                [zlib.crc32(str(k).encode()) % n_buckets
+                 for k in key.to_pylist()], pa.int64())
+        return t.append_column("__bucket", bucket)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow") \
+             .map_batches(add_bucket, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow") \
+              .map_batches(add_bucket, batch_format="pyarrow")
 
     left_cols = [f"l_{c}" for c in left_schema.names]
+    r_cols = [f"r_{c}" for c in right_value_cols]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g[g["__side"] == 0]
-        refs = g[g["__side"] == 1].sort_values("__ts")
-        # empty `rows` (right-only key) flows through the common path,
-        # keeping dtypes intact (an untyped empty frame breaks Arrow)
-        out = rows[left_cols].copy()
-        if len(refs):
-            idx = np.searchsorted(refs["__ts"].to_numpy(),
-                                  rows["__ts"].to_numpy(), side="right") - 1
-            ok = idx >= 0
-            for c in right_value_cols:
-                vals = refs[f"r_{c}"].to_numpy()
-                col = np.full(len(rows), None, dtype=object)
-                col[ok] = vals[idx[ok]]
-                out[f"r_{c}"] = col
-        else:
-            for c in right_value_cols:
-                out[f"r_{c}"] = None
-        return out
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["__side"] == 0].sort_values("__ts", kind="stable")
+        refs = g[g["__side"] == 1]
+        if right_reduce is not None and len(refs):
+            refs = right_reduce(refs[["__key", "__ts", *r_cols]])
+        refs = refs.sort_values("__ts", kind="stable")
+        # empty `rows` (right-only bucket) keeps dtypes via the same path
+        if not len(refs):
+            out = rows[left_cols].copy()
+            for c in r_cols:
+                out[c] = None
+            return out
+        merged = pd.merge_asof(
+            rows[["__key", "__ts", *left_cols]],
+            refs[["__key", "__ts", *r_cols]],
+            on="__ts", by="__key", direction="backward")
+        return merged[[*left_cols, *r_cols]]
 
-    return lt.union(rt).groupby("__key").map_groups(
-        per_key, batch_format="pandas")
+    return lt.union(rt).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")

@@ -223,6 +223,51 @@ class LLMExtractor:
         return _triples_table(subj, pred, obj, urls, cids)
 
 
+class LLMFilter:
+    """LLM-predicate row filter (SURVEY.md §2.2 M7 — the reference's
+    article-contains-answer filter, ``experiments/wikiqa/_2_generate_kgs.py:
+    45-98``): an actor-pool ``map_batches`` stage whose transport answers
+    a YES/NO prompt per row; rows answered YES survive.
+
+    Same actor shape as :class:`TripleExtractor` — client built once per
+    actor; the transport is injectable (deterministic fake in tests)."""
+
+    def __init__(self, question: str, transport, text_col: str = "text"):
+        if transport is None:
+            raise NotImplementedError(
+                "LLMFilter requires a transport callable (no network here)")
+        self.question = question
+        self.transport = transport
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = [
+            self.transport(f"FILTER\n{self.question}\n---\n{txt}")
+            .strip().upper().startswith("Y")
+            for txt in batch[self.text_col].to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
+
+
+def llm_filter_stage(ds: "ray.data.Dataset", question: str, transport,
+                     text_col: str = "text", concurrency=2,
+                     batch_size: int = 256) -> "ray.data.Dataset":
+    return ds.map_batches(LLMFilter,
+                          fn_constructor_args=(question, transport, text_col),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+class KeywordFilterTransport:
+    """Deterministic FILTER transport: YES iff the question string occurs
+    in the row text (hermetic stand-in for the reference's GPT yes/no
+    judge)."""
+
+    def __call__(self, prompt: str) -> str:
+        _, q, text = prompt.split("\n", 2)
+        return "YES" if q in text else "NO"
+
+
 class AdjacencyFakeTransport:
     """Deterministic LLM-transport stand-in (network-free): answers the
     three prompt shapes of :class:`LLMExtractor`'s ladder with

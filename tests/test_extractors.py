@@ -130,3 +130,29 @@ def test_config_validation():
     with pytest.raises(ValueError):
         PipelineConfig(default_extractor=ExtractorConfig(backend="llm")).validate()
     PipelineConfig().validate()
+
+
+def test_llm_filter_stage(ray_session):
+    # NOTE: the transport must live in the package, not this test module —
+    # actor constructor args deserialize on workers, where test modules
+    # are not importable (the actor would restart forever)
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.stages.extract import KeywordFilterTransport, llm_filter_stage
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat sat", "a dog ran", "cat and dog", "nothing here"],
+    }))
+    out = llm_filter_stage(docs, "cat", KeywordFilterTransport(),
+                           concurrency=1).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2]
+
+
+def test_llm_filter_requires_transport(ray_session):
+    import pytest
+
+    from kg_gen_ray.stages.extract import LLMFilter
+    with pytest.raises(NotImplementedError):
+        LLMFilter("q", None)

@@ -79,10 +79,11 @@ def test_asof_join_backward(ray_session):
            for r in asof_join(left, right, key_col="user_id", ts_col="ts",
                               right_ts_col="rts",
                               right_value_cols=["price"]).take_all()}
+    import pandas as pd
     assert out[10] == 300.0   # day 5: latest ref at day 3
     assert out[11] == 100.0   # day 1: latest ref at day 0
-    assert out[12] is None    # user 2: only future ref (day 9)
-    assert out[13] is None    # user 3: no refs at all
+    assert pd.isna(out[12])   # user 2: only future ref (day 9)
+    assert pd.isna(out[13])   # user 3: no refs at all
     assert len(out) == 4      # every left row survives
 
 
