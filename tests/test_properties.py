@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the pure core functions.
+
+The reference has no property tests (SURVEY.md §5); these pin the
+invariants our distributed correctness rests on: chunker reassembly,
+normalization idempotence, representative membership, BM25 bounds,
+fused-signature determinism.
+"""
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kg_gen_ray.functions.bm25 import okapi_scores
+from kg_gen_ray.stages.canonicalize import (
+    choose_representative,
+    normalize_label,
+    salt_of,
+)
+from kg_gen_ray.stages.chunker import chunk_text, split_sentences
+
+texts = st.text(alphabet=st.characters(codec="utf-8",
+                                       exclude_categories=("Cs",)),
+                max_size=400)
+words = st.lists(st.text(alphabet=st.characters(min_codepoint=97,
+                                                max_codepoint=122),
+                         min_size=1, max_size=8), min_size=1, max_size=30)
+
+
+@given(texts, st.integers(min_value=1, max_value=120))
+@settings(max_examples=200, deadline=None)
+def test_chunk_length_bound_and_content(text, max_size):
+    chunks = chunk_text(text, max_size)
+    for c in chunks:
+        # bound holds unless a single word exceeds it (word-split fallback
+        # emits the oversized word whole, as the reference does)
+        assert len(c) <= max_size or " " not in c
+        assert c == c.strip()
+        assert c != ""
+    # no content invented: every chunk is made of pieces of the input
+    for c in chunks:
+        for w in c.split(" "):
+            assert w in text
+
+
+@given(texts)
+@settings(max_examples=200, deadline=None)
+def test_sentences_rejoin_losslessly_modulo_whitespace(text):
+    sents = split_sentences(text)
+    assert "".join("".join(s.split()) for s in sents) == \
+        "".join(text.split())
+
+
+@given(texts)
+@settings(max_examples=300, deadline=None)
+def test_normalize_label_idempotent(label):
+    once = normalize_label(label)
+    assert normalize_label(once) == once
+
+
+@given(st.lists(texts.filter(bool), min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_representative_is_member_and_stable(members):
+    rep = choose_representative(members)
+    assert rep in members
+    # invariant to input order
+    assert choose_representative(list(reversed(members))) == rep
+    # shortest-then-lexicographic
+    assert all((len(rep), rep) <= (len(m), m) for m in members)
+
+
+@given(texts, st.integers(min_value=1, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_salt_stable_and_in_range(member, buckets):
+    s = salt_of(member, buckets)
+    assert 0 <= s < buckets
+    assert salt_of(member, buckets) == s
+
+
+@given(st.lists(words, min_size=1, max_size=10), words)
+@settings(max_examples=100, deadline=None)
+def test_bm25_scores_finite_and_zero_for_absent_terms(corpus, query):
+    scores = okapi_scores(corpus, query)
+    assert len(scores) == len(corpus)
+    assert np.isfinite(scores).all()
+    vocab = {w for doc in corpus for w in doc}
+    if not any(t in vocab for t in query):
+        assert (scores == 0).all()
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=1000),
+                        max_size=60), min_size=0, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_fused_signatures_deterministic(docs):
+    import pyarrow as pa
+
+    from kg_gen_ray.functions.fast_text import fused_text_analysis
+    batch = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+    a = fused_text_analysis(batch)
+    b = fused_text_analysis(batch)
+    assert a.equals(b)
+    # identical texts always share signatures
+    seen = {}
+    for i, d in enumerate(docs):
+        if d in seen:
+            j = seen[d]
+            for col in ("simhash", "m0", "m1", "m2", "m3"):
+                assert a[col][i].as_py() == a[col][j].as_py()
+        else:
+            seen[d] = i
