@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_assign": q_ivf_assign,
         "near_dup_cosine": q_near_dup_cosine,
         "near_dup_lsh": q_near_dup_lsh,                # rows-only (approximate)
+        # --- multimodal (binary payload plumbing; FakeCodec determinism)
+        "media_probe": q_media_probe,
+        "media_frames": q_media_frames,               # rows-only (binary frames)
         # --- relational pipelines (TPC-H-style operator demos)
         "pricing_summary": q_pricing_summary,
         "revenue_by_region": q_revenue_by_region,
@@ -450,6 +453,43 @@ def q_near_dup_cosine(sf_dir: str):
 def q_near_dup_lsh(sf_dir: str):
     from kg_gen_ray.functions.ann import lsh_near_dup_pairs
     return lsh_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
+
+
+def _media(sf_dir: str):
+    """documents -> media rows (binary payload = UTF-8 text bytes)."""
+    def to_media(t: pa.Table) -> pa.Table:
+        texts = [s.encode("utf-8") for s in
+                 pc.cast(t["text"], pa.string()).to_pylist()]
+        return pa.table({
+            "media_id": pc.cast(t["doc_id"], pa.int64()),
+            "media_type": pa.array(["image/png"] * t.num_rows, pa.string()),
+            "content": pa.array(texts, pa.binary()),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow")
+
+
+def q_media_probe(sf_dir: str):
+    """Actor-pool media decode (FakeCodec: dims from md5(payload) — SQL-
+    reproducible, so the binary-column plumbing is oracle-checked)."""
+    from kg_gen_ray.stages.multimodal import probe_stage
+    out = probe_stage(_media(sf_dir))
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_media_frames(sf_dir: str):
+    from kg_gen_ray.stages.multimodal import frame_sample_stage
+    out = frame_sample_stage(_media(sf_dir), n_frames=3)
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "frame_id": pc.cast(t["frame_id"], pa.int64()),
+        }), batch_format="pyarrow")
 
 
 def q_pricing_summary(sf_dir: str):
@@ -826,6 +866,15 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+
+    # FakeCodec.probe: md5(payload) digest bytes 0 and 1 -> dims
+    _HEXB = ("(16 * (strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1)"
+             " + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)")
+    sql["media_probe"] = f"""
+        SELECT doc_id AS media_id,
+               (16 + {_HEXB.format(a=1, b=2)} % 240)::BIGINT AS width,
+               (16 + {_HEXB.format(a=3, b=4)} % 240)::BIGINT AS height
+        FROM documents"""
 
     sql["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,

@@ -121,8 +121,9 @@ def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES
             for k in range(n_hashes):
                 hk = sh * _A[k] + _B[k]
                 mins[k, rows_present] = np.minimum.reduceat(hk, boundaries)
-    # rows with no tokens keep the sentinel max value (mirrors the empty-
-    # signature convention of the md5 path)
+    # single-space-split semantics: "" tokenizes to one empty token (DuckDB
+    # string_split parity), so every row gets >= 1 shingle; the sentinel
+    # max remains only as a guard for rows that somehow had zero tokens
 
     cols = {
         "doc_id": doc_id,
