@@ -876,12 +876,13 @@ def oracle_sql() -> dict[str, str]:
                (16 + {_HEXB.format(a=3, b=4)} % 240)::BIGINT AS height
         FROM documents"""
 
+    # per-row integer conversion before summing (exact; see relational.py)
     sql["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity) * 100)::BIGINT AS sum_qty_cents,
-               round(sum(l_extendedprice) * 100)::BIGINT AS sum_base_cents,
-               round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT
-                 AS sum_disc_cents,
+               sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_cents,
+               sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+               sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT)::BIGINT
+                 AS sum_disc_e4,
                count(*)::BIGINT AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -889,7 +890,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["revenue_by_region"] = """
         SELECT r.r_name,
-               round(sum(o.o_totalprice) * 100)::BIGINT AS revenue_cents
+               sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -54,12 +54,17 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
         price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = t["l_discount"].to_numpy(zero_copy_only=False)
         qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        # convert to integer units PER ROW (2-decimal money -> cents is
+        # exact; disc product -> 1e-4 units), then integer sums: a
+        # round-at-the-end float sum diverges from the oracle once the
+        # totals outgrow float64's 1e-16 relative precision
         tmp = pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "qty": pa.array(qty),
-            "base": pa.array(price),
-            "disc_price": pa.array(price * (1.0 - disc)),
+            "qty": pa.array(np.rint(qty * 100.0).astype(np.int64)),
+            "base": pa.array(np.rint(price * 100.0).astype(np.int64)),
+            "disc_price": pa.array(
+                np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)),
         })
         agg = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
@@ -69,25 +74,22 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
 
     agg = (li.map_batches(partial, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("qty", alias_name="qty"),
-                      Sum("base", alias_name="base"),
-                      Sum("disc_price", alias_name="disc_price"),
+           .aggregate(Sum("qty", alias_name="sum_qty_cents"),
+                      Sum("base", alias_name="sum_base_cents"),
+                      Sum("disc_price", alias_name="sum_disc_e4"),
                       Sum("n", alias_name="count_order")))
 
-    def cents(t: pa.Table) -> pa.Table:
+    def project(t: pa.Table) -> pa.Table:
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "sum_qty_cents": pc.cast(pc.round(
-                pc.multiply(t["qty"], pa.scalar(100.0))), pa.int64()),
-            "sum_base_cents": pc.cast(pc.round(
-                pc.multiply(t["base"], pa.scalar(100.0))), pa.int64()),
-            "sum_disc_cents": pc.cast(pc.round(
-                pc.multiply(t["disc_price"], pa.scalar(100.0))), pa.int64()),
+            "sum_qty_cents": pc.cast(t["sum_qty_cents"], pa.int64()),
+            "sum_base_cents": pc.cast(t["sum_base_cents"], pa.int64()),
+            "sum_disc_e4": pc.cast(t["sum_disc_e4"], pa.int64()),
             "count_order": pc.cast(t["count_order"], pa.int64()),
         })
 
-    return agg.map_batches(cents, batch_format="pyarrow")
+    return agg.map_batches(project, batch_format="pyarrow")
 
 
 def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
@@ -114,9 +116,12 @@ def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
     def attach_region(t: pa.Table, dim=dim) -> pa.Table:
         nat, reg = ray.get(dim)
         names = [reg[nat[nk]] for nk in t["c_nationkey"].to_pylist()]
+        # per-row cents (exact for 2-decimal money), integer sums
+        rev = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
         tmp = pa.table({
             "r_name": pa.array(names, pa.string()),
-            "rev": t["o_totalprice"],
+            "rev": pa.array(rev),
         })
         agg = tmp.group_by(["r_name"]).aggregate([("rev", "sum")])
         return agg.rename_columns(["r_name", "rev"])
@@ -124,14 +129,11 @@ def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
     agg = (joined.map_batches(attach_region, batch_format="pyarrow")
            .groupby("r_name").aggregate(Sum("rev", alias_name="rev")))
 
-    def cents(t: pa.Table) -> pa.Table:
-        return pa.table({
+    return agg.map_batches(
+        lambda t: pa.table({
             "r_name": t["r_name"],
-            "revenue_cents": pc.cast(pc.round(
-                pc.multiply(t["rev"], pa.scalar(100.0))), pa.int64()),
-        })
-
-    return agg.map_batches(cents, batch_format="pyarrow")
+            "revenue_cents": pc.cast(t["rev"], pa.int64()),
+        }), batch_format="pyarrow")
 
 
 def top_parts_by_quantity(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
