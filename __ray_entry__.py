@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "events_sessions": q_events_sessions,
+        # --- sampling / per-group top-k
+        "hash_sample": q_hash_sample,
+        "grouped_topk": q_grouped_topk,
     }
 
 
@@ -582,6 +586,43 @@ def q_events_asof(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-minute inactivity timeout)."""
+    import ray.data
+
+    from kg_gen_ray.functions.sessions import sessionize
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["event_id", "user_id", "ts"],
+                               override_num_blocks=_read_blocks(path))
+    return sessionize(ds, gap_sec=1800)
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic 50% content-hash sample of documents."""
+    from kg_gen_ray.functions.sessions import hash_sample
+    out = hash_sample(_docs(sf_dir, ["doc_id", "text"]), keep_mod=5, mod=10)
+    return out.select_columns(["doc_id"])
+
+
+def q_grouped_topk(sf_dir: str):
+    """Top-3 documents per language by token count (window-fn pattern)."""
+    from kg_gen_ray.functions.sessions import grouped_topk
+    from kg_gen_ray.functions.text_analysis import token_stats
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        ts = token_stats(t)
+        return pa.table({
+            "doc_id": ts["doc_id"],
+            "lang": t["lang"],
+            "n_tokens": ts["n_tokens"],
+        })
+
+    enriched = docs.map_batches(with_tokens, batch_format="pyarrow")
+    return grouped_topk(enriched, "lang", "n_tokens", 3, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — mirrors the deterministic semantics exactly
 # ---------------------------------------------------------------------------
@@ -877,6 +918,50 @@ def oracle_sql() -> dict[str, str]:
         FROM documents"""
 
     # per-row integer conversion before summing (exact; see relational.py)
+    sql["events_sessions"] = """
+        WITH ordered AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                           OR date_diff('microseconds', prev_ts, ts)
+                              > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM ordered),
+        numbered AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                   AS session_id
+          FROM flagged)
+        SELECT user_id, session_id::BIGINT AS session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM numbered GROUP BY user_id, session_id"""
+
+    sql["hash_sample"] = """
+        SELECT doc_id FROM documents
+        WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+              >= 0
+          AND (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
+              % 10 < 5"""
+
+    sql["grouped_topk"] = """
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, lang, n_tokens,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY n_tokens DESC, doc_id) AS rn
+          FROM toks)
+        SELECT doc_id, lang, n_tokens FROM ranked WHERE rn <= 3"""
+
     sql["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
                sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_cents,

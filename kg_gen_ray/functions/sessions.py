@@ -1,0 +1,110 @@
+"""Event sessionization — gap-based session assignment (a standard
+training-data/event-pipeline operator the reference lacks; composed per the
+custom-operator strategy as bucketed groupby + vectorized per-bucket
+pandas, like :func:`kg_gen_ray.functions.windows.asof_join`).
+
+A session = maximal run of a user's events where consecutive gaps are
+<= ``gap_sec``. Deterministic ordering inside a user: (ts, event_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def sessionize(events: "ray.data.Dataset", gap_sec: int,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id") -> "ray.data.Dataset":
+    """(user_id, session_id, session_start, session_end, n_events).
+
+    ``session_id`` is the user's 0-based session ordinal. Partitioning
+    assumption: one user's events fit in one hash bucket (per-user event
+    counts are bounded in practice; a timestamp-range repartition would
+    replace this for pathological users)."""
+    gap_us = gap_sec * 1_000_000
+    n_buckets = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t[user_col], pa.int64()).to_numpy(zero_copy_only=False)
+        b = (uid & ((1 << 62) - 1)) % n_buckets
+        return pa.table({
+            "__bucket": pa.array(b, pa.int64()),
+            "uid": pa.array(uid, pa.int64()),
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "eid": pc.cast(t[id_col], pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["uid", "ts_us", "eid"], kind="stable")
+        uid = g["uid"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.zeros(len(g), dtype=bool)
+        gap_break[1:] = ts[1:] - ts[:-1] > gap_us
+        new_session = new_user | gap_break
+        # global session index, then rebase per user to a 0-based ordinal
+        sess = np.cumsum(new_session) - 1
+        first_sess_of_user = np.where(new_user, sess, 0)
+        np.maximum.accumulate(first_sess_of_user, out=first_sess_of_user)
+        sid = sess - first_sess_of_user
+        out = pd.DataFrame({"user_id": uid, "session_id": sid, "ts_us": ts})
+        agg = out.groupby(["user_id", "session_id"], as_index=False).agg(
+            session_start_us=("ts_us", "min"),
+            session_end_us=("ts_us", "max"),
+            n_events=("ts_us", "size"))
+        return agg
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "session_id": pc.cast(t["session_id"], pa.int64()),
+            "session_start": pc.cast(t["session_start_us"],
+                                     pa.timestamp("us")),
+            "session_end": pc.cast(t["session_end_us"], pa.timestamp("us")),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+        })
+
+    return (events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,
+                text_col: str = "text") -> "ray.data.Dataset":
+    """Deterministic content-hash sampling: keep rows where the first
+    md5 hex digit of ``text_col`` mod ``mod`` < ``keep_mod`` (SQL-mirrored
+    by DuckDB md5). Reproducible across engines and runs — the property a
+    training-data sampler needs (`random_shuffle`-based sampling is not
+    replayable)."""
+    import hashlib
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pa.array([
+            int(hashlib.md5(s.encode("utf-8")).hexdigest()[0], 16) % mod
+            < keep_mod
+            for s in pc.cast(t[text_col], pa.string()).to_pylist()])
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
+                 k: int, tiebreak_col: str) -> "ray.data.Dataset":
+    """Top-k rows per group by (order_col desc, tiebreak asc) — the
+    window-function ROW_NUMBER pattern as groupby().map_groups."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([order_col, tiebreak_col],
+                             ascending=[False, True],
+                             kind="stable").head(k)
+
+    return ds.groupby(group_col).map_groups(topk, batch_format="pandas")

@@ -1,0 +1,77 @@
+"""Sessionization / hash sampling / grouped top-k tests."""
+import datetime as dt
+
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.functions.sessions import grouped_topk, hash_sample, sessionize
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _events(rows):
+    # rows: (event_id, user_id, seconds_offset)
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([e for e, _, _ in rows], pa.int64()),
+        "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+        "ts": pa.array([T0 + dt.timedelta(seconds=s) for _, _, s in rows],
+                       pa.timestamp("us")),
+    }))
+
+
+def test_sessionize_gap_splits(ray_session):
+    ev = _events([
+        (0, 1, 0), (1, 1, 100), (2, 1, 5000),       # user 1: 2 sessions
+        (3, 2, 0),                                   # user 2: 1 session
+    ])
+    out = {(r["user_id"], r["session_id"]): (r["n_events"],
+                                             r["session_start"].second
+                                             + r["session_start"].minute * 60)
+           for r in sessionize(ev, gap_sec=1800).take_all()}
+    assert out[(1, 0)] == (2, 0)
+    assert out[(1, 1)][0] == 1
+    assert out[(2, 0)] == (1, 0)
+    assert len(out) == 3
+
+
+def test_sessionize_boundary_gap_not_split(ray_session):
+    # gap exactly == timeout stays in the same session (strict >)
+    ev = _events([(0, 1, 0), (1, 1, 1800)])
+    out = sessionize(ev, gap_sec=1800).take_all()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2
+
+
+def test_sessionize_many_users_one_bucket(ray_session):
+    # users colliding in one hash bucket stay independent
+    ev = _events([(i, u, i * 10) for u in (5, 5 + 64, 5 + 128)
+                  for i in range(3)])
+    out = sessionize(ev, gap_sec=1800).take_all()
+    assert len(out) == 3                       # one session per user
+    assert all(r["n_events"] == 3 for r in out)
+
+
+def test_hash_sample_deterministic_partition(ray_session):
+    docs = rd.from_arrow(pa.table({
+        "doc_id": list(range(50)),
+        "text": [f"document number {i}" for i in range(50)]}))
+    a = {r["doc_id"] for r in hash_sample(docs, keep_mod=5).take_all()}
+    b = {r["doc_id"] for r in hash_sample(docs, keep_mod=5).take_all()}
+    full = {r["doc_id"] for r in hash_sample(docs, keep_mod=10).take_all()}
+    none = {r["doc_id"] for r in hash_sample(docs, keep_mod=0).take_all()}
+    assert a == b                  # replayable
+    assert full == set(range(50))  # keep_mod == mod keeps everything
+    assert none == set()
+    assert 0 < len(a) < 50
+
+
+def test_grouped_topk(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "grp": ["a", "a", "a", "b", "b"],
+        "score": [3, 1, 2, 9, 9],
+        "id": [10, 11, 12, 13, 14],
+    }))
+    out = grouped_topk(ds, "grp", "score", 2, "id").take_all()
+    got = {(r["grp"], r["id"]) for r in out}
+    # a: scores 3,2 -> ids 10,12 ; b: tie on 9 -> lower ids first (13,14)
+    assert got == {("a", 10), ("a", 12), ("b", 13), ("b", 14)}
