@@ -39,7 +39,7 @@ def coalesce(ds: "ray.data.Dataset", shuffle_partitions):
 
 def compact_if_small(mds: "ray.data.Dataset",
                      max_bytes: int = 256 * 1024 * 1024,
-                     target_blocks: int = 8) -> "ray.data.Dataset":
+                     target_blocks: int | None = None) -> "ray.data.Dataset":
     """Adaptive (AQE-style) compaction of a MATERIALIZED dataset.
 
     A shuffle output inherits the upstream partition count, so a tiny
@@ -49,6 +49,11 @@ def compact_if_small(mds: "ray.data.Dataset",
     repartition to a few blocks (cheap — the data is tiny by definition);
     large result -> leave partitioning alone (the 100 TB case).
     """
+    if target_blocks is None:
+        # up to ~cores/2 blocks is already cheap for downstream stages;
+        # only pathological over-fragmentation (e.g. a wide shuffle's
+        # hundreds of near-empty outputs) is worth an extra repartition job
+        target_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     try:
         size = mds.size_bytes()
         blocks = mds.num_blocks()
