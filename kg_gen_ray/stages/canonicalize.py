@@ -103,56 +103,126 @@ def connected_components(pairs) -> dict:
     return {x: find(x) for x in parent}
 
 
-def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20
+def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
+                      broadcast_limit: int = 128 * 1024 * 1024
                       ) -> "ray.data.Dataset":
     """Distributed connected components by iterated min-label propagation.
 
     ``edges_ds``: columns ``(a, b)``. Returns ``(node, component)`` where
     component is the min label (by (len, lex)) reachable from node. Each
-    iteration is one groupby-min shuffle; converges in O(diameter)
-    iterations — alias clusters are shallow in practice (SURVEY.md §7.4).
-    """
-    def order_key(c: pa.Table, col: str) -> pd.Series:
-        s = c[col].to_pandas()
-        return s
+    iteration is one relabel + one vectorized groupby-Min shuffle;
+    converges in O(diameter) iterations — alias clusters are shallow in
+    practice (SURVEY.md §7.4).
+
+    Scale duals per iteration, chosen by the measured component-map size:
+    small map -> broadcast dict relabel (no shuffle); large map -> hash
+    join on ``nbr``. Convergence is checked distributed (count of changed
+    labels), never by collecting the map."""
+    from ray.data.aggregate import Min
 
     # undirected: both directions, plus self-edges so singletons survive
     def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().cast(pa.string())
+        b = t["b"].combine_chunks().cast(pa.string())
         return pa.table({
-            "node": pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()]),
-            "nbr": pa.concat_arrays([t["b"].combine_chunks(), t["a"].combine_chunks()]),
+            "node": pa.concat_arrays([a, b]),
+            "nbr": pa.concat_arrays([b, a]),
         })
 
-    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow") \
+                    .materialize()
 
-    def min_by_rule(g: pd.DataFrame) -> pd.DataFrame:
-        cands = pd.concat([g["nbr"], g["node"].head(1)])
-        best = min(cands, key=lambda m: (len(m), m))
-        return pd.DataFrame({"node": [g["node"].iloc[0]], "component": [best]})
+    def with_rank(t: pa.Table, col: str) -> pa.Table:
+        return t.append_column(
+            "rank_enc", pa.array([_encode_rank(x) for x in
+                                  t[col].to_pylist()], pa.string()))
 
-    comp = edges.groupby("node").map_groups(min_by_rule, batch_format="pandas")
+    def self_plus_nbr(t: pa.Table) -> pa.Table:
+        # candidates for the initial min: every neighbor and the node itself
+        return pa.table({
+            "node": pa.concat_arrays([t["node"].combine_chunks(),
+                                      t["node"].combine_chunks()]),
+            "cand": pa.concat_arrays([t["nbr"].combine_chunks(),
+                                      t["node"].combine_chunks()]),
+        })
+
+    def min_agg(ds: "ray.data.Dataset", cand_col: str) -> "ray.data.Dataset":
+        ranked = ds.map_batches(lambda t: with_rank(t, cand_col),
+                                batch_format="pyarrow")
+        agg = ranked.groupby("node").aggregate(
+            Min("rank_enc", alias_name="rank_enc"))
+        return agg.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "component": pa.array(
+                    [_decode_rank(x) for x in t["rank_enc"].to_pylist()],
+                    pa.string()),
+            }), batch_format="pyarrow")
+
+    comp = min_agg(edges.map_batches(self_plus_nbr, batch_format="pyarrow"),
+                   "cand").materialize()
 
     for _ in range(max_iter):
-        # re-propagate: neighbor components via broadcast of current comp
-        comp_map = {r["node"]: r["component"] for r in comp.take_all()}
-        ref = ray.put(comp_map)
+        comp_bytes = comp.size_bytes() or 0
+        if comp_bytes <= broadcast_limit:
+            comp_map = {}
+            for b in comp.iter_batches(batch_format="pyarrow"):
+                comp_map.update(zip(b["node"].to_pylist(),
+                                    b["component"].to_pylist()))
+            ref = ray.put(comp_map)
 
-        def relabel(t: pa.Table, ref=ref) -> pa.Table:
-            m = ray.get(ref)
-            nodes = t["node"].to_pylist()
-            nbrs = t["nbr"].to_pylist()
-            return pa.table({
-                "node": pa.array(nodes, pa.string()),
-                "nbr": pa.array([m.get(x, x) for x in nbrs], pa.string()),
-            })
+            def relabel(t: pa.Table, ref=ref) -> pa.Table:
+                m = ray.get(ref)
+                return pa.table({
+                    "node": t["node"],
+                    "cand": pa.array([m.get(x, x) for x in
+                                      t["nbr"].to_pylist()], pa.string()),
+                })
 
-        new_comp = edges.map_batches(relabel, batch_format="pyarrow") \
-                        .groupby("node").map_groups(min_by_rule,
-                                                    batch_format="pandas")
-        new_map = {r["node"]: r["component"] for r in new_comp.take_all()}
-        if new_map == comp_map:
-            break
+            candidates = edges.map_batches(relabel, batch_format="pyarrow")
+        else:
+            n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+            # normalize blocks before joining: aggregate outputs can carry
+            # schemaless EMPTY blocks (map_batches skips empties, so the
+            # rename never stamps a schema on them and the join's pyarrow
+            # finalize then can't resolve the key field); repartition
+            # merges them away
+            nbr_comp = comp.repartition(n_parts).map_batches(
+                lambda t: t.rename_columns(["nbr", "nbr_component"]),
+                batch_format="pyarrow")
+            joined = edges.join(nbr_comp, join_type="left_outer",
+                                on=("nbr",), num_partitions=n_parts)
+
+            def coalesce_cand(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return pa.table({
+                    "node": t["node"],
+                    "cand": pc.coalesce(t["nbr_component"], t["nbr"]),
+                })
+
+            candidates = joined.map_batches(coalesce_cand,
+                                            batch_format="pyarrow")
+
+        # keep the current label in the running too (min never regresses)
+        cur = comp.map_batches(
+            lambda t: t.rename_columns(["node", "cand"]),
+            batch_format="pyarrow")
+        new_comp = min_agg(candidates.union(cur), "cand").materialize()
+
+        # distributed convergence check: any changed labels?
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        old = comp.repartition(n_parts).map_batches(
+            lambda t: t.rename_columns(["node", "old_component"]),
+            batch_format="pyarrow")
+        changed = new_comp.repartition(n_parts) \
+            .join(old, join_type="inner", on=("node",),
+                  num_partitions=n_parts) \
+            .map_batches(lambda t: t.filter(
+                pa.compute.not_equal(t["component"], t["old_component"])),
+                batch_format="pyarrow").count()
         comp = new_comp
+        if changed == 0:
+            break
     return comp
 
 
