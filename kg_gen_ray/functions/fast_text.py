@@ -43,17 +43,22 @@ def _token_hashes(flat: pa.Array) -> np.ndarray:
     return s.hash(seed=0).to_numpy().astype(np.uint64)
 
 
-def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES
-                        ) -> pa.Table:
-    """(doc_id, text) -> (doc_id, n_tokens, n_unique_tokens, simhash,
-    m0..m{n-1})."""
+def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES,
+                        include_simhash: bool = True,
+                        include_stats: bool = True) -> pa.Table:
+    """(doc_id, text) -> (doc_id[, n_tokens, n_unique_tokens][, simhash],
+    m0..m{n-1}). The include_* flags let single-purpose callers (e.g. the
+    LSH band path, which only needs MinHash) skip the other sections'
+    compute."""
     n = batch.num_rows
     doc_id = pc.cast(batch["doc_id"], pa.int64())
     if n == 0:
-        cols = {"doc_id": doc_id,
-                "n_tokens": pa.array([], pa.int64()),
-                "n_unique_tokens": pa.array([], pa.int64()),
-                "simhash": pa.array([], pa.uint64())}
+        cols = {"doc_id": doc_id}
+        if include_stats:
+            cols["n_tokens"] = pa.array([], pa.int64())
+            cols["n_unique_tokens"] = pa.array([], pa.int64())
+        if include_simhash:
+            cols["simhash"] = pa.array([], pa.uint64())
         for k in range(n_hashes):
             cols[f"m{k}"] = pa.array([], pa.uint64())
         return pa.table(cols)
@@ -68,7 +73,7 @@ def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES
 
     # ---- token stats: unique-per-row via sorted (row, hash) boundaries
     n_unique = np.zeros(n, dtype=np.int64)
-    if len(th):
+    if include_stats and len(th):
         order = np.lexsort((th, row_idx))
         r, h = row_idx[order], th[order]
         new = np.ones(len(h), dtype=bool)
@@ -77,7 +82,7 @@ def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES
 
     # ---- SimHash: per-row sum of (2*bit-1) per bit position of token hashes
     sim = np.zeros(n, dtype=np.uint64)
-    if len(th):
+    if include_simhash and len(th):
         acc = np.zeros((n, 64), dtype=np.int64)
         for j in range(64):
             bit = ((th >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
@@ -125,12 +130,12 @@ def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES
     # string_split parity), so every row gets >= 1 shingle; the sentinel
     # max remains only as a guard for rows that somehow had zero tokens
 
-    cols = {
-        "doc_id": doc_id,
-        "n_tokens": pa.array(lengths),
-        "n_unique_tokens": pa.array(n_unique),
-        "simhash": pa.array(sim, pa.uint64()),
-    }
+    cols = {"doc_id": doc_id}
+    if include_stats:
+        cols["n_tokens"] = pa.array(lengths)
+        cols["n_unique_tokens"] = pa.array(n_unique)
+    if include_simhash:
+        cols["simhash"] = pa.array(sim, pa.uint64())
     for k in range(n_hashes):
         cols[f"m{k}"] = pa.array(mins[k], pa.uint64())
     return pa.table(cols)
@@ -147,10 +152,15 @@ def minhash_lsh_pairs_fast(docs, bands: int = 2,
     from kg_gen_ray.stages.common import coalesce
     from kg_gen_ray.stages.rewrite import distinct
 
+    if bands < 1 or N_HASHES % bands != 0:
+        raise ValueError(
+            f"bands must be a positive divisor of {N_HASHES}, got {bands}")
     rows_per_band = N_HASHES // bands
 
     def band_rows(t: pa.Table) -> pa.Table:
-        sig = fused_text_analysis(t)
+        # MinHash only: skip the SimHash / token-stat sections
+        sig = fused_text_analysis(t, include_simhash=False,
+                                  include_stats=False)
         n = sig.num_rows
         with np.errstate(over="ignore"):
             doc = sig["doc_id"].to_numpy(zero_copy_only=False)

@@ -27,14 +27,14 @@ def sessionize(events: "ray.data.Dataset", gap_sec: int,
     assumption: one user's events fit in one hash bucket (per-user event
     counts are bounded in practice; a timestamp-range repartition would
     replace this for pathological users)."""
+    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
     gap_us = gap_sec * 1_000_000
-    n_buckets = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    n_buckets = default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         uid = pc.cast(t[user_col], pa.int64()).to_numpy(zero_copy_only=False)
-        b = (uid & ((1 << 62) - 1)) % n_buckets
         return pa.table({
-            "__bucket": pa.array(b, pa.int64()),
+            "__bucket": hash_bucket_array(t[user_col], n_buckets),
             "uid": pa.array(uid, pa.int64()),
             "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
                              pa.int64()),

@@ -149,19 +149,12 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     # pandas groups pay Python overhead per group; ~2x-cores buckets keep
     # the shuffle narrow and the per-bucket work one vectorized
     # pandas.merge_asof(by=key) call
-    n_buckets = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+    n_buckets = default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        key = t["__key"]
-        if pa.types.is_integer(key.type):
-            kv = pc.cast(key, pa.int64()).to_numpy(zero_copy_only=False)
-            bucket = pa.array((kv & ((1 << 62) - 1)) % n_buckets, pa.int64())
-        else:
-            import zlib
-            bucket = pa.array(
-                [zlib.crc32(str(k).encode()) % n_buckets
-                 for k in key.to_pylist()], pa.int64())
-        return t.append_column("__bucket", bucket)
+        return t.append_column(
+            "__bucket", hash_bucket_array(t["__key"], n_buckets))
 
     lt = left.map_batches(tag_left, batch_format="pyarrow") \
              .map_batches(add_bucket, batch_format="pyarrow")

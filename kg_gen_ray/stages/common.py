@@ -30,6 +30,27 @@ def resolve_shuffle_partitions(shuffle_partitions):
     return int(shuffle_partitions)
 
 
+def default_buckets() -> int:
+    """~2x cluster cores: enough buckets for parallelism, few enough that
+    per-bucket work amortizes Python/group overhead."""
+    return max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
+def hash_bucket_array(key_chunked, n_buckets: int):
+    """Key column -> int64 bucket ids. Integer keys: masked modulo (the
+    mask clears the sign bit so negative keys bucket consistently); other
+    types: crc32 of the string form."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(key_chunked.type):
+        kv = pc.cast(key_chunked, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.array((kv & ((1 << 62) - 1)) % n_buckets, pa.int64())
+    import zlib
+    return pa.array([zlib.crc32(str(k).encode()) % n_buckets
+                     for k in key_chunked.to_pylist()], pa.int64())
+
+
 def coalesce(ds: "ray.data.Dataset", shuffle_partitions):
     """Repartition (no shuffle — block split/merge only) ahead of a wide op
     when a width override is requested."""

@@ -23,8 +23,6 @@ which is the documented trade of this scale path (the exact-by-key path is
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -91,7 +89,9 @@ def semantic_canonicalize(labels: "ray.data.Dataset",
                           retrieval_k: int = RETRIEVAL_K,
                           judge=norm_equality_judge,
                           embed_concurrency: int = 2,
-                          kmeans_iter: int = 5) -> "ray.data.Dataset":
+                          kmeans_iter: int = 5,
+                          assign_broadcast_limit: int = 128 * 1024 * 1024
+                          ) -> "ray.data.Dataset":
     """distinct labels(kind, member) -> alias_map(kind, representative, member).
 
     ``n_clusters = max(1, n // cluster_capacity)`` mirrors the reference's
@@ -113,9 +113,14 @@ def semantic_canonicalize(labels: "ray.data.Dataset",
                       backend=embed_backend, dim=dim,
                       concurrency=embed_concurrency)
 
-    # stable int id per label for k-means seeding / assignment
+    # stable 64-bit id per label for k-means seeding / assignment (md5
+    # truncation: 32-bit crc would collide with high probability at
+    # ~100k+ labels and silently misroute a label's cluster)
     def with_id(t: pa.Table) -> pa.Table:
-        ids = [zlib.crc32(f"{k}\x00{m}".encode("utf-8"))
+        import hashlib
+        ids = [int.from_bytes(
+                   hashlib.md5(f"{k}\x00{m}".encode("utf-8")).digest()[:8],
+                   "big") & ((1 << 63) - 1)
                for k, m in zip(t["kind"].to_pylist(),
                                t["member"].to_pylist())]
         return t.append_column("lid", pa.array(ids, pa.int64()))
@@ -130,20 +135,44 @@ def semantic_canonicalize(labels: "ray.data.Dataset",
                 "centroid_id", pa.array([0] * t.num_rows, pa.int64())),
             batch_format="pyarrow")
     else:
+        import ray
         cents = kmeans_centroids(emb, n_clusters, n_iter=kmeans_iter,
                                  id_col="lid")
-        cmap = ivf_assign(emb, cents, id_col="lid")
-        id_to_cid = {r["lid"]: r["centroid_id"] for r in cmap.take_all()}
-        import ray
-        ref = ray.put(id_to_cid)
+        cmap = ivf_assign(emb, cents, id_col="lid").materialize()
+        # broadcast/join dual by measured size (same pattern as the
+        # alias rewrite): a driver dict of the whole assignment map is
+        # O(distinct labels) head-node memory — fine when small, a hash
+        # join on lid otherwise
+        if (cmap.size_bytes() or 0) <= assign_broadcast_limit:
+            id_to_cid = {}
+            for b in cmap.iter_batches(batch_format="pyarrow"):
+                id_to_cid.update(zip(b["lid"].to_pylist(),
+                                     b["centroid_id"].to_pylist()))
+            ref = ray.put(id_to_cid)
 
-        def attach(t: pa.Table, ref=ref) -> pa.Table:
-            m = ray.get(ref)
-            cids = [m[i] for i in t["lid"].to_pylist()]
-            return t.append_column("centroid_id",
-                                   pa.array(cids, pa.int64()))
+            def attach(t: pa.Table, ref=ref) -> pa.Table:
+                m = ray.get(ref)
+                cids = [m[i] for i in t["lid"].to_pylist()]
+                return t.append_column("centroid_id",
+                                       pa.array(cids, pa.int64()))
 
-        assigned = emb.map_batches(attach, batch_format="pyarrow")
+            assigned = emb.map_batches(attach, batch_format="pyarrow")
+        else:
+            n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+            # pyarrow hash joins reject list<float> payload columns:
+            # re-encode the embedding as float32 bytes for the join
+            # (per_cluster decodes either form)
+            def enc(t: pa.Table) -> pa.Table:
+                vecs = [np.asarray(v, dtype=np.float32).tobytes()
+                        for v in t["embedding"].to_pylist()]
+                t = t.drop_columns(["embedding"])
+                return t.append_column("embedding",
+                                       pa.array(vecs, pa.binary()))
+
+            assigned = emb.map_batches(enc, batch_format="pyarrow") \
+                .join(cmap.repartition(n_parts), join_type="inner",
+                      on=("lid",), num_partitions=n_parts)
 
     def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
         kind = g["kind"].iloc[0]
@@ -151,8 +180,13 @@ def semantic_canonicalize(labels: "ray.data.Dataset",
                        key=lambda i: ((len(g["member"].iloc[i]),
                                        g["member"].iloc[i])))
         members = [g["member"].iloc[i] for i in order]
-        vecs = np.asarray([np.asarray(g["embedding"].iloc[i],
-                                      dtype=np.float64) for i in order])
+
+        def as_vec(v):
+            if isinstance(v, (bytes, bytearray)):  # join-path binary form
+                return np.frombuffer(v, dtype=np.float32).astype(np.float64)
+            return np.asarray(v, dtype=np.float64)
+
+        vecs = np.asarray([as_vec(g["embedding"].iloc[i]) for i in order])
         reps, mems = [], []
         for lo in range(0, len(members), cluster_capacity):
             chunk = members[lo:lo + cluster_capacity]
