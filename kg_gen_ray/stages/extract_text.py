@@ -35,8 +35,80 @@ def extract_text(html: bytes) -> str:
     return b"\n".join(paras).decode("utf-8")
 
 
-def _extract_batch(batch: pa.Table) -> pa.Table:
-    texts = pa.array([extract_text(h) for h in batch["html"].to_pylist()],
+# ---------------------------------------------------------------------------
+# general-mode extractor for arbitrary (CommonCrawl-style) HTML
+# ---------------------------------------------------------------------------
+
+_SKIP_TAGS = {"script", "style", "head", "nav", "noscript", "template"}
+_BLOCK_TAGS = {"p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5",
+               "h6", "section", "article", "ul", "ol", "table", "blockquote"}
+
+
+class _TextExtractor:
+    """stdlib HTMLParser-based extraction: decodes entities, skips
+    script/style/head/nav blocks, emits newlines at block boundaries,
+    collapses runs of whitespace. Deterministic, dependency-free."""
+
+    def __init__(self):
+        from html.parser import HTMLParser
+
+        class P(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.parts: list = []
+                self.skip_depth = 0
+
+            def handle_starttag(self, tag, attrs):
+                if tag in _SKIP_TAGS:
+                    self.skip_depth += 1
+                elif tag in _BLOCK_TAGS:
+                    self.parts.append("\n")
+                elif tag in ("td", "th"):
+                    self.parts.append(" ")   # cells separate with a space
+
+            def handle_endtag(self, tag):
+                if tag in _SKIP_TAGS:
+                    self.skip_depth = max(0, self.skip_depth - 1)
+                elif tag in _BLOCK_TAGS:
+                    self.parts.append("\n")
+
+            def handle_data(self, data):
+                if not self.skip_depth and data:
+                    self.parts.append(data)
+
+        self._cls = P
+
+    def __call__(self, html: bytes) -> str:
+        p = self._cls()
+        try:
+            p.feed(html.decode("utf-8", errors="replace"))
+            p.close()
+        except Exception:
+            pass  # malformed HTML: keep whatever was parsed
+        raw = "".join(p.parts)
+        # collapse intra-line whitespace, drop blank lines
+        lines = [" ".join(ln.split()) for ln in raw.split("\n")]
+        return "\n".join(ln for ln in lines if ln)
+
+
+_GENERAL = _TextExtractor()
+
+
+def extract_text_general(html: bytes) -> str:
+    """General HTML -> text (arbitrary real-world pages): entity decoding,
+    comment/script/style removal, block-aware newlines, whitespace
+    normalization. NOT byte-identical to the synthetic corpus's ``text``
+    column — use the default paragraphs mode for the conformance
+    invariant."""
+    return _GENERAL(html)
+
+
+_MODES = {"paragraphs": extract_text, "general": extract_text_general}
+
+
+def _extract_batch(batch: pa.Table, mode: str = "paragraphs") -> pa.Table:
+    fn = _MODES[mode]
+    texts = pa.array([fn(h) for h in batch["html"].to_pylist()],
                      pa.large_string())
     # drop the (potentially MBs-wide) html column immediately so downstream
     # blocks stay narrow (SURVEY.md §7.5 risk 6)
@@ -45,12 +117,19 @@ def _extract_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("text", texts)
 
 
-def extract_text_stage(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+def extract_text_stage(pages: "ray.data.Dataset", mode: str = "paragraphs"
+                       ) -> "ray.data.Dataset":
     """pages(url, warc_ts, html, lang[, text]) -> (url, warc_ts, lang, text).
 
     Stateless tasks, ``batch_format="pyarrow"`` with ``zero_copy_batch=True``:
     html bytes are read straight from the object store without a copy; the
-    replacement ``text`` column is freshly allocated.
+    replacement ``text`` column is freshly allocated. ``mode``:
+    ``"paragraphs"`` (byte-identity invariant vs the corpus text column) or
+    ``"general"`` (arbitrary real-world HTML).
     """
-    return pages.map_batches(_extract_batch, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    if mode not in _MODES:
+        raise ValueError(f"unknown extract mode: {mode!r}; "
+                         f"choose from {sorted(_MODES)}")
+    import functools
+    return pages.map_batches(functools.partial(_extract_batch, mode=mode),
+                             batch_format="pyarrow", zero_copy_batch=True)
