@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sampling / per-group top-k
         "hash_sample": q_hash_sample,
         "grouped_topk": q_grouped_topk,
+        "token_quantiles": q_token_quantiles,
     }
 
 
@@ -509,6 +510,21 @@ def q_revenue_by_region(sf_dir: str):
 def q_top_parts(sf_dir: str):
     from kg_gen_ray.pipelines.relational import top_parts_by_quantity
     return top_parts_by_quantity(sf_dir, 10)
+
+
+def q_token_quantiles(sf_dir: str):
+    """Per-language token-count percentiles (exact discrete quantiles)."""
+    from kg_gen_ray.functions.sessions import grouped_quantiles
+    from kg_gen_ray.functions.text_analysis import token_stats
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def with_tokens(t: pa.Table) -> pa.Table:
+        ts = token_stats(t)
+        return pa.table({"lang": t["lang"], "n_tokens": ts["n_tokens"]})
+
+    enriched = docs.map_batches(with_tokens, batch_format="pyarrow")
+    return grouped_quantiles(enriched, "lang", "n_tokens")
 
 
 def q_events_hourly(sf_dir: str):
@@ -918,6 +934,16 @@ def oracle_sql() -> dict[str, str]:
         FROM documents"""
 
     # per-row integer conversion before summing (exact; see relational.py)
+    sql["token_quantiles"] = """
+        WITH toks AS (
+          SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+          FROM documents)
+        SELECT lang,
+               quantile_disc(n_tokens, 0.5)::BIGINT AS p50,
+               quantile_disc(n_tokens, 0.9)::BIGINT AS p90,
+               quantile_disc(n_tokens, 0.99)::BIGINT AS p99
+        FROM toks GROUP BY lang"""
+
     sql["events_sessions"] = """
         WITH ordered AS (
           SELECT user_id, ts, event_id,

@@ -19,6 +19,29 @@ Reference parity citations throughout the package point at files under
 Ray-Data-first, not a port.
 """
 
-from kg_gen_ray.config import PipelineConfig  # noqa: F401
+from kg_gen_ray.config import ExtractorConfig, PipelineConfig  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy public API: the heavy pipeline modules import Ray; keep
+    # `import kg_gen_ray` cheap until a symbol is actually used
+    _API = {
+        "build_kg": ("kg_gen_ray.pipelines.kg_pipeline", "build_kg"),
+        "canonicalize_triples": ("kg_gen_ray.pipelines.kg_pipeline",
+                                 "canonicalize_triples"),
+        "KGResult": ("kg_gen_ray.pipelines.kg_pipeline", "KGResult"),
+        "add_pages": ("kg_gen_ray.pipelines.incremental", "add_pages"),
+        "aggregate_graphs": ("kg_gen_ray.pipelines.incremental",
+                             "aggregate_graphs"),
+        "load_graph": ("kg_gen_ray.pipelines.incremental", "load_graph"),
+        "run_partitioned": ("kg_gen_ray.pipelines.partitioned",
+                            "run_partitioned"),
+    }
+    if name in _API:
+        import importlib
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'kg_gen_ray' has no attribute {name!r}")
+
 
 __version__ = "0.1.0"

@@ -97,6 +97,27 @@ def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
+                      value_col: str, qs: tuple = (0.5, 0.9, 0.99)
+                      ) -> "ray.data.Dataset":
+    """Exact discrete per-group quantiles (DuckDB ``quantile_disc``
+    semantics: the value at ceil(q*n)-1 of the sorted group). Per-group
+    numpy sort inside ``map_groups`` — groups are assumed to fit a worker
+    (for corpus-wide quantiles at extreme cardinality, switch to a
+    t-digest/Greenwald-Khanna sketch combiner)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g[value_col].to_numpy())
+        n = len(vals)
+        row = {group_col: [g[group_col].iloc[0]]}
+        for q in qs:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            row[f"p{int(q * 100)}"] = [vals[idx]]
+        return pd.DataFrame(row)
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
 def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
                  k: int, tiebreak_col: str) -> "ray.data.Dataset":
     """Top-k rows per group by (order_col desc, tiebreak asc) — the
