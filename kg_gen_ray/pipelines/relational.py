@@ -92,11 +92,17 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
     return agg.map_batches(project, batch_format="pyarrow")
 
 
-def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
-    """orders ⋈ customer (hash join on custkey) ⋈ nation ⋈ region
-    (broadcast tiny dims) -> revenue per region in cents."""
+def revenue_by_region(sf_dir: str,
+                      broadcast_limit: int = 128 * 1024 * 1024
+                      ) -> "ray.data.Dataset":
+    """orders ⋈ customer ⋈ nation ⋈ region -> revenue per region in cents.
+
+    Adaptive join strategy (the same size-dual as the alias rewrite): the
+    customer side is broadcast as a dict when it fits, hash-joined when it
+    doesn't; nation/region are always broadcast (constant-size dims)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).materialize()
 
     # tiny dims: nation/region fit on the driver, broadcast once
     nation = {r["n_nationkey"]: r["n_regionkey"]
@@ -107,11 +113,29 @@ def revenue_by_region(sf_dir: str) -> "ray.data.Dataset":
                              ["r_regionkey", "r_name"]).take_all()}
     dim = ray.put((nation, region))
 
-    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    joined = orders.join(
-        cust.map_batches(lambda t: t.rename_columns(
-            ["o_custkey", "c_nationkey"]), batch_format="pyarrow"),
-        join_type="inner", on=("o_custkey",), num_partitions=n_parts)
+    if (cust.size_bytes() or 0) <= broadcast_limit:
+        cmap = {}
+        for b in cust.iter_batches(batch_format="pyarrow"):
+            cmap.update(zip(b["c_custkey"].to_pylist(),
+                            b["c_nationkey"].to_pylist()))
+        cref = ray.put(cmap)
+
+        def attach_nation(t: pa.Table, cref=cref) -> pa.Table:
+            m = ray.get(cref)
+            nk = [m.get(k) for k in t["o_custkey"].to_pylist()]
+            mask = pa.array([x is not None for x in nk])
+            return pa.table({
+                "c_nationkey": pa.array(nk, pa.int64()),
+                "o_totalprice": t["o_totalprice"],
+            }).filter(mask)
+
+        joined = orders.map_batches(attach_nation, batch_format="pyarrow")
+    else:
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        joined = orders.join(
+            cust.map_batches(lambda t: t.rename_columns(
+                ["o_custkey", "c_nationkey"]), batch_format="pyarrow"),
+            join_type="inner", on=("o_custkey",), num_partitions=n_parts)
 
     def attach_region(t: pa.Table, dim=dim) -> pa.Table:
         nat, reg = ray.get(dim)
