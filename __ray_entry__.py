@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "dedup_simhash": q_dedup_simhash,              # rows-only (bit packing)
+        "near_dup_canonical": q_near_dup_canonical,
         "fused_text_fast": q_fused_text_fast,          # rows-only (u64 engine hashes)
         # --- retrieval (SURVEY §2 X4 BM25 / T2 rank fusion)
         "bm25_scores": q_bm25_scores,
@@ -423,6 +424,13 @@ def q_rank_fusion_topk(sf_dir: str):
     top = rank_fusion_topk(_docs(sf_dir, ["doc_id", "text"]), emb,
                            _BM25_QUERY, q, k=10)
     return top.select_columns(["doc_id"])
+
+
+def q_near_dup_canonical(sf_dir: str):
+    """End-to-end near-dup dedup: LSH pairs -> connected components ->
+    lowest-doc_id survivor per cluster."""
+    from kg_gen_ray.functions.dedup import near_dup_canonical
+    return near_dup_canonical(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_fused_text_fast(sf_dir: str):
@@ -896,6 +904,29 @@ def oracle_sql() -> dict[str, str]:
                      CAST(e.embedding AS DOUBLE[]), q.qv) AS fs
           FROM bscores b JOIN embeddings e ON e.vec_id = b.doc_id, q)
         SELECT doc_id FROM fused ORDER BY fs DESC, doc_id LIMIT 10"""
+
+    # transitive closure of the LSH candidate-pair graph via recursive CTE,
+    # keep the min doc of each component
+    sql["near_dup_canonical"] = f"""
+        WITH RECURSIVE {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS},
+        bands AS (
+          SELECT doc_id, 0 AS band, md5('0:' || h0 || ':' || h1) AS band_key FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, md5('1:' || h2 || ':' || h3) FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(doc, lab) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.doc),
+        comp AS (SELECT doc, min(lab) AS root FROM reach GROUP BY doc)
+        SELECT doc AS doc_id FROM comp WHERE doc = root"""
 
     sql["ann_topk"] = """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -328,3 +328,49 @@ def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3,
                              "hamming": dist})
 
     return sigs.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def near_dup_canonical(docs: "ray.data.Dataset",
+                       shuffle_partitions=None) -> "ray.data.Dataset":
+    """End-to-end near-duplicate document dedup: MinHash-LSH candidate
+    pairs -> connected components (distributed min-label propagation) ->
+    keep the lowest doc_id of each component (singletons keep themselves).
+
+    The canonical training-data dedup composition: shingle -> minhash ->
+    band-bucket groupby -> transitive closure -> one representative per
+    duplicate cluster. Returns (doc_id) of survivors."""
+    import numpy as np
+
+    from kg_gen_ray.stages.canonicalize import label_propagation
+
+    pairs = minhash_lsh_pairs(docs, shuffle_partitions).materialize()
+
+    # label propagation orders labels by (len, lex): zero-pad doc ids so
+    # that order coincides with numeric order
+    def pad(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.array([f"{i:020d}" for i in t["doc_a"].to_pylist()],
+                          pa.string()),
+            "b": pa.array([f"{i:020d}" for i in t["doc_b"].to_pylist()],
+                          pa.string()),
+        })
+
+    comp = label_propagation(pairs.map_batches(pad, batch_format="pyarrow"))
+
+    # docs that lost their component election (node != min label) drop out
+    dropped = set()
+    for b in comp.iter_batches(batch_format="pyarrow"):
+        for node, root in zip(b["node"].to_pylist(),
+                              b["component"].to_pylist()):
+            if node != root:
+                dropped.add(int(node))
+    # dropped is small by construction (only near-dup losers); broadcast
+    import ray as _ray
+    ref = _ray.put(dropped)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = _ray.get(ref)
+        mask = pa.array([i not in d for i in t["doc_id"].to_pylist()])
+        return t.select(["doc_id"]).filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -79,3 +79,23 @@ def test_simhash_properties(ray_session):
             simhash_near_dups(ds, max_hamming=6).take_all()}
     assert (0, 3) in dups             # identical -> hamming 0
     assert (0, 2) not in dups
+
+
+def test_near_dup_canonical_end_to_end(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.dedup import near_dup_canonical
+
+    base = " ".join(f"w{i}" for i in range(40))
+    texts = {
+        0: base,                          # cluster {0,1,2}: near dups
+        1: base + " tail",
+        2: base.replace("w39", "w999"),
+        3: " ".join(f"x{i}" for i in range(40)),   # singleton
+        4: " ".join(f"y{i}" for i in range(40)),   # singleton
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": list(texts), "text": list(texts.values())}))
+    kept = sorted(r["doc_id"] for r in near_dup_canonical(docs).take_all())
+    assert kept == [0, 3, 4]   # lowest id survives the cluster
