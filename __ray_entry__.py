@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_hist": q_lang_hist,
         "lang_id": q_lang_id,                          # rows-only (heuristic)
+        "top_bigrams": q_top_bigrams,
         # --- dedup family
         "dedup_exact": q_dedup_exact,
         "text_shingles": q_text_shingles,
@@ -371,6 +372,11 @@ def q_lang_hist(sf_dir: str):
 def q_lang_id(sf_dir: str):
     from kg_gen_ray.functions.text_analysis import lang_id_stage
     return lang_id_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_top_bigrams(sf_dir: str):
+    from kg_gen_ray.functions.text_analysis import top_ngrams
+    return top_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=2, k=20)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -831,6 +837,16 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lang_hist"] = """
         SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"""
+
+    sql["top_bigrams"] = f"""
+        WITH {_DOCS}, {_TOKS},
+        bi AS (
+          SELECT a.w || ' ' || b.w AS ngram
+          FROM toks a JOIN toks b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        SELECT ngram, count(*)::BIGINT AS n_occur
+        FROM bi GROUP BY ngram
+        ORDER BY n_occur DESC, ngram LIMIT 20"""
 
     sql["dedup_exact"] = """
         SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS fp

@@ -125,3 +125,38 @@ def lang_id_stage(docs: "ray.data.Dataset", concurrency: int = 2
                   ) -> "ray.data.Dataset":
     return docs.map_batches(LangId, batch_format="pyarrow",
                             concurrency=concurrency)
+
+
+def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 20,
+               shuffle_partitions=None) -> "ray.data.Dataset":
+    """Corpus-wide top-k n-grams by occurrence count (single-space
+    tokenization). Per-batch Counter partials (the combiner) -> one small
+    groupby-sum -> deterministic (count desc, ngram asc) top-k."""
+    from collections import Counter
+
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from kg_gen_ray.stages.common import coalesce
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in _pc.cast(t["text"], pa.string()).to_pylist():
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i:i + n])] += 1
+        return pa.table({
+            "ngram": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(list(c.values()), pa.int64()),
+        })
+
+    agg = (coalesce(docs.map_batches(partial, batch_format="pyarrow"),
+                    shuffle_partitions)
+           .groupby("ngram").aggregate(Sum("cnt", alias_name="n_occur")))
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column("_neg", _pc.negate(t["n_occur"]))
+
+    return (agg.map_batches(neg, batch_format="pyarrow")
+            .sort(["_neg", "ngram"]).limit(k)
+            .select_columns(["ngram", "n_occur"]))
