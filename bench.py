@@ -37,9 +37,10 @@ SHARD = 12_500
 
 QUERY_NAMES = [
     "kg_triples", "kg_canonical_triples", "kg_triples_llm", "text_tokens",
-    "fused_text_fast", "dedup_exact", "minhash_band_pairs", "ann_topk",
-    "near_dup_cosine", "events_hourly", "events_sliding", "events_asof",
-    "pricing_summary", "revenue_by_region",
+    "fused_text_fast", "dedup_exact", "minhash_band_pairs",
+    "near_dup_canonical", "ann_topk", "near_dup_cosine", "events_hourly",
+    "events_sliding", "events_asof", "events_sessions", "pricing_summary",
+    "revenue_by_region", "token_quantiles",
 ]
 
 
