@@ -31,6 +31,9 @@ import pyarrow as pa
 
 import ray.data
 
+# module-level (not lazy in worker-side fns): pickle-by-value compatibility
+from kg_gen_ray.functions.ann import _mat
+
 K1 = 1.5
 B = 0.75
 EPSILON = 0.25
@@ -114,9 +117,12 @@ def bm25_scores(docs: "ray.data.Dataset", query: str,
     ``query`` against docs(doc_id, text)."""
     stats = corpus_stats(docs).materialize()
 
-    sentinel = stats.filter(expr="word == ''").take_all()[0]
-    n_docs = int(sentinel["df"])
-    avgdl = sentinel["sum_dl"] / n_docs if n_docs else 0.0
+    sentinel_rows = stats.filter(expr="word == ''").take_all()
+    if not sentinel_rows:      # empty corpus: no batches -> no sentinel
+        n_docs, avgdl = 0, 0.0
+    else:
+        n_docs = int(sentinel_rows[0]["df"])
+        avgdl = sentinel_rows[0]["sum_dl"] / n_docs if n_docs else 0.0
 
     # vocabulary-average idf (BM25Okapi averages raw idfs, negatives included)
     def idf_partial(t: pa.Table) -> pa.Table:
@@ -193,10 +199,11 @@ def rank_fusion_topk(docs: "ray.data.Dataset",
     bq = ray.put(qn)
 
     def cos(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         qv = ray.get(bq)
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in
-             t["embedding"].to_pylist()])
+        mat = _mat(t)                       # shared flatten+reshape helper
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat / norms[:, None]) @ qv

@@ -173,12 +173,12 @@ def top_parts_by_quantity(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
            .groupby("l_partkey").aggregate(Sum("qty", alias_name="qty")))
 
     def neg(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(
+            pc.multiply(t["qty"], pa.scalar(100.0))), pa.int64())
         return pa.table({
             "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
-            "qty_cents": pc.cast(pc.round(
-                pc.multiply(t["qty"], pa.scalar(100.0))), pa.int64()),
-            "_neg": pc.negate(pc.cast(pc.round(
-                pc.multiply(t["qty"], pa.scalar(100.0))), pa.int64())),
+            "qty_cents": cents,
+            "_neg": pc.negate(cents),
         })
 
     # top-k is tiny by construction: collect it, then prune the part scan

@@ -120,7 +120,11 @@ def extended_stats(triples: "ray.data.Dataset",
         n_isolated = max(0, n_entities - n_connected)
 
     from ray.data.aggregate import Count
-    n_preds = triples.groupby("pred").aggregate(Count()).count()
+
+    from kg_gen_ray.stages.materialize import edge_types_table
+    # edge_types_table pre-aggregates per batch (combiner) and honors the
+    # width override — don't shuffle every triple row just to count preds
+    n_preds = edge_types_table(triples, shuffle_partitions).count()
     n_components_connected = (components_table(triples)
                               .groupby("component").aggregate(Count()).count())
     n_components = n_components_connected + n_isolated
