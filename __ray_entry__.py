@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hist": q_lang_hist,
         "lang_id": q_lang_id,                          # rows-only (heuristic)
         "top_bigrams": q_top_bigrams,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # --- dedup family
         "dedup_exact": q_dedup_exact,
         "text_shingles": q_text_shingles,
@@ -377,6 +378,11 @@ def q_lang_id(sf_dir: str):
 def q_top_bigrams(sf_dir: str):
     from kg_gen_ray.functions.text_analysis import top_ngrams
     return top_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=2, k=20)
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    from kg_gen_ray.functions.text_analysis import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -837,6 +843,28 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lang_hist"] = """
         SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"""
+
+    sql["tfidf_top_terms"] = """
+        WITH t1 AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM documents),
+        toksf AS (SELECT doc_id, w FROM t1 WHERE w <> ''),
+        tf AS (SELECT doc_id, w, count(*) AS tf
+               FROM toksf GROUP BY doc_id, w),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df
+               FROM toksf GROUP BY w),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.w AS term,
+                 tf.tf * ln(n.n::DOUBLE / df.df) AS tfidf
+          FROM tf JOIN df USING (w), n),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+        SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3"""
 
     sql["top_bigrams"] = f"""
         WITH {_DOCS}, {_TOKS},

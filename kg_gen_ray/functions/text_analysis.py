@@ -160,3 +160,50 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 20,
     return (agg.map_batches(neg, batch_format="pyarrow")
             .sort(["_neg", "ngram"]).limit(k)
             .select_columns(["ngram", "n_occur"]))
+
+
+def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
+                    shuffle_partitions=None) -> "ray.data.Dataset":
+    """Per-document top-k terms by tf-idf (idf = ln(N/df), lowercase
+    whitespace tokens — shares :func:`kg_gen_ray.functions.bm25.
+    corpus_stats`'s combiner for the df table). The idf map is broadcast
+    (vocabulary-sized; at extreme vocab switch to the join dual like the
+    alias rewrite). Deterministic (score desc, term asc) tiebreak."""
+    import math
+
+    import ray as _ray
+
+    from kg_gen_ray.functions.bm25 import corpus_stats
+
+    stats = corpus_stats(docs).materialize()
+    sentinel = stats.filter(expr="word == ''").take_all()
+    n_docs = int(sentinel[0]["df"]) if sentinel else 0
+
+    idf = {}
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        for w, df in zip(b["word"].to_pylist(), b["df"].to_pylist()):
+            if w:
+                idf[w] = math.log(n_docs / df)
+    ref = _ray.put(idf)
+
+    def per_doc(t: pa.Table, ref=ref) -> pa.Table:
+        from collections import Counter
+        m = _ray.get(ref)
+        doc_ids, terms, scores = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             pc.cast(t["text"], pa.string()).to_pylist()):
+            tf = Counter(text.lower().split())
+            scored = sorted(((cnt * m.get(w, 0.0), w)
+                             for w, cnt in tf.items()),
+                            key=lambda x: (-x[0], x[1]))[:k]
+            for s, w in scored:
+                doc_ids.append(did)
+                terms.append(w)
+                scores.append(s)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tfidf": pa.array(scores, pa.float64()),
+        })
+
+    return docs.map_batches(per_doc, batch_format="pyarrow")
