@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,                          # rows-only (heuristic)
         "top_bigrams": q_top_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "approx_distinct_docs": q_approx_distinct,     # rows-only (HLL estimate)
         # --- dedup family
         "dedup_exact": q_dedup_exact,
         "text_shingles": q_text_shingles,
@@ -383,6 +384,15 @@ def q_top_bigrams(sf_dir: str):
 def q_tfidf_top_terms(sf_dir: str):
     from kg_gen_ray.functions.text_analysis import tfidf_top_terms
     return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+def q_approx_distinct(sf_dir: str):
+    """HLL cardinality sketch vs exact distinct (approximate by design ->
+    rows-only; the pytest suite asserts the error bound)."""
+    from kg_gen_ray.functions.sketch import approx_distinct
+    est = approx_distinct(_docs(sf_dir, ["text"]), "text")
+    return pd.DataFrame({"approx_distinct_texts": pd.Series([est],
+                                                            dtype="int64")})
 
 
 def q_dedup_exact(sf_dir: str):

@@ -1,0 +1,79 @@
+"""Mergeable cardinality sketch — HyperLogLog as a combiner aggregate.
+
+The sketch-combiner shape the 100 TB path needs for "how many distinct X"
+questions where an exact `groupby(X).count()` would shuffle every row:
+each batch folds its values into a 2^p-register HLL (numpy-vectorized),
+register arrays merge associatively (elementwise max), and the estimate is
+computed once from the merged registers. Error ~1.04/sqrt(2^p) (~1.6% at
+p=12). Exact distinct (`rewrite.distinct`) remains the correctness path;
+this is the constant-memory approximation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+P = 12                       # 4096 registers -> ~1.6% standard error
+M = 1 << P
+
+
+def _hashes(values: list) -> np.ndarray:
+    import polars as pl
+    if not values:
+        return np.zeros(0, dtype=np.uint64)
+    s = pl.Series([str(v) for v in values])
+    return s.hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def _registers(h: np.ndarray) -> np.ndarray:
+    """64-bit hashes -> HLL register array (uint8, length M)."""
+    regs = np.zeros(M, dtype=np.uint8)
+    if not len(h):
+        return regs
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    rest = (h << np.uint64(P)) | np.uint64((1 << P) - 1)  # pad low bits
+    # rank = leading zeros of `rest` + 1, vectorized via bit length
+    # (np.log2 is unsafe at 2^63; use 64 - floor(log2) through the
+    #  integer route: highest set bit position)
+    bitlen = np.zeros(len(rest), dtype=np.int64)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = r >= (np.uint64(1) << np.uint64(shift))
+        bitlen[mask] += shift
+        r[mask] >>= np.uint64(shift)
+    rank = (64 - bitlen).astype(np.uint8)                 # 1..(64-P+1)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    alpha = 0.7213 / (1 + 1.079 / M)
+    est = alpha * M * M / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * M and zeros:
+        est = M * np.log(M / zeros)                       # small-range fix
+    return float(est)
+
+
+def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
+    """Approximate COUNT(DISTINCT col): per-batch register partials,
+    elementwise-max merge (partials are M bytes each — constant memory
+    regardless of input size)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = pc.cast(t[col], pa.string()).to_pylist()
+        regs = _registers(_hashes(vals))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(M, dtype=np.uint8)
+    for b in ds.map_batches(partial,
+                            batch_format="pyarrow").iter_batches(
+                                batch_format="pyarrow"):
+        for blob in b["regs"].to_pylist():
+            merged = np.maximum(merged,
+                                np.frombuffer(blob, dtype=np.uint8))
+    return round(_estimate(merged))
