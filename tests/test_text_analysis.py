@@ -41,3 +41,33 @@ def test_lang_id_heuristic():
     assert l.predict("le chat est dans la maison et pas dehors") == "fr"
     assert l.predict("") == "unknown"
     assert l.predict("zzz qqq xxx") == "unknown"
+
+
+def test_top_ngrams(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.text_analysis import top_ngrams
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c", "a b d", "a b c"]}))
+    out = [(r["ngram"], r["n_occur"])
+           for r in top_ngrams(docs, n=2, k=3).take_all()]
+    assert out == [("a b", 3), ("b c", 2), ("b d", 1)]
+
+
+def test_tfidf_top_terms(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.text_analysis import tfidf_top_terms
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["common rare0 rare0", "common rare1"]}))
+    rows = tfidf_top_terms(docs, k=1).take_all()
+    top = {r["doc_id"]: r["term"] for r in rows}
+    # the doc-specific term beats the corpus-common one
+    assert top == {0: "rare0", 1: "rare1"}
+    assert all(r["tfidf"] > 0 for r in rows)
