@@ -19,7 +19,7 @@ import os
 import ray.data
 
 from kg_gen_ray.config import PipelineConfig
-from kg_gen_ray.pipelines.kg_pipeline import KGResult, raw_triples
+from kg_gen_ray.pipelines.kg_pipeline import raw_triples
 from kg_gen_ray.state import lineage
 
 
@@ -39,7 +39,7 @@ def run_partition(pid: int, files: list, out_dir: str,
     manifest. No-op if already complete for this config."""
     manifest_dir = os.path.join(out_dir, "manifests")
     cfg_hash = config.config_hash()
-    if lineage.is_complete(manifest_dir, pid, cfg_hash):
+    if lineage.is_complete(manifest_dir, pid, cfg_hash, input_files=files):
         return lineage.read_manifest(manifest_dir, pid)
 
     t0 = lineage.now()
@@ -86,36 +86,14 @@ def run_partitioned(input_files: list, out_dir: str,
                     "total_partitions": len(parts), "interrupted": True}
         manifests.append(run_partition(pid, files, out_dir, config))
 
-    # phase 2: wide stages over the checkpointed raw triples
-    from kg_gen_ray.pipelines.kg_pipeline import (
-        edge_labels, entity_labels)
-    from kg_gen_ray.stages.canonicalize import canonicalize_labels
-    from kg_gen_ray.stages.rewrite import (
-        build_alias_dicts, distinct, rewrite_stage)
+    # phase 2: wide stages over the checkpointed raw triples, via the SAME
+    # shared tail as build_kg (fused (kind, norm_key) canonicalization,
+    # adaptive broadcast/join rewrite, identity alias map for
+    # cluster=False, shuffle-width overrides) — no divergent re-implementation
+    from kg_gen_ray.pipelines.kg_pipeline import canonicalize_triples
 
     raw = ray.data.read_parquet(os.path.join(out_dir, "triples_raw"))
-    triples = distinct(raw, ["subj", "pred", "obj"]).materialize()
-
-    if config.cluster:
-        ent_alias = canonicalize_labels(entity_labels(triples), "entity",
-                                        config.salt_buckets,
-                                        max_group_size=config.max_group_size)
-        edge_alias = canonicalize_labels(edge_labels(triples), "edge",
-                                         config.salt_buckets,
-                                         max_group_size=config.max_group_size)
-        alias_map = ent_alias.union(edge_alias)
-        ent_dict, edge_dict = build_alias_dicts(alias_map)
-        canonical = distinct(rewrite_stage(triples, ent_dict, edge_dict),
-                             ["subj", "pred", "obj"])
-    else:
-        canonical = triples
-        import pyarrow as pa
-        alias_map = ray.data.from_arrow(pa.table({
-            "kind": pa.array([], pa.string()),
-            "representative": pa.array([], pa.string()),
-            "member": pa.array([], pa.string())}))
-
-    res = KGResult(triples=canonical, alias_map=alias_map, config=config)
+    res = canonicalize_triples(raw, config)
     # phase 2 is idempotent-by-rerun: write the graph ATOMICALLY (temp dir
     # + rename) — write_parquet into an existing directory would append new
     # part files and double every table on a re-run

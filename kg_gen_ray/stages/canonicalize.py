@@ -134,8 +134,7 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
 
     def with_rank(t: pa.Table, col: str) -> pa.Table:
         return t.append_column(
-            "rank_enc", pa.array([_encode_rank(x) for x in
-                                  t[col].to_pylist()], pa.string()))
+            "rank_enc", _encode_rank_arr(t[col].combine_chunks()))
 
     def self_plus_nbr(t: pa.Table) -> pa.Table:
         # candidates for the initial min: every neighbor and the node itself
@@ -154,9 +153,8 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
         return agg.map_batches(
             lambda t: pa.table({
                 "node": t["node"],
-                "component": pa.array(
-                    [_decode_rank(x) for x in t["rank_enc"].to_pylist()],
-                    pa.string()),
+                "component": _decode_rank_arr(
+                    t["rank_enc"].combine_chunks()),
             }), batch_format="pyarrow")
 
     comp = min_agg(edges.map_batches(self_plus_nbr, batch_format="pyarrow"),
@@ -237,13 +235,13 @@ def _add_keys(buckets: int):
                  else ["entity"] * len(members))
         norm = [normalize_label(m) for m in members]
         salt = [salt_of(m, buckets) for m in members]
+        member_arr = pa.array(members, pa.string())
         return pa.table({
             "kind": pa.array(kinds, pa.string()),
-            "member": pa.array(members, pa.string()),
+            "member": member_arr,
             "norm_key": pa.array(norm, pa.string()),
             "salt": pa.array(salt, pa.int32()),
-            "rank_enc": pa.array([_encode_rank(m) for m in members],
-                                 pa.string()),
+            "rank_enc": _encode_rank_arr(member_arr),
         })
     return fn
 
@@ -260,10 +258,25 @@ def _decode_rank(enc: str) -> str:
     return enc[7:]
 
 
+def _encode_rank_arr(arr: "pa.Array") -> "pa.Array":
+    """Vectorized :func:`_encode_rank` (Arrow kernels, no per-element
+    Python — this runs on the hot path of label propagation)."""
+    import pyarrow.compute as pc
+    s = pc.cast(arr, pa.string())
+    ln = pc.utf8_lpad(pc.cast(pc.utf8_length(s), pa.string()), 6, "0")
+    return pc.binary_join_element_wise(ln, s, "|")
+
+
+def _decode_rank_arr(arr: "pa.Array") -> "pa.Array":
+    import pyarrow.compute as pc
+    return pc.utf8_slice_codeunits(pc.cast(arr, pa.string()), start=7)
+
+
 def canonicalize_label_table(labels: "ray.data.Dataset",
                              salt_buckets: int = 16,
                              judge=None, max_group_size: int = 128,
-                             shuffle_partitions=None
+                             shuffle_partitions=None,
+                             broadcast_limit: int = 128 * 1024 * 1024
                              ) -> "ray.data.Dataset":
     """distinct labels(kind, member) -> alias_map(kind, representative, member).
 
@@ -288,24 +301,46 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
         partial = keyed.groupby(["kind", "norm_key", "salt"]).aggregate(
             Min("rank_enc", alias_name="rank_enc"))
         reps = partial.groupby(["kind", "norm_key"]).aggregate(
-            Min("rank_enc", alias_name="rank_enc"))
-        rep_map = {(r["kind"], r["norm_key"]): _decode_rank(r["rank_enc"])
-                   for r in reps.take_all()}
-        ref = ray.put(rep_map)
+            Min("rank_enc", alias_name="rank_enc")).materialize()
 
-        def emit(t: pa.Table, ref=ref) -> pa.Table:
-            m = ray.get(ref)
-            kinds = t["kind"].to_pylist()
-            members = t["member"].to_pylist()
-            norms = t["norm_key"].to_pylist()
-            return pa.table({
-                "kind": pa.array(kinds, pa.string()),
-                "representative": pa.array(
-                    [m[(k, nk)] for k, nk in zip(kinds, norms)], pa.string()),
-                "member": pa.array(members, pa.string()),
-            })
+        # rep -> member assignment: broadcast dict while the rep table
+        # fits, hash join on (kind, norm_key) above the limit (at 10^12
+        # docs the cluster table is as unbroadcastable as the alias map —
+        # same size-chosen dual as the rewrite stage)
+        if (reps.size_bytes() or 0) <= broadcast_limit:
+            rep_map = {}
+            for b in reps.iter_batches(batch_format="pyarrow"):
+                rep_map.update(zip(
+                    zip(b["kind"].to_pylist(), b["norm_key"].to_pylist()),
+                    _decode_rank_arr(b["rank_enc"].combine_chunks())
+                    .to_pylist()))
+            ref = ray.put(rep_map)
 
-        return keyed.map_batches(emit, batch_format="pyarrow")
+            def emit(t: pa.Table, ref=ref) -> pa.Table:
+                m = ray.get(ref)
+                kinds = t["kind"].to_pylist()
+                norms = t["norm_key"].to_pylist()
+                return pa.table({
+                    "kind": pa.array(kinds, pa.string()),
+                    "representative": pa.array(
+                        [m[(k, nk)] for k, nk in zip(kinds, norms)],
+                        pa.string()),
+                    "member": t["member"],
+                })
+
+            return keyed.map_batches(emit, batch_format="pyarrow")
+
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        rep_tbl = reps.repartition(n_parts).map_batches(
+            lambda t: pa.table({
+                "kind": t["kind"], "norm_key": t["norm_key"],
+                "representative": _decode_rank_arr(
+                    t["rank_enc"].combine_chunks())}),
+            batch_format="pyarrow")
+        joined = keyed.select_columns(["kind", "norm_key", "member"]) \
+            .join(rep_tbl, join_type="inner", on=("kind", "norm_key"),
+                  num_partitions=n_parts)
+        return joined.select_columns(["kind", "representative", "member"])
 
     # judge path: full group per (kind, norm_key), size-capped chunks
     def judged(g: pd.DataFrame) -> pd.DataFrame:

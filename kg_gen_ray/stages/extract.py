@@ -322,9 +322,14 @@ class TripleExtractor:
         if not self.config.lang_routes:
             return self._backends[None].extract_batch(batch)
         parts = []
-        langs = pc.unique(pc.cast(batch["lang"], pa.string())).to_pylist()
-        for lang in langs:
-            sub = batch.filter(pc.equal(batch["lang"], lang))
+        lang_col = pc.cast(batch["lang"], pa.string())
+        for lang in pc.unique(lang_col).to_pylist():
+            if lang is None:
+                # pc.equal(col, None) is all-null and filter drops nulls —
+                # route unset-lang rows to the default backend explicitly
+                sub = batch.filter(pc.is_null(lang_col))
+            else:
+                sub = batch.filter(pc.equal(lang_col, lang))
             parts.append(self._backend_for(lang).extract_batch(sub))
         if not parts:
             return _triples_table([], [], [], [], [])

@@ -50,9 +50,18 @@ def read_manifest(manifest_dir: str, partition_id: int):
         return None               # corrupt manifest == not completed
 
 
-def is_complete(manifest_dir: str, partition_id: int, config_hash: str) -> bool:
+def is_complete(manifest_dir: str, partition_id: int, config_hash: str,
+                input_files: list | None = None) -> bool:
+    """A partition is complete only if config AND (when given) its input
+    file set match the manifest — adding a shard re-shuffles the
+    round-robin assignment, so a stale manifest for the same pid must NOT
+    skip the re-extraction (silent data loss otherwise)."""
     m = read_manifest(manifest_dir, partition_id)
-    return m is not None and m.config_hash == config_hash
+    if m is None or m.config_hash != config_hash:
+        return False
+    if input_files is not None and sorted(m.input_files) != sorted(input_files):
+        return False
+    return True
 
 
 def atomic_output_dir(final_dir: str):

@@ -119,3 +119,21 @@ def test_corrupt_manifest_recomputes(corpus_dir, tmp_path, ray_session):
     assert lineage.read_manifest(f"{out}/manifests", 0) is None
     m = run_partition(0, files[:1], out, cfg())   # recomputes cleanly
     assert m.row_counts["pages"] == 12
+
+
+def test_new_shard_invalidates_partitions(corpus_dir, tmp_path, ray_session):
+    # regression: resume used to key on (pid, config) only — adding a shard
+    # re-shuffles the round-robin file assignment, and stale manifests
+    # silently skipped re-extraction, losing the new shard's triples
+    import pyarrow.parquet as pq
+
+    from kg_gen_ray.sources.pages import synthetic_pages_table
+
+    files = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    out = str(tmp_path / "run_newshard")
+    r1 = run_partitioned(files, out, cfg(), n_partitions=2)
+
+    extra = str(tmp_path / "extra.parquet")
+    pq.write_table(synthetic_pages_table(12, seed=777), extra)
+    r2 = run_partitioned(sorted(files + [extra]), out, cfg(), n_partitions=2)
+    assert r2["graph_counts"]["triples"] > r1["graph_counts"]["triples"]
