@@ -23,13 +23,21 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+# module-level (pickle-by-value compatibility): worker-side
+# filter closures must not lazily import kg_gen_ray
+from kg_gen_ray.stages.common import in_set_mask
+
 
 def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    n = len(batch)
+    if n == 0:
+        # reshape(0, -1) raises on empty input; width 0 is fine since no
+        # consumer touches columns of an empty matrix
+        return np.zeros((0, 0), dtype=np.float64)
     arr = batch[col]
     flat = np.asarray(arr.flatten().to_pylist() if not isinstance(arr, pa.ChunkedArray)
                       else arr.combine_chunks().flatten().to_pylist(),
                       dtype=np.float64)
-    n = len(batch)
     return flat.reshape(n, -1)
 
 
@@ -124,9 +132,7 @@ def ivf_topk(embeddings: "ray.data.Dataset", centroids: np.ndarray,
     ref = ray.put(probe_ids)
 
     def only_probed(t: pa.Table, ref=ref) -> pa.Table:
-        ids = ray.get(ref)
-        mask = pa.array([i in ids for i in t[id_col].to_pylist()])
-        return t.filter(mask)
+        return t.filter(in_set_mask(t[id_col], ref))
 
     subset = embeddings.map_batches(only_probed, batch_format="pyarrow")
     return brute_force_topk(subset, query, k, id_col)

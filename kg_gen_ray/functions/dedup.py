@@ -24,6 +24,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module-level (pickle-by-value compatibility): worker-side
+# filter closures must not lazily import kg_gen_ray
+from kg_gen_ray.stages.common import in_set_mask
+
 import ray.data
 
 N_HASHES = 4          # minhash signature length
@@ -157,9 +161,7 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset",
     hot_ref = ray.put(hot)
 
     def only_hot(t: pa.Table, hot_ref=hot_ref) -> pa.Table:
-        h = ray.get(hot_ref)
-        mask = pa.array([k in h for k in t["band_key"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(in_set_mask(t["band_key"], hot_ref))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
@@ -309,9 +311,7 @@ def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3,
     hot_ref = ray.put(hot)
 
     def only_hot(t: pa.Table, hot_ref=hot_ref) -> pa.Table:
-        h = ray.get(hot_ref)
-        mask = pa.array([k in h for k in t["bucket"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(in_set_mask(t["bucket"], hot_ref))
 
     sigs = sigs.map_batches(only_hot, batch_format="pyarrow")
 
@@ -369,8 +369,7 @@ def near_dup_canonical(docs: "ray.data.Dataset",
     ref = _ray.put(dropped)
 
     def keep(t: pa.Table) -> pa.Table:
-        d = _ray.get(ref)
-        mask = pa.array([i not in d for i in t["doc_id"].to_pylist()])
-        return t.select(["doc_id"]).filter(mask)
+        return t.select(["doc_id"]).filter(
+            in_set_mask(t["doc_id"], ref, invert=True))
 
     return docs.map_batches(keep, batch_format="pyarrow")

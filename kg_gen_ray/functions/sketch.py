@@ -65,7 +65,9 @@ def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
     regardless of input size)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        vals = pc.cast(t[col], pa.string()).to_pylist()
+        # drop nulls: SQL COUNT(DISTINCT) excludes them, and str(None)
+        # would collide with a literal 'None' value
+        vals = pc.cast(t[col], pa.string()).drop_null().to_pylist()
         regs = _registers(_hashes(vals))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 

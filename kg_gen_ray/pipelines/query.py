@@ -83,9 +83,6 @@ def relevant_nodes(triples: "ray.data.Dataset", query: str, k: int = 8,
     labels = entity_labels(triples)
     emb = embed_stage(labels, backend="hash", dim=dim)
 
-    def with_id(t: pa.Table) -> pa.Table:
-        return t
-
     # give rows a stable integer id by sorting labels (small table)
     rows = emb.take_all()
     rows.sort(key=lambda r: r["member"])

@@ -40,8 +40,12 @@ HTML_POST = "</p></body></html>"
 
 def _wrap_html(doc_id: int, text: str) -> bytes:
     """Deterministic minimal HTML wrapper. Inverse of
-    :func:`kg_gen_ray.stages.extract_text.extract_text` (byte-identical)."""
-    return (HTML_PRE + str(doc_id) + HTML_MID + text + HTML_POST).encode("utf-8")
+    :func:`kg_gen_ray.stages.extract_text.extract_text` (byte-identical
+    for ARBITRARY text: ``&`` and ``<`` are entity-escaped so embedded
+    markup like ``</p>`` cannot truncate the paragraph capture; the
+    extractor unescapes in the reverse order)."""
+    esc = text.replace("&", "&amp;").replace("<", "&lt;")
+    return (HTML_PRE + str(doc_id) + HTML_MID + esc + HTML_POST).encode("utf-8")
 
 
 def _pages_batch(batch: pa.Table) -> pa.Table:

@@ -51,6 +51,32 @@ def hash_bucket_array(key_chunked, n_buckets: int):
                      for k in key_chunked.to_pylist()], pa.int64())
 
 
+def in_set_mask(col, ref, invert: bool = False):
+    """Vectorized broadcast-set membership mask for a column: the caller
+    ``ray.put`` a set once; every task converts it to an Arrow value_set
+    (cached per process per object ref) and runs ``pc.is_in`` — no
+    per-element Python loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    cached = _VALSET_CACHE.get(key)
+    if cached is None:
+        vals = list(ray.get(ref))
+        cached = pa.array(vals) if vals else None   # empty -> null-typed
+        _VALSET_CACHE[key] = (cached,)
+    else:
+        cached = cached[0]
+    if cached is None:
+        base = [invert] * len(col)
+        return pa.array(base, pa.bool_())
+    mask = pc.is_in(col, value_set=cached)
+    return pc.invert(mask) if invert else mask
+
+
+_VALSET_CACHE: dict = {}
+
+
 def coalesce(ds: "ray.data.Dataset", shuffle_partitions):
     """Repartition (no shuffle — block split/merge only) ahead of a wide op
     when a width override is requested."""

@@ -28,10 +28,13 @@ _PARA = re.compile(rb"<p\b[^>]*>(.*?)</p>", re.DOTALL | re.IGNORECASE)
 
 
 def extract_text(html: bytes) -> str:
-    """Pure deterministic extraction; see module docstring."""
+    """Pure deterministic extraction; see module docstring. Unescapes the
+    two entities the corpus wrapper escapes (``&lt;`` then ``&amp;``, the
+    reverse of the wrap order) so round-trip holds for arbitrary text."""
     body = _DROP_BLOCK.sub(b"", html)
     paras = _PARA.findall(body)
-    return b"\n".join(paras).decode("utf-8")
+    return (b"\n".join(paras).decode("utf-8")
+            .replace("&lt;", "<").replace("&amp;", "&"))
 
 
 # ---------------------------------------------------------------------------

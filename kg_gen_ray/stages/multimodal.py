@@ -56,7 +56,10 @@ class FakeCodec:
 
 
 class PilCodec:
-    """Real image codec, gated on PIL availability (not in this container)."""
+    """Placeholder for a real image codec. The decode methods are NOT
+    implemented yet (only the availability gate is), so constructing it
+    always raises — with PIL installed it would otherwise fail with an
+    AttributeError deep inside a Ray task at first batch."""
 
     def __init__(self):
         try:
@@ -65,6 +68,9 @@ class PilCodec:
             raise NotImplementedError(
                 "PIL is not installed in this environment; use FakeCodec "
                 "for plumbing tests or install pillow") from e
+        raise NotImplementedError(
+            "PilCodec decode methods (probe/features/resize/sample_frames) "
+            "are not implemented; use FakeCodec for the Ray-side plumbing")
 
 
 class MediaProbe:
