@@ -576,25 +576,37 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_events_sliding(sf_dir: str):
-    """1-hour windows sliding every 30 min; sum emitted as integer cents so
-    float summation order cannot flip the 6-dp value hash."""
+    """1-hour windows sliding every 30 min. value is converted to integer
+    cents PER ROW before the distributed Sum (same as pricing_summary), so
+    float summation order cannot flip the hash at any scale — a float64
+    sum rounded after the fact diverges from the oracle once a window's
+    accumulated error crosses half a cent."""
     import ray.data
     from kg_gen_ray.functions.windows import sliding_window
     path = f"{sf_dir}/events.parquet"
     ds = ray.data.read_parquet(path, columns=["event_type", "ts", "value"],
                                override_num_blocks=_read_blocks(path))
-    out = sliding_window(ds, window_sec=3600, slide_sec=1800)
 
-    def cents(t: pa.Table) -> pa.Table:
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "ts": t["ts"],
+            "cents": pc.cast(pc.round(
+                pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()),
+        })
+
+    out = sliding_window(ds.map_batches(to_cents, batch_format="pyarrow"),
+                         window_sec=3600, slide_sec=1800, value_col="cents")
+
+    def project(t: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": t["event_type"],
             "window_start": t["window_start"],
             "n_events": pc.cast(t["n_events"], pa.int64()),
-            "sum_cents": pc.cast(pc.round(
-                pc.multiply(t["sum_value"], pa.scalar(100.0))), pa.int64()),
+            "sum_cents": pc.cast(t["sum_value"], pa.int64()),
         })
 
-    return out.map_batches(cents, batch_format="pyarrow")
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def q_events_asof(sf_dir: str):
@@ -1120,7 +1132,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, value, s1 - INTERVAL '1800 seconds' FROM w)
         SELECT event_type, window_start,
                count(*)::BIGINT AS n_events,
-               round(sum(value) * 100)::BIGINT AS sum_cents
+               sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
         FROM exploded GROUP BY event_type, window_start"""
 
     sql["events_asof"] = """

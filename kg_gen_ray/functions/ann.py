@@ -229,7 +229,12 @@ def lsh_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
     seeded random projections; exact cosine verification runs only within
     buckets (groupby). Recall < 1 by design — the 100 TB path.
     """
-    dim = len(embeddings.take(1)[0]["embedding"])
+    first = embeddings.take(1)
+    if not first:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+    dim = len(first[0]["embedding"])
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     p_ref = ray.put(planes)

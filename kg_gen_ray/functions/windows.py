@@ -174,7 +174,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         if not len(refs):
             out = rows[left_cols].copy()
             for c in r_cols:
-                out[c] = None
+                # typed placeholders: plain None would make an object-dtype
+                # (null-typed Arrow) column whose schema can't unify with
+                # float-typed blocks from buckets that DID have refs
+                out[c] = pd.Series(None, index=out.index,
+                                   dtype=g[c].dtype)
             return out
         merged = pd.merge_asof(
             rows[["__key", "__ts", *left_cols]],

@@ -92,7 +92,16 @@ def run_partitioned(input_files: list, out_dir: str,
     # cluster=False, shuffle-width overrides) — no divergent re-implementation
     from kg_gen_ray.pipelines.kg_pipeline import canonicalize_triples
 
-    raw = ray.data.read_parquet(os.path.join(out_dir, "triples_raw"))
+    # read ONLY the part dirs belonging to the CURRENT input partitioning:
+    # a resumed run whose input set shrank leaves stale part-{pid} dirs
+    # (pid >= len(parts)) on disk from the earlier, wider run — reading the
+    # whole triples_raw/ directory would silently merge triples from inputs
+    # that are no longer in the run
+    import glob as _glob
+    part_files = sorted(f for pid in range(len(parts))
+                        for f in _glob.glob(os.path.join(
+                            out_dir, "triples_raw", f"part-{pid:05d}", "*")))
+    raw = ray.data.read_parquet(part_files)
     res = canonicalize_triples(raw, config)
     # phase 2 is idempotent-by-rerun: write the graph ATOMICALLY (temp dir
     # + rename) — write_parquet into an existing directory would append new

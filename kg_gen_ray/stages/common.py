@@ -54,27 +54,36 @@ def hash_bucket_array(key_chunked, n_buckets: int):
 def in_set_mask(col, ref, invert: bool = False):
     """Vectorized broadcast-set membership mask for a column: the caller
     ``ray.put`` a set once; every task converts it to an Arrow value_set
-    (cached per process per object ref) and runs ``pc.is_in`` — no
-    per-element Python loop."""
+    (cached per process, bounded LRU keyed by ObjectRef hex) and runs
+    ``pc.is_in`` — no per-element Python loop. Non-ObjectRef inputs are
+    converted fresh each call (no id()-keyed caching: addresses are reused
+    after GC, so an id key can silently alias two different sets)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    cached = _VALSET_CACHE.get(key)
+    key = ref.hex() if hasattr(ref, "hex") else None
+    cached = _VALSET_CACHE.get(key) if key is not None else None
     if cached is None:
-        vals = list(ray.get(ref))
-        cached = pa.array(vals) if vals else None   # empty -> null-typed
-        _VALSET_CACHE[key] = (cached,)
-    else:
-        cached = cached[0]
-    if cached is None:
+        vals = list(ray.get(ref) if hasattr(ref, "hex") else ref)
+        cached = (pa.array(vals) if vals else None,)  # empty -> None
+        if key is not None:
+            _VALSET_CACHE[key] = cached
+            while len(_VALSET_CACHE) > _VALSET_CACHE_MAX:
+                _VALSET_CACHE.pop(next(iter(_VALSET_CACHE)))
+    valset = cached[0]
+    if valset is None:
         base = [invert] * len(col)
         return pa.array(base, pa.bool_())
-    mask = pc.is_in(col, value_set=cached)
+    mask = pc.is_in(col, value_set=valset)
     return pc.invert(mask) if invert else mask
 
 
+# bounded: long-lived workers serve many pipeline invocations; an unbounded
+# cache would pin every broadcast set ever seen. Plain dict + FIFO eviction
+# (insertion-ordered) — entries are tiny compared to the sets they decode,
+# and 8 concurrent hot sets per worker is far above any real pipeline.
 _VALSET_CACHE: dict = {}
+_VALSET_CACHE_MAX = 8
 
 
 def coalesce(ds: "ray.data.Dataset", shuffle_partitions):

@@ -137,3 +137,23 @@ def test_new_shard_invalidates_partitions(corpus_dir, tmp_path, ray_session):
     pq.write_table(synthetic_pages_table(12, seed=777), extra)
     r2 = run_partitioned(sorted(files + [extra]), out, cfg(), n_partitions=2)
     assert r2["graph_counts"]["triples"] > r1["graph_counts"]["triples"]
+
+
+def test_shrunk_input_drops_stale_partitions(corpus_dir, tmp_path,
+                                             ray_session):
+    # regression: a resumed run over FEWER inputs used to read the whole
+    # triples_raw/ directory, so checkpoint dirs with pid >= the new
+    # partition count leaked triples from inputs no longer in the run
+    files = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    out = str(tmp_path / "run_shrunk")
+    run_partitioned(files, out, cfg(), n_partitions=4)        # 4 part dirs
+
+    # rerun over only 2 of the 4 original files -> 2 partitions; stale
+    # part-00002/part-00003 dirs remain on disk and must NOT be read
+    shrunk = run_partitioned(files[:2], out, cfg(), n_partitions=4)
+    assert shrunk["total_partitions"] == 2
+
+    fresh_out = str(tmp_path / "run_fresh")
+    fresh = run_partitioned(files[:2], fresh_out, cfg(), n_partitions=4)
+    assert triples_set(f"{out}/graph") == triples_set(f"{fresh_out}/graph")
+    assert shrunk["graph_counts"] == fresh["graph_counts"]
