@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_shingles": q_text_shingles,
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
+        "minhash_sig_fast": q_minhash_sig_fast,
         "dedup_simhash": q_dedup_simhash,              # rows-only (bit packing)
         "near_dup_canonical": q_near_dup_canonical,
         "fused_text_fast": q_fused_text_fast,          # rows-only (u64 engine hashes)
@@ -450,9 +451,20 @@ def q_rank_fusion_topk(sf_dir: str):
 
 def q_near_dup_canonical(sf_dir: str):
     """End-to-end near-dup dedup: LSH pairs -> connected components ->
-    lowest-doc_id survivor per cluster."""
+    lowest-doc_id survivor per cluster. Composes on the vectorized u64
+    MinHash family (still DuckDB-reproducible — see the fast-family CTEs
+    in oracle_sql); the md5 hex-string family stays oracle-covered via
+    minhash_signatures / minhash_band_pairs."""
     from kg_gen_ray.functions.dedup import near_dup_canonical
     return near_dup_canonical(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_minhash_sig_fast(sf_dir: str):
+    """Oracle-parity u64 MinHash signatures (md5-u32 token hashes + u64
+    affine mixing, one md5 per unique token per batch)."""
+    from kg_gen_ray.functions.fast_text import minhash_signatures_fast
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        minhash_signatures_fast, batch_format="pyarrow")
 
 
 def q_fused_text_fast(sf_dir: str):
@@ -770,6 +782,43 @@ _SIGS = (
     "coalesce(h2, '') AS h2, coalesce(h3, '') AS h3 "
     "FROM docs d LEFT JOIN sigs0 USING (doc_id))")
 
+# --- fast u64 MinHash family (kg_gen_ray.functions.fast_text, oracle-parity
+# constants _OC1/_OC2/_OA/_OB). numpy computes uint64 wraparound; DuckDB
+# replays it as HUGEINT % 2^64 — the multipliers are sized so no
+# intermediate exceeds INT128 (token hashes are md5-prefix uint32; the
+# affine/band multipliers are 32-bit).
+_P64 = "18446744073709551616"
+_FC1 = 0x9E3779B97F4A7C15
+_FC2 = 0xC2B2AE3D27D4EB4F
+_FA = [0x9E3779B9, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F]
+_FB = [0x165667B1, 0xD3A2646D, 0xFD7046C5, 0xB55A4F09]
+
+
+def _hu32(x: str) -> str:
+    return f"('0x'||substr(md5({x}),1,8))::BIGINT"
+
+
+_FSH = (
+    "fts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM docs), "
+    "fsh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+    "list_transform(range(1, len(ts)-1), i -> "
+    f"({_hu32('ts[i]')}::HUGEINT * {_FC1} + {_hu32('ts[i+1]')}::HUGEINT * {_FC2}"
+    f" + {_hu32('ts[i+2]')}) % {_P64}) "
+    f"WHEN len(ts) = 2 THEN [({_hu32('ts[1]')}::HUGEINT * {_FC1}"
+    f" + {_hu32('ts[2]')}) % {_P64}] "
+    f"ELSE [{_hu32('ts[1]')}::HUGEINT] END AS shs FROM fts)")
+
+_FSIGS = ("fsigs AS (SELECT doc_id, " + ", ".join(
+    f"list_min(list_transform(shs, s -> ((s::HUGEINT * {_FA[k]} + {_FB[k]})"
+    f" % {_P64})))::UBIGINT AS m{k}" for k in range(4)) + " FROM fsh)")
+
+_FBANDS = (
+    "fbands AS ("
+    f"SELECT doc_id, ((m0::HUGEINT * {_FA[0]} + m1 + {_FB[0]}) % {_P64})::UBIGINT"
+    " AS band_key FROM fsigs UNION ALL "
+    f"SELECT doc_id, ((m2::HUGEINT * {_FA[1]} + m3 + {_FB[1]}) % {_P64})::UBIGINT"
+    " FROM fsigs)")
+
 
 def oracle_sql() -> dict[str, str]:
     sql = {}
@@ -971,19 +1020,19 @@ def oracle_sql() -> dict[str, str]:
           FROM bscores b JOIN embeddings e ON e.vec_id = b.doc_id, q)
         SELECT doc_id FROM fused ORDER BY fs DESC, doc_id LIMIT 10"""
 
+    sql["minhash_sig_fast"] = f"""
+        WITH {_DOCS}, {_FSH}, {_FSIGS}
+        SELECT doc_id, m0, m1, m2, m3 FROM fsigs"""
+
     # transitive closure of the LSH candidate-pair graph via recursive CTE,
-    # keep the min doc of each component
+    # keep the min doc of each component. Candidate pairs come from the
+    # fast u64 band keys (what near_dup_canonical actually runs on).
     sql["near_dup_canonical"] = f"""
-        WITH RECURSIVE {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS},
-        bands AS (
-          SELECT doc_id, 0 AS band, md5('0:' || h0 || ':' || h1) AS band_key FROM sigs
-          UNION ALL
-          SELECT doc_id, 1, md5('1:' || h2 || ':' || h3) FROM sigs),
+        WITH RECURSIVE {_DOCS}, {_FSH}, {_FSIGS}, {_FBANDS},
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id),
+          FROM fbands a JOIN fbands b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
         edges AS (
           SELECT doc_a AS u, doc_b AS v FROM pairs
           UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -331,45 +331,107 @@ def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3,
 
 
 def near_dup_canonical(docs: "ray.data.Dataset",
-                       shuffle_partitions=None) -> "ray.data.Dataset":
+                       shuffle_partitions=None, method: str = "fast",
+                       broadcast_limit: int = 64 * 1024 * 1024
+                       ) -> "ray.data.Dataset":
     """End-to-end near-duplicate document dedup: MinHash-LSH candidate
     pairs -> connected components (distributed min-label propagation) ->
     keep the lowest doc_id of each component (singletons keep themselves).
 
     The canonical training-data dedup composition: shingle -> minhash ->
     band-bucket groupby -> transitive closure -> one representative per
-    duplicate cluster. Returns (doc_id) of survivors."""
-    import numpy as np
+    duplicate cluster. Returns (doc_id) of survivors.
 
+    ``method="fast"`` (default) composes on the vectorized u64 MinHash
+    family (:func:`kg_gen_ray.functions.fast_text.minhash_lsh_pairs_fast`
+    — still DuckDB-reproducible); ``method="md5"`` keeps the md5
+    hex-string family for parity with the reference-shaped oracle chain.
+
+    Size-selected duals at both scale-sensitive points: (1) the candidate
+    pair graph — small (the common case: LSH pairs are rare by
+    construction) -> driver union-find, one pass, no iterated shuffles;
+    large (dup-heavy crawl) -> distributed min-label propagation. (2) the
+    dropped-id set — small -> one broadcast anti-membership filter (no
+    shuffle); large -> a distributed left-anti hash join. No O(corpus) or
+    unconditional O(duplicates) driver collection anywhere."""
+    from kg_gen_ray.functions.fast_text import minhash_lsh_pairs_fast
     from kg_gen_ray.stages.canonicalize import label_propagation
 
-    pairs = minhash_lsh_pairs(docs, shuffle_partitions).materialize()
+    if method == "md5":
+        pairs = minhash_lsh_pairs(docs, shuffle_partitions)
+    else:
+        pairs = minhash_lsh_pairs_fast(docs, shuffle_partitions)
+    pairs = pairs.materialize()
 
-    # label propagation orders labels by (len, lex): zero-pad doc ids so
-    # that order coincides with numeric order
-    def pad(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "a": pa.array([f"{i:020d}" for i in t["doc_a"].to_pylist()],
-                          pa.string()),
-            "b": pa.array([f"{i:020d}" for i in t["doc_b"].to_pylist()],
-                          pa.string()),
-        })
+    if (pairs.size_bytes() or 0) <= broadcast_limit:
+        # driver union-find over the (tiny) pair graph; losers are every
+        # node that is not its component's min
+        parent: dict = {}
 
-    comp = label_propagation(pairs.map_batches(pad, batch_format="pyarrow"))
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
 
-    # docs that lost their component election (node != min label) drop out
-    dropped = set()
-    for b in comp.iter_batches(batch_format="pyarrow"):
-        for node, root in zip(b["node"].to_pylist(),
-                              b["component"].to_pylist()):
-            if node != root:
-                dropped.add(int(node))
-    # dropped is small by construction (only near-dup losers); broadcast
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            for a_, b_ in zip(b["doc_a"].to_pylist(),
+                              b["doc_b"].to_pylist()):
+                parent.setdefault(a_, a_)
+                parent.setdefault(b_, b_)
+                ra, rb = find(a_), find(b_)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        loser_ids = [x for x in parent if find(x) != x]
+        losers = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(loser_ids, pa.int64())}))
+    else:
+        # label propagation orders labels by (len, lex): zero-pad doc ids
+        # so that order coincides with numeric order
+        def pad(t: pa.Table) -> pa.Table:
+            def z(col):
+                s = pc.cast(pc.cast(col, pa.int64()), pa.string())
+                return pc.utf8_lpad(s, 20, "0")
+            return pa.table({"a": z(t["doc_a"]), "b": z(t["doc_b"])})
+
+        comp = label_propagation(
+            pairs.map_batches(pad, batch_format="pyarrow"))
+
+        # docs that lost their component election (node != min) drop out
+        def losers_only(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(t["node"], t["component"])
+            sub = t.filter(keep)
+            return pa.table({
+                "doc_id": pc.cast(sub["node"], pa.int64()),
+            })
+
+        losers = comp.map_batches(losers_only, batch_format="pyarrow")
+    losers = losers.materialize()
+
+    if (losers.size_bytes() or 0) <= broadcast_limit:
+        import ray as _ray
+        dropped = set()
+        for b in losers.iter_batches(batch_format="pyarrow"):
+            dropped.update(b["doc_id"].to_pylist())
+        ref = _ray.put(dropped)
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id"]).filter(
+                in_set_mask(t["doc_id"], ref, invert=True))
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    # join dual: anti-join docs against the loser ids
     import ray as _ray
-    ref = _ray.put(dropped)
-
-    def keep(t: pa.Table) -> pa.Table:
-        return t.select(["doc_id"]).filter(
-            in_set_mask(t["doc_id"], ref, invert=True))
-
-    return docs.map_batches(keep, batch_format="pyarrow")
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    marked = losers.repartition(n_parts).map_batches(
+        lambda t: t.append_column("__drop", pa.array([1] * t.num_rows,
+                                                     pa.int8())),
+        batch_format="pyarrow")
+    joined = docs.select_columns(["doc_id"]).repartition(n_parts) \
+        .join(marked, join_type="left_outer", on=("doc_id",),
+              num_partitions=n_parts)
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__drop"])).select(["doc_id"]),
+        batch_format="pyarrow")

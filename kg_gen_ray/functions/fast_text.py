@@ -21,6 +21,8 @@ engine-internal values, not a cross-system interchange format.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -92,40 +94,8 @@ def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES,
                << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
 
     # ---- MinHash over 3-gram shingle hashes
-    with np.errstate(over="ignore"):
-        if len(th) >= 3:
-            same = (row_idx[:-2] == row_idx[2:])
-            sh = (th[:-2] * _MIX1 + th[1:-1] * _MIX2 + th[2:])[same]
-            srow = row_idx[:-2][same]
-        else:
-            sh = np.zeros(0, dtype=np.uint64)
-            srow = np.zeros(0, dtype=np.int64)
-        # short rows (< 3 tokens, >= 1 token): whole-row mix as one shingle
-        short = (lengths > 0) & (lengths < 3)
-        if short.any():
-            extra = np.zeros(int(short.sum()), dtype=np.uint64)
-            srt = np.flatnonzero(short)
-            starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
-            for i, row in enumerate(srt):
-                seg = th[starts[row]:starts[row] + lengths[row]]
-                v = np.uint64(0)
-                for x in seg:
-                    v = v * _MIX1 + x
-                extra[i] = v
-            sh = np.concatenate([sh, extra])
-            srow = np.concatenate([srow, srt])
-            order = np.argsort(srow, kind="stable")
-            sh, srow = sh[order], srow[order]
-
-        mins = np.full((n_hashes, n), np.iinfo(np.uint64).max,
-                       dtype=np.uint64)
-        if len(sh):
-            boundaries = np.flatnonzero(
-                np.concatenate([[True], srow[1:] != srow[:-1]]))
-            rows_present = srow[boundaries]
-            for k in range(n_hashes):
-                hk = sh * _A[k] + _B[k]
-                mins[k, rows_present] = np.minimum.reduceat(hk, boundaries)
+    mins = _minhash_core(th, row_idx, lengths, n, n_hashes,
+                         _MIX1, _MIX2, _A, _B)
     # single-space-split semantics: "" tokenizes to one empty token (DuckDB
     # string_split parity), so every row gets >= 1 shingle; the sentinel
     # max remains only as a guard for rows that somehow had zero tokens
@@ -141,61 +111,204 @@ def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES,
     return pa.table(cols)
 
 
-def minhash_lsh_pairs_fast(docs, bands: int = 2,
-                           shuffle_partitions=None):
-    """LSH candidate pairs over the fast u64 signatures (2 bands x 2 rows
-    for the default 4 hashes) — same hot-bucket-prefilter shape as
-    :func:`kg_gen_ray.functions.dedup.minhash_lsh_pairs`."""
+def _minhash_core(th: np.ndarray, row_idx: np.ndarray, lengths: np.ndarray,
+                  n: int, n_hashes: int, c1: np.uint64, c2: np.uint64,
+                  A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Shared vectorized MinHash: token hashes -> 3-gram shingle hashes
+    (``t0*c1 + t1*c2 + t2`` in uint64 wraparound) -> ``n_hashes`` affine
+    variants -> per-row minima via ``np.minimum.reduceat``. Short rows
+    (1-2 tokens) contribute one whole-row fold ``v = v*c1 + t``. Returns
+    a ``(n_hashes, n)`` uint64 matrix (sentinel max for zero-token rows).
+    """
+    with np.errstate(over="ignore"):
+        if len(th) >= 3:
+            same = (row_idx[:-2] == row_idx[2:])
+            sh = (th[:-2] * c1 + th[1:-1] * c2 + th[2:])[same]
+            srow = row_idx[:-2][same]
+        else:
+            sh = np.zeros(0, dtype=np.uint64)
+            srow = np.zeros(0, dtype=np.int64)
+        short = (lengths > 0) & (lengths < 3)
+        if short.any():
+            extra = np.zeros(int(short.sum()), dtype=np.uint64)
+            srt = np.flatnonzero(short)
+            starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+            for i, row in enumerate(srt):
+                seg = th[starts[row]:starts[row] + lengths[row]]
+                v = np.uint64(0)
+                for x in seg:
+                    v = v * c1 + x
+                extra[i] = v
+            sh = np.concatenate([sh, extra])
+            srow = np.concatenate([srow, srt])
+            order = np.argsort(srow, kind="stable")
+            sh, srow = sh[order], srow[order]
+
+        mins = np.full((n_hashes, n), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        if len(sh):
+            boundaries = np.flatnonzero(
+                np.concatenate([[True], srow[1:] != srow[:-1]]))
+            rows_present = srow[boundaries]
+            for k in range(n_hashes):
+                hk = sh * A[k] + B[k]
+                mins[k, rows_present] = np.minimum.reduceat(hk, boundaries)
+    return mins
+
+
+# ---------------------------------------------------------------------------
+# oracle-parity fast MinHash (md5-u32 tokens + u64 affine family)
+# ---------------------------------------------------------------------------
+# Same vectorized structure as the ahash path above, but every constant is
+# sized so DuckDB can replay the arithmetic bit-for-bit: token hash = first
+# 8 hex chars of md5(token) (a uint32), so `tok*C1` fits INT128 even with a
+# 64-bit C1, and the per-shingle affine variants use 32-bit odd multipliers
+# so `shingle*Ak` fits INT128 too. numpy computes everything as native
+# uint64 wraparound; DuckDB computes HUGEINT `% 2^64` — modular arithmetic
+# makes the two identical. One md5 per UNIQUE token per batch (vocabulary-
+# sized, not token-stream-sized) is the only Python loop.
+
+_OC1 = np.uint64(0x9E3779B97F4A7C15)
+_OC2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_OA = np.array([0x9E3779B9, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F],
+               dtype=np.uint64)   # 32-bit odd multipliers
+_OB = np.array([0x165667B1, 0xD3A2646D, 0xFD7046C5, 0xB55A4F09],
+               dtype=np.uint64)
+
+
+def _md5_u32_hashes(flat: pa.Array) -> np.ndarray:
+    if len(flat) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    toks = np.asarray(flat.to_pylist(), dtype=object)
+    uniq, inv = np.unique(toks, return_inverse=True)
+    hu = np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+         for t in uniq), dtype=np.uint64, count=len(uniq))
+    return hu[inv]
+
+
+def minhash_signatures_fast(batch: pa.Table,
+                            n_hashes: int = N_HASHES) -> pa.Table:
+    """(doc_id, m0..m{n-1}) uint64 MinHash signatures — the oracle-checkable
+    scale path (see the family comment above). This is what
+    :func:`kg_gen_ray.functions.dedup.near_dup_canonical` composes on; the
+    md5-hex-string signatures in ``dedup.minhash_signatures`` remain as the
+    reference-parity variant."""
+    n = batch.num_rows
+    doc_id = pc.cast(batch["doc_id"], pa.int64())
+    if n == 0:
+        cols = {"doc_id": doc_id}
+        for k in range(n_hashes):
+            cols[f"m{k}"] = pa.array([], pa.uint64())
+        return pa.table(cols)
+    toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+    th = _md5_u32_hashes(toks.flatten())
+    row_idx = np.repeat(np.arange(n), lengths)
+    mins = _minhash_core(th, row_idx, lengths, n, n_hashes,
+                         _OC1, _OC2, _OA, _OB)
+    cols = {"doc_id": doc_id}
+    for k in range(n_hashes):
+        cols[f"m{k}"] = pa.array(mins[k], pa.uint64())
+    return pa.table(cols)
+
+
+def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
+                           signatures=minhash_signatures_fast,
+                           broadcast_limit: int = 64 * 1024 * 1024):
+    """LSH candidate pairs over u64 signatures (2 bands x 2 rows for the
+    default 4 hashes) — distinct (doc_a, doc_b), doc_a < doc_b.
+
+    Band key = ``(m_lo * OA[b] + m_hi + OB[b]) mod 2^64`` — one uint64
+    column, no per-row Python anywhere. Size-selected pairing dual: a
+    tiny band-rows table (16 bytes/doc/band — the materialize tells us)
+    is paired on the driver in one numpy sort, skipping three shuffle
+    stages whose fixed cost would dominate; at scale, hot buckets
+    (>= 2 docs) are found by a vectorized Count aggregate FILTERED
+    DISTRIBUTED (``n >= 2``) before the driver collects the (tiny by
+    construction) hot-key set — the full bucket-count table never leaves
+    the cluster — and pairing runs as a per-bucket groupby.
+    ``signatures`` is pluggable (default: the oracle-parity md5-u32
+    family; pass a polars-ahash wrapper for maximum throughput where
+    oracle reproducibility is not needed)."""
     import ray
     from ray.data.aggregate import Count
 
-    from kg_gen_ray.stages.common import coalesce
+    from kg_gen_ray.stages.common import (
+        coalesce, compact_if_small, in_set_mask)
     from kg_gen_ray.stages.rewrite import distinct
 
-    if bands < 1 or N_HASHES % bands != 0:
-        raise ValueError(
-            f"bands must be a positive divisor of {N_HASHES}, got {bands}")
-    rows_per_band = N_HASHES // bands
+    bands = N_HASHES // 2   # 2 rows per band
 
     def band_rows(t: pa.Table) -> pa.Table:
-        # MinHash only: skip the SimHash / token-stat sections
-        sig = fused_text_analysis(t, include_simhash=False,
-                                  include_stats=False)
+        sig = signatures(t)
         n = sig.num_rows
         with np.errstate(over="ignore"):
             doc = sig["doc_id"].to_numpy(zero_copy_only=False)
-            out_band, out_key, out_doc = [], [], []
+            out_key, out_doc = [], []
             for b in range(bands):
-                key = np.zeros(n, dtype=np.uint64)
-                for r in range(rows_per_band):
-                    key = key * _MIX1 + \
-                        sig[f"m{b * rows_per_band + r}"].to_numpy(
-                            zero_copy_only=False).astype(np.uint64)
-                key = key * _A[b % N_HASHES] + _B[b % N_HASHES]
-                out_band.append(np.full(n, b, dtype=np.int32))
-                out_key.append(key)
+                lo = sig[f"m{2 * b}"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                hi = sig[f"m{2 * b + 1}"].to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
+                out_key.append(lo * _OA[b] + hi + _OB[b])
                 out_doc.append(doc)
         return pa.table({
-            "band": pa.array(np.concatenate(out_band), pa.int32()),
             "band_key": pa.array(np.concatenate(out_key), pa.uint64()),
             "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
         })
 
-    rows = coalesce(docs.map_batches(band_rows, batch_format="pyarrow"),
-                    shuffle_partitions).materialize()
+    # compact_if_small: AQE-style — a small corpus's band rows collapse to
+    # a few blocks so the two downstream groupbys don't pay per-block
+    # shuffle overhead; a 100 TB corpus's rows stay at input width
+    rows = compact_if_small(
+        coalesce(docs.map_batches(band_rows, batch_format="pyarrow"),
+                 shuffle_partitions).materialize())
 
-    hot = rows.groupby(["band", "band_key"]).aggregate(
-        Count(alias_name="n"))
-    hot_keys = {(r["band"], r["band_key"]) for r in hot.take_all()
-                if r["n"] >= 2}
-    ref = ray.put(hot_keys)
+    if (rows.size_bytes() or 0) <= broadcast_limit:
+        keys_np, docs_np = [], []
+        for b in rows.iter_batches(batch_format="pyarrow"):
+            keys_np.append(b["band_key"].to_numpy(zero_copy_only=False))
+            docs_np.append(b["doc_id"].to_numpy(zero_copy_only=False))
+        if not keys_np:
+            return ray.data.from_arrow(pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64())}))
+        k = np.concatenate(keys_np)
+        d = np.concatenate(docs_np).astype(np.int64)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        bnd = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        sizes = np.diff(np.concatenate([bnd, [len(k)]]))
+        seen = set()
+        out_a, out_b = [], []
+        for start, sz in zip(bnd[sizes >= 2], sizes[sizes >= 2]):
+            ids = d[start:start + sz]
+            for i in range(sz):
+                for j in range(i + 1, sz):
+                    p = (int(ids[i]), int(ids[j]))
+                    if p[0] != p[1] and p not in seen:
+                        seen.add(p)
+                        out_a.append(p[0])
+                        out_b.append(p[1])
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64())}))
+
+    # distributed n>=2 filter FIRST; only hot keys reach the driver
+    hot_ds = rows.groupby("band_key").aggregate(Count(alias_name="n")) \
+                 .filter(expr="n >= 2").select_columns(["band_key"])
+    hot = {r["band_key"] for r in hot_ds.take_all()}
+    if not hot:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64())}))
+    ref = ray.put(hot)
 
     def only_hot(t: pa.Table, ref=ref) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pa.array([(b, k) in keys
-                         for b, k in zip(t["band"].to_pylist(),
-                                         t["band_key"].to_pylist())])
-        return t.filter(mask)
+        return t.filter(in_set_mask(t["band_key"], ref))
 
     import pandas as pd
 
@@ -209,6 +322,5 @@ def minhash_lsh_pairs_fast(docs, bands: int = 2,
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
     pairs = rows.map_batches(only_hot, batch_format="pyarrow") \
-        .groupby(["band", "band_key"]).map_groups(pair_up,
-                                                  batch_format="pandas")
+        .groupby("band_key").map_groups(pair_up, batch_format="pandas")
     return distinct(pairs, ["doc_a", "doc_b"], shuffle_partitions)

@@ -65,7 +65,16 @@ def in_set_mask(col, ref, invert: bool = False):
     cached = _VALSET_CACHE.get(key) if key is not None else None
     if cached is None:
         vals = list(ray.get(ref) if hasattr(ref, "hex") else ref)
-        cached = (pa.array(vals) if vals else None,)  # empty -> None
+        if vals:
+            try:
+                arr = pa.array(vals)
+            except OverflowError:
+                # Python ints >= 2^63 (e.g. uint64 band keys) overflow the
+                # default int64 inference
+                arr = pa.array(vals, pa.uint64())
+        else:
+            arr = None
+        cached = (arr,)  # empty -> None
         if key is not None:
             _VALSET_CACHE[key] = cached
             while len(_VALSET_CACHE) > _VALSET_CACHE_MAX:
@@ -74,6 +83,12 @@ def in_set_mask(col, ref, invert: bool = False):
     if valset is None:
         base = [invert] * len(col)
         return pa.array(base, pa.bool_())
+    col_type = col.type
+    if valset.type != col_type:
+        # e.g. a uint64 key column vs a value set inferred as int64 from
+        # Python ints — is_in on mismatched types errors or silently
+        # misses; the set is tiny, so the cast is free
+        valset = valset.cast(col_type)
     mask = pc.is_in(col, value_set=valset)
     return pc.invert(mask) if invert else mask
 

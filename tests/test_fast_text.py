@@ -78,6 +78,61 @@ def test_empty_batch():
     assert "simhash" in t.column_names
 
 
+def test_minhash_sig_fast_duckdb_parity():
+    """The u64 family's whole point: DuckDB replays the numpy uint64
+    wraparound arithmetic bit-for-bit (HUGEINT % 2^64)."""
+    import duckdb
+
+    from kg_gen_ray.functions.fast_text import (
+        _OA, _OB, _OC1, _OC2, minhash_signatures_fast)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs", "x", "a b", "",
+             "one two three four five six seven"]
+    tab = _batch(texts)
+    got = minhash_signatures_fast(tab).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    P = "18446744073709551616"
+
+    def hu(x):
+        return f"('0x'||substr(md5({x}),1,8))::BIGINT"
+
+    mins = ", ".join(
+        f"list_min(list_transform(shs, s -> ((s::HUGEINT * {int(_OA[k])} + "
+        f"{int(_OB[k])}) % {P})))::UBIGINT AS m{k}" for k in range(4))
+    q = f"""
+    WITH fts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    fsh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+        list_transform(range(1, len(ts)-1), i ->
+          ({hu('ts[i]')}::HUGEINT * {int(_OC1)} +
+           {hu('ts[i+1]')}::HUGEINT * {int(_OC2)} +
+           {hu('ts[i+2]')}) % {P})
+      WHEN len(ts) = 2 THEN
+        [({hu('ts[1]')}::HUGEINT * {int(_OC1)} + {hu('ts[2]')}) % {P}]
+      ELSE [{hu('ts[1]')}::HUGEINT] END AS shs FROM fts)
+    SELECT doc_id, {mins} FROM fsh ORDER BY doc_id"""
+    con = duckdb.connect()
+    con.register("documents", tab)
+    want = con.execute(q).df()
+    assert got.equals(want)
+
+
+def test_near_dup_canonical_join_dual_matches_broadcast(ray_session):
+    from kg_gen_ray.functions.dedup import near_dup_canonical
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(20)) for i in range(10)]
+    texts += [texts[0], texts[3], texts[3]]     # dups of 0 and 3
+    docs = rd.from_arrow(_batch(texts))
+    via_broadcast = sorted(
+        r["doc_id"] for r in near_dup_canonical(docs).take_all())
+    via_join = sorted(r["doc_id"] for r in near_dup_canonical(
+        docs, broadcast_limit=0).take_all())
+    assert via_broadcast == via_join
+    assert 10 not in via_broadcast and 11 not in via_broadcast
+    assert 0 in via_broadcast and 3 in via_broadcast
+
+
 def test_lsh_pairs_fast_finds_duplicates(ray_session):
     texts = []
     for i in range(40):
@@ -91,3 +146,9 @@ def test_lsh_pairs_fast_finds_duplicates(ray_session):
     assert (5, 41) in pairs
     # disjoint docs never pair
     assert all(a != 1 and b != 1 for a, b in pairs)
+    # the distributed pairing dual (forced via broadcast_limit=0) must
+    # produce the identical pair set
+    dist = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs_fast(
+                docs, broadcast_limit=0).take_all()}
+    assert dist == pairs
