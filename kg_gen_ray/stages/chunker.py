@@ -1,23 +1,34 @@
 """Sentence-aware text chunking stage.
 
-Re-implements the *semantics* of the reference chunker
-(``/root/reference/src/kg_gen/utils/chunk_text.py:17-66``) from its documented
-contract (see SURVEY.md §2.2 M1 and the reference tests
-``tests/test_chunk_text.py``):
+Re-implements the reference chunker
+(``/root/reference/src/kg_gen/utils/chunk_text.py:17-66``) with parity at
+both levels:
 
-* split text into sentences,
-* greedily pack consecutive sentences into chunks of at most
-  ``max_chunk_size`` characters (joined by single spaces),
-* a single sentence longer than the limit is split on whitespace and its
-  words greedily packed instead (word-split fallback),
-* chunks are stripped; empty chunks are dropped.
+* **Packing arithmetic** mirrors the reference exactly, including its
+  trailing-space accounting: the running chunk always carries a trailing
+  space, and a sentence joins only while
+  ``len(current) + len(sentence) + 1 <= max_chunk_size`` — one character
+  stricter than a naive ``len(joined) <= max`` check. A short text is NOT
+  short-circuited: like the reference, it is split into sentences and
+  re-joined with single spaces (normalizing inter-sentence whitespace).
+* **Sentence splitting** is a punkt-equivalent rule-based tokenizer (the
+  reference uses ``nltk.sent_tokenize``'s pre-trained English punkt
+  model, a ~trained abbreviation table + orthographic heuristics; that
+  model artifact is not shippable here, so the rules below encode its
+  documented English behavior): boundaries at ``[.!?]`` runs followed by
+  whitespace, EXCEPT after known abbreviations ("Dr.", "U.S.", "e.g."),
+  single-letter initials ("J. R. R. Tolkien"), or when the next word
+  starts lowercase (mid-sentence ellipsis/abbreviation); trailing closing
+  quotes/brackets attach to the preceding sentence (punkt's
+  ``realign_boundaries``). ``!``/``?`` always terminate.
 
-Differences by design: the reference uses the NLTK punkt model for sentence
-splitting; we use a deterministic, dependency-free regex splitter
-(terminator ``.!?`` followed by whitespace). Determinism and byte-stable
-chunk boundaries per url matter more at 100 TB than punkt's heuristics, and
-the per-url invariant (chunks rejoin to the original sentence stream) is
-asserted in tests.
+Documented divergences from the reference: NLTK punkt is a trained model,
+so texts outside these rule families may split differently; and the
+reference's word-fallback can append an empty-string chunk when a long
+sentence's first word exceeds the limit (``chunk_text.py:52``) — we drop
+empty chunks (an engine guard), everything else is identical. Chunk
+boundaries are pinned by golden-file hashes over the reference's own test
+corpora (``tests/test_chunker.py``).
 """
 
 from __future__ import annotations
@@ -28,42 +39,125 @@ import pyarrow as pa
 
 import ray.data
 
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+# Standard written-English abbreviations (the families punkt's pre-trained
+# English model learns from WSJ): honorifics, Latin abbreviations, months,
+# address/corporate suffixes, measurements, citation forms. Keys are
+# lowercase WITHOUT the final period; internal periods kept ("e.g", "u.s").
+_ABBREVS = frozenset("""
+    mr mrs ms dr prof rev fr sr jr st mt hon pres gov sen rep gen col maj
+    capt lt sgt cpl pvt adm cmdr
+    e.g i.e etc viz cf al eg ie
+    u.s u.k u.n a.m p.m a.d b.c ph.d m.d b.a m.a d.c
+    jan feb mar apr jun jul aug sep sept oct nov dec
+    no vol pp ch sec fig figs ed eds approx dept est min max
+    inc ltd co corp bros ave blvd rd hwy apt ste
+    vs v var stat
+""".split())
+
+# a potential boundary: terminator run + trailing closers + whitespace
+_BOUNDARY = re.compile(
+    r'(?P<term>[.!?]+)(?P<close>["\'”’\)\]\}]*)(?=(?P<ws>\s+))')
+
+_OPENERS = "\"'“‘([{"
+
+
+def _prev_token(text: str, end: int) -> str:
+    """The whitespace-delimited token ending at ``end`` (exclusive),
+    without the final terminator run."""
+    i = end
+    while i > 0 and not text[i - 1].isspace():
+        i -= 1
+    return text[i:end]
+
+
+def _next_alpha(text: str, start: int) -> str:
+    """First character after ``start`` that decides sentence-starter case,
+    skipping whitespace and opening quotes/brackets."""
+    for ch in text[start:]:
+        if ch.isspace() or ch in _OPENERS:
+            continue
+        return ch
+    return ""
 
 
 def split_sentences(text: str) -> list[str]:
-    return [s for s in _SENT_SPLIT.split(text) if s.strip()]
+    """Punkt-equivalent sentence tokenization (see module docstring)."""
+    bounds = []
+    for m in _BOUNDARY.finditer(text):
+        term = m.group("term")
+        if "." in term and "!" not in term and "?" not in term:
+            prev = _prev_token(text, m.start())
+            stripped = prev.lstrip("\"'“‘([{")
+            low = stripped.lower()
+            if len(term) == 1:
+                # known abbreviation ("Dr.", "U.S.", "e.g.") never breaks;
+                # nor does a single-letter initial ("J. R. R. Tolkien").
+                # punkt's ortho heuristic CAN break after an abbreviation
+                # before a strong sentence starter; without the trained
+                # starter table we take the conservative branch.
+                if low in _ABBREVS:
+                    continue
+                if len(stripped) == 1 and stripped.isalpha():
+                    continue
+            else:
+                # ellipsis ("..."): punkt breaks only before an
+                # orthographic sentence start (uppercase/digit); a
+                # lowercase continuation stays mid-sentence. An ordinary
+                # word + "." breaks REGARDLESS of the next word's case —
+                # punkt's first (type-based) stage marks every
+                # non-abbreviation final period as sentence-final.
+                nxt = _next_alpha(text, m.end() + len(m.group("ws")))
+                if nxt and nxt.islower():
+                    continue
+        bounds.append(m.end())
+
+    sents = []
+    start = 0
+    for b in bounds:
+        seg = text[start:b].strip()
+        if seg:
+            sents.append(seg)
+        start = b
+    tail = text[start:].strip()
+    if tail:
+        sents.append(tail)
+    return sents
 
 
 def chunk_text(text: str, max_chunk_size: int = 500) -> list[str]:
-    """Pure chunking function (same contract as reference ``chunk_text``)."""
-    if max_chunk_size <= 0 or len(text) <= max_chunk_size:
+    """Pure chunking function — reference packing arithmetic exactly
+    (``chunk_text.py:29-66``); empty chunks are dropped (see module
+    docstring)."""
+    if max_chunk_size <= 0:
         stripped = text.strip()
         return [stripped] if stripped else []
+
     chunks: list[str] = []
-    current = ""
+    current = ""          # invariant: ends with " " when non-empty
 
-    def flush():
-        nonlocal current
-        c = current.strip()
-        if c:
-            chunks.append(c)
-        current = ""
-
-    for sent in split_sentences(text):
-        if len(sent) > max_chunk_size:
-            # word-split fallback (ref chunk_text.py:44-57 semantics)
-            flush()
-            for word in sent.split():
-                if current and len(current) + 1 + len(word) > max_chunk_size:
-                    flush()
-                current = f"{current} {word}" if current else word
-            flush()
+    for sentence in split_sentences(text):
+        if len(current) + len(sentence) + 1 <= max_chunk_size:
+            current += sentence + " "
             continue
-        if current and len(current) + 1 + len(sent) > max_chunk_size:
-            flush()
-        current = f"{current} {sent}" if current else sent
-    flush()
+        if current:
+            chunks.append(current.strip())
+            current = ""
+        if len(sentence) > max_chunk_size:
+            # word-split fallback (ref chunk_text.py:44-57)
+            temp = ""
+            for word in sentence.split():
+                if len(temp) + len(word) + 1 <= max_chunk_size:
+                    temp += word + " "
+                else:
+                    if temp.strip():
+                        chunks.append(temp.strip())
+                    temp = word + " "
+            if temp.strip():
+                chunks.append(temp.strip())
+        else:
+            current = sentence + " "
+    if current:
+        chunks.append(current.strip())
     return chunks
 
 
@@ -99,8 +193,5 @@ def chunk_stage(pages: "ray.data.Dataset", max_chunk_size: int = 500
     (the reference loses chunk identity in its set-union merge,
     ``kg_gen.py:233-236``; we keep it for lineage).
     """
-    if max_chunk_size <= 0:
-        # no-chunk path (ref kg_gen.py:206-213): one chunk per page
-        max_chunk_size = 0
     fn = _ChunkBatch(max_chunk_size)
     return pages.map_batches(fn, batch_format="pyarrow")

@@ -89,5 +89,126 @@ def test_deterministic():
 
 
 def test_split_sentences():
-    assert split_sentences("A is B. C is D! E?  F.") == \
-        ["A is B.", "C is D!", "E?", "F."]
+    assert split_sentences("Apples are red. Grapes are sour! Oranges?  Fine.") == \
+        ["Apples are red.", "Grapes are sour!", "Oranges?", "Fine."]
+
+
+# --- punkt-equivalence family (the behaviors nltk punkt's English model
+# exhibits on abbreviations, initials, ellipses, quotes — the divergences
+# the old regex splitter got wrong) ------------------------------------------
+
+def test_abbreviations_do_not_split():
+    assert split_sentences("Dr. Smith went home. He slept.") == \
+        ["Dr. Smith went home.", "He slept."]
+    assert split_sentences("The U.S. economy grew. It was fast.") == \
+        ["The U.S. economy grew.", "It was fast."]
+    assert split_sentences("Fruits, e.g. apples, are good. Eat them.") == \
+        ["Fruits, e.g. apples, are good.", "Eat them."]
+    assert split_sentences("See Fig. 3 for details. It helps.") == \
+        ["See Fig. 3 for details.", "It helps."]
+
+
+def test_initials_do_not_split():
+    assert split_sentences("J. R. R. Tolkien wrote books. They sold well.") \
+        == ["J. R. R. Tolkien wrote books.", "They sold well."]
+
+
+def test_lowercase_continuation_does_not_split():
+    assert split_sentences("He paused... then continued walking.") == \
+        ["He paused... then continued walking."]
+
+
+def test_ellipsis_before_capital_splits():
+    assert split_sentences("He waited... Then he left.") == \
+        ["He waited...", "Then he left."]
+
+
+def test_trailing_quote_attaches_left():
+    assert split_sentences('"Stop." He ran away.') == \
+        ['"Stop."', "He ran away."]
+
+
+def test_exclamation_question_always_terminate():
+    assert split_sentences("Stop! go now? fine then.") == \
+        ["Stop!", "go now?", "fine then."]
+
+
+# --- reference test parity (ported byte-for-byte expectations from
+# /root/reference/tests/test_chunk_text.py:5-88) ------------------------------
+
+def test_ref_single_short_sentence():
+    assert chunk_text("Hello world.", max_chunk_size=50) == ["Hello world."]
+
+
+def test_ref_multiple_sentences_under_limit():
+    result = chunk_text("Hello world. This is a test.", max_chunk_size=50)
+    assert result == ["Hello world. This is a test."]
+
+
+def test_ref_multiple_sentences_exceed_limit():
+    text = ("Sentence number one is not too long. "
+            "Sentence number two might push us over the limit. "
+            "Short last sentence.")
+    result = chunk_text(text, max_chunk_size=50)
+    assert len(result) > 1
+    assert all(len(c) <= 50 for c in result)
+
+
+def test_ref_long_sentence_fallback():
+    text = " ".join(["word"] * 100) + "."
+    result = chunk_text(text, max_chunk_size=20)
+    assert all(len(c) <= 20 for c in result)
+    assert "word" in " ".join(result)
+
+
+def test_ref_mixed_scenario():
+    text = ("Short sentence. " + " ".join(["longword"] * 30) + ". "
+            + "Another short sentence.")
+    result = chunk_text(text, max_chunk_size=50)
+    assert len(result) >= 3
+    assert all(len(c) <= 50 for c in result)
+    assert result[0].startswith("Short sentence.")
+    assert "Another short sentence." in result[-1]
+
+
+def test_packing_trailing_space_accounting():
+    # the reference joins while len(current_with_trailing_space) +
+    # len(sentence) + 1 <= max; an exact-fit pair (len(joined) == max) must
+    # therefore SPLIT — one char stricter than naive packing
+    s1, s2 = "Abcd efgh.", "Ijkl mnop."       # joined = 21 chars
+    assert chunk_text(f"{s1} {s2}", max_chunk_size=21) == [s1, s2]
+    assert chunk_text(f"{s1} {s2}", max_chunk_size=22) == [f"{s1} {s2}"]
+
+
+def test_whitespace_normalized_like_reference():
+    # the reference never short-circuits short texts: sentences are
+    # re-joined with single spaces, normalizing inter-sentence whitespace
+    assert chunk_text("One sentence here.   Another one.", 500) == \
+        ["One sentence here. Another one."]
+
+
+# --- golden corpora (the reference's own test data): stability pins ----------
+
+def _read_golden(name):
+    with open(f"/root/reference/tests/data/{name}", encoding="utf-8") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("name,n_chunks,md5", [
+    ("kingkiller_chapter_one.txt", 73,
+     "eedc4038b81dce5c1d6b879c2d6f1e4a"),
+    ("fresh_wiki_article.md", 53,
+     "d89725a3d7b8955fddc6b7ed99cc96f8"),
+])
+def test_golden_corpus_chunks_pinned(name, n_chunks, md5):
+    """Byte-stable chunk boundaries over the reference's golden corpora
+    (ref tests/data). The hash pins OUR splitter's output so any future
+    edit that moves a boundary fails loudly; invariants mirror the
+    reference contract."""
+    import hashlib
+    text = _read_golden(name)
+    chunks = chunk_text(text, 500)
+    assert all(len(c) <= 500 for c in chunks)
+    assert all(c == c.strip() for c in chunks)
+    digest = hashlib.md5("\x00".join(chunks).encode("utf-8")).hexdigest()
+    assert (len(chunks), digest) == (n_chunks, md5)
