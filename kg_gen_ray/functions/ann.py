@@ -119,20 +119,27 @@ def ivf_topk(embeddings: "ray.data.Dataset", centroids: np.ndarray,
              query: np.ndarray, k: int = 10, n_probe: int = 2,
              id_col: str = "vec_id") -> pd.DataFrame:
     """Approximate top-k: search only the ``n_probe`` centroids nearest the
-    query. One extra filter pass instead of a full scan at scale (the
-    assignment would be precomputed/partition-pruned in a real deployment).
-    """
+    query. The assignment is computed AND filtered inside one distributed
+    ``map_batches`` pass (broadcast centroids + probe set) — no per-vector
+    assignment map ever reaches the driver. In a real deployment the
+    assignment would be a precomputed partition column and this filter a
+    partition prune."""
     c = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
-    probe = set(np.argsort(-_cosine(c, q))[:n_probe].tolist())
+    probe = np.sort(np.argsort(-_cosine(c, q))[:n_probe]).astype(np.int64)
 
-    assigned = ivf_assign(embeddings, centroids, id_col)
-    amap = {r[id_col]: r["centroid_id"] for r in assigned.take_all()}
-    probe_ids = {i for i, cid in amap.items() if cid in probe}
-    ref = ray.put(probe_ids)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((c_norm, probe))
 
     def only_probed(t: pa.Table, ref=ref) -> pa.Table:
-        return t.filter(in_set_mask(t[id_col], ref))
+        cn, probe_ids = ray.get(ref)
+        block = _mat(t)
+        if not block.size:
+            return t
+        bn = block / np.maximum(
+            np.linalg.norm(block, axis=1, keepdims=True), 1e-300)
+        best = np.argmax(bn @ cn.T, axis=1)
+        return t.filter(pa.array(np.isin(best, probe_ids)))
 
     subset = embeddings.map_batches(only_probed, batch_format="pyarrow")
     return brute_force_topk(subset, query, k, id_col)

@@ -177,36 +177,87 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset",
 
 
 def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
-                   threshold: float = 0.8) -> "ray.data.Dataset":
+                   threshold: float = 0.8,
+                   broadcast_limit: int = 64 * 1024 * 1024
+                   ) -> "ray.data.Dataset":
     """Exact n-gram Jaccard over candidate pairs.
 
-    The doc->shingle-set map for *candidate docs only* is broadcast
-    (candidates are a tiny fraction of the corpus); each task verifies its
-    pair batch vectorized-in-Python against the shared dict.
-    """
+    The candidate-id set (small: ids of docs appearing in any pair) is
+    broadcast and the docs table is filtered DISTRIBUTED — the full corpus
+    never streams through the driver. The surviving candidate rows then go
+    through a size-selected dual: small -> driver builds the doc->shingles
+    map once and broadcasts it; large (dup-heavy corpus) -> two hash joins
+    attach text_a/text_b to each pair and Jaccard runs per batch with no
+    driver state at all."""
     import ray
 
     cand_ids = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
         cand_ids.update(b["doc_a"].to_pylist())
         cand_ids.update(b["doc_b"].to_pylist())
+    cid_ref = ray.put(cand_ids)
 
-    sh_map = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        for did, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            if did in cand_ids:
+    def only_cands(t: pa.Table, cid_ref=cid_ref) -> pa.Table:
+        return t.select(["doc_id", "text"]).filter(
+            in_set_mask(t["doc_id"], cid_ref))
+
+    cands = docs.map_batches(only_cands, batch_format="pyarrow") \
+                .materialize()
+
+    def jac(sa: set, sb: set) -> float:
+        denom = len(sa | sb)
+        return (len(sa & sb) / denom) if denom else 0.0
+
+    if (cands.size_bytes() or 0) <= broadcast_limit:
+        sh_map = {}
+        for b in cands.iter_batches(batch_format="pyarrow"):
+            for did, text in zip(b["doc_id"].to_pylist(),
+                                 b["text"].to_pylist()):
                 sh_map[did] = shingle_set(text)
-    ref = ray.put(sh_map)
+        ref = ray.put(sh_map)
 
-    def verify(t: pa.Table, ref=ref) -> pa.Table:
-        m = ray.get(ref)
-        a_ids = t["doc_a"].to_pylist()
-        b_ids = t["doc_b"].to_pylist()
+        def verify(t: pa.Table, ref=ref) -> pa.Table:
+            m = ray.get(ref)
+            keep_a, keep_b, sims = [], [], []
+            for a, b in zip(t["doc_a"].to_pylist(),
+                            t["doc_b"].to_pylist()):
+                j = jac(m.get(a, set()), m.get(b, set()))
+                if j >= threshold:
+                    keep_a.append(a); keep_b.append(b); sims.append(j)
+            return pa.table({
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            })
+
+        return pairs.map_batches(verify, batch_format="pyarrow")
+
+    # join dual: co-locate each pair with both texts, no driver map
+    import ray as _ray
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    pairs_n = pairs.repartition(n_parts)
+    keep_cols = ["doc_a", "doc_b"]
+    for side in ("a", "b"):
+        txt = cands.repartition(n_parts).map_batches(
+            lambda t, s=side: t.rename_columns([f"doc_{s}", f"text_{s}"]),
+            batch_format="pyarrow")
+        pairs_n = pairs_n.join(txt, join_type="inner", on=(f"doc_{side}",),
+                               num_partitions=n_parts)
+        keep_cols.append(f"text_{side}")
+        # normalize between joins: join outputs carry schemaless empty
+        # blocks that the next join's key resolution chokes on. NOTE the
+        # list COPY — select_columns is lazy and would otherwise see the
+        # next iteration's mutation.
+        pairs_n = pairs_n.select_columns(list(keep_cols)) \
+                         .repartition(n_parts)
+
+    def verify_joined(t: pa.Table) -> pa.Table:
         keep_a, keep_b, sims = [], [], []
-        for a, b in zip(a_ids, b_ids):
-            sa, sb = m.get(a, set()), m.get(b, set())
-            denom = len(sa | sb)
-            j = (len(sa & sb) / denom) if denom else 0.0
+        for a, b, ta, tb in zip(t["doc_a"].to_pylist(),
+                                t["doc_b"].to_pylist(),
+                                t["text_a"].to_pylist(),
+                                t["text_b"].to_pylist()):
+            j = jac(shingle_set(ta), shingle_set(tb))
             if j >= threshold:
                 keep_a.append(a); keep_b.append(b); sims.append(j)
         return pa.table({
@@ -215,7 +266,7 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
             "jaccard": pa.array(sims, pa.float64()),
         })
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return pairs_n.map_batches(verify_joined, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -130,24 +130,39 @@ def lang_id_stage(docs: "ray.data.Dataset", concurrency: int = 2
 def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 20,
                shuffle_partitions=None) -> "ray.data.Dataset":
     """Corpus-wide top-k n-grams by occurrence count (single-space
-    tokenization). Per-batch Counter partials (the combiner) -> one small
-    groupby-sum -> deterministic (count desc, ngram asc) top-k."""
-    from collections import Counter
-
+    tokenization). Per-batch partials run entirely in Arrow C++: one
+    tokenize pass, n-gram strings via vectorized ``binary_join_element_
+    wise`` over shifted token slices, and a pyarrow hash-aggregate as the
+    combiner — no Python loop over tokens. Then one small groupby-sum ->
+    deterministic (count desc, ngram asc) top-k."""
     import pyarrow.compute as _pc
     from ray.data.aggregate import Sum
 
     from kg_gen_ray.stages.common import coalesce
 
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in _pc.cast(t["text"], pa.string()).to_pylist():
-            toks = text.split(" ")
-            for i in range(len(toks) - n + 1):
-                c[" ".join(toks[i:i + n])] += 1
+        empty = pa.table({"ngram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = _pc.split_pattern(_pc.cast(t["text"], pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = _pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        total = len(flat)
+        if total < n:
+            return empty
+        row_idx = np.repeat(np.arange(t.num_rows), lengths)
+        valid = pa.array(row_idx[:total - n + 1] == row_idx[n - 1:])
+        span = total - n + 1
+        parts = [flat.slice(i, span) for i in range(n)]
+        grams = _pc.binary_join_element_wise(*parts, " ").filter(valid)
+        agg = pa.table({"ngram": grams}).group_by(["ngram"]) \
+            .aggregate([([], "count_all")])
         return pa.table({
-            "ngram": pa.array(list(c.keys()), pa.string()),
-            "cnt": pa.array(list(c.values()), pa.int64()),
+            "ngram": agg["ngram"],
+            "cnt": pc.cast(agg["count_all"], pa.int64()),
         })
 
     agg = (coalesce(docs.map_batches(partial, batch_format="pyarrow"),
@@ -163,12 +178,17 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 20,
 
 
 def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
-                    shuffle_partitions=None) -> "ray.data.Dataset":
+                    shuffle_partitions=None,
+                    broadcast_limit: int = 64 * 1024 * 1024
+                    ) -> "ray.data.Dataset":
     """Per-document top-k terms by tf-idf (idf = ln(N/df), lowercase
     whitespace tokens — shares :func:`kg_gen_ray.functions.bm25.
-    corpus_stats`'s combiner for the df table). The idf map is broadcast
-    (vocabulary-sized; at extreme vocab switch to the join dual like the
-    alias rewrite). Deterministic (score desc, term asc) tiebreak."""
+    corpus_stats`'s combiner for the df table). Size-selected idf dual:
+    a broadcastable vocabulary ships once as a dict; an extreme vocabulary
+    (df table larger than ``broadcast_limit``) goes through a distributed
+    hash join of the per-doc term-frequency table against the df table —
+    the whole-vocab dict is never built on the driver in that case.
+    Deterministic (score desc, term asc) tiebreak in both paths."""
     import math
 
     import ray as _ray
@@ -179,31 +199,87 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
     sentinel = stats.filter(expr="word == ''").take_all()
     n_docs = int(sentinel[0]["df"]) if sentinel else 0
 
-    idf = {}
-    for b in stats.iter_batches(batch_format="pyarrow"):
-        for w, df in zip(b["word"].to_pylist(), b["df"].to_pylist()):
-            if w:
-                idf[w] = math.log(n_docs / df)
-    ref = _ray.put(idf)
+    if (stats.size_bytes() or 0) <= broadcast_limit:
+        idf = {}
+        for b in stats.iter_batches(batch_format="pyarrow"):
+            for w, df in zip(b["word"].to_pylist(), b["df"].to_pylist()):
+                if w:
+                    idf[w] = math.log(n_docs / df)
+        ref = _ray.put(idf)
 
-    def per_doc(t: pa.Table, ref=ref) -> pa.Table:
+        def per_doc(t: pa.Table, ref=ref) -> pa.Table:
+            from collections import Counter
+            m = _ray.get(ref)
+            doc_ids, terms, scores = [], [], []
+            for did, text in zip(t["doc_id"].to_pylist(),
+                                 pc.cast(t["text"], pa.string()).to_pylist()):
+                tf = Counter(text.lower().split())
+                scored = sorted(((cnt * m.get(w, 0.0), w)
+                                 for w, cnt in tf.items()),
+                                key=lambda x: (-x[0], x[1]))[:k]
+                for s, w in scored:
+                    doc_ids.append(did)
+                    terms.append(w)
+                    scores.append(s)
+            return pa.table({
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tfidf": pa.array(scores, pa.float64()),
+            })
+
+        return docs.map_batches(per_doc, batch_format="pyarrow")
+
+    # join dual: (doc_id, word, tf) ⋈ (word, idf) -> per-doc top-k
+    import pandas as _pd
+
+    def tf_rows(t: pa.Table) -> pa.Table:
         from collections import Counter
-        m = _ray.get(ref)
-        doc_ids, terms, scores = [], [], []
+        doc_ids, words, tfs = [], [], []
         for did, text in zip(t["doc_id"].to_pylist(),
                              pc.cast(t["text"], pa.string()).to_pylist()):
-            tf = Counter(text.lower().split())
-            scored = sorted(((cnt * m.get(w, 0.0), w)
-                             for w, cnt in tf.items()),
-                            key=lambda x: (-x[0], x[1]))[:k]
-            for s, w in scored:
+            for w, cnt in Counter(text.lower().split()).items():
                 doc_ids.append(did)
-                terms.append(w)
-                scores.append(s)
+                words.append(w)
+                tfs.append(cnt)
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "tfidf": pa.array(scores, pa.float64()),
+            "word": pa.array(words, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
         })
 
-    return docs.map_batches(per_doc, batch_format="pyarrow")
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+
+    def to_idf(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.not_equal(t["word"], ""))
+        df = pc.cast(sub["df"], pa.float64())
+        # ln(n/df) with the division FIRST — the same IEEE double ops as
+        # the broadcast path's math.log(n_docs/df), so the duals are
+        # bit-identical
+        ratio = pc.divide(pa.scalar(float(n_docs)), df)
+        return pa.table({
+            "word": sub["word"],
+            "idf": pc.ln(ratio),
+        })
+
+    idf_ds = stats.repartition(n_parts).map_batches(
+        to_idf, batch_format="pyarrow")
+    tf_ds = docs.map_batches(tf_rows, batch_format="pyarrow") \
+                .repartition(n_parts)
+    joined = tf_ds.join(idf_ds, join_type="inner", on=("word",),
+                        num_partitions=n_parts)
+
+    def score(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "term": t["word"],
+            "tfidf": pc.multiply(pc.cast(t["tf"], pa.float64()),
+                                 t["idf"]),
+        })
+
+    def topk(g: _pd.DataFrame) -> _pd.DataFrame:
+        g = g.sort_values(["tfidf", "term"], ascending=[False, True],
+                          kind="stable").head(k)
+        return g[["doc_id", "term", "tfidf"]]
+
+    return joined.map_batches(score, batch_format="pyarrow") \
+        .groupby("doc_id").map_groups(topk, batch_format="pandas")

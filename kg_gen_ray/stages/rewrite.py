@@ -13,7 +13,6 @@ reference gets this for free from set semantics).
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -65,25 +64,38 @@ def rewrite_stage(triples: "ray.data.Dataset",
                   ) -> "ray.data.Dataset":
     """Substitute subj/obj via entity aliases and pred via edge aliases.
 
-    Broadcast join: the dicts go through the object store once
-    (``ray.put``), every task reads the same copy; lookup is a C-speed
-    pandas ``Series.map`` per column.
+    Broadcast join, Arrow end-to-end: the dicts go through the object
+    store once (``ray.put``); each batch column is dictionary-encoded so
+    the Python dict lookup runs once per UNIQUE label (vocabulary-sized,
+    not row-count-sized), then a vectorized ``take`` rebuilds the column.
+    The batch never leaves Arrow, so the downstream distinct shuffle gets
+    zero-copy input.
     """
+    import pyarrow.compute as pc
+
     ent_ref = ray.put(entity_alias)
     edge_ref = ray.put(edge_alias)
 
-    def sub(df: pd.DataFrame, ent_ref=ent_ref, edge_ref=edge_ref
-            ) -> pd.DataFrame:
+    def remap(col: "pa.ChunkedArray | pa.Array", alias: dict) -> "pa.Array":
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        d = pc.dictionary_encode(arr)
+        uniq = d.dictionary.to_pylist()
+        new_vals = pa.array([alias.get(v, v) for v in uniq], pa.string())
+        return new_vals.take(d.indices)
+
+    def sub(t: pa.Table, ent_ref=ent_ref, edge_ref=edge_ref) -> pa.Table:
         ent = ray.get(ent_ref)
         edge = ray.get(edge_ref)
+        cols = {c: t[c] for c in t.column_names}
         if ent:
-            df["subj"] = df["subj"].map(lambda x: ent.get(x, x))
-            df["obj"] = df["obj"].map(lambda x: ent.get(x, x))
+            cols["subj"] = remap(t["subj"], ent)
+            cols["obj"] = remap(t["obj"], ent)
         if edge:
-            df["pred"] = df["pred"].map(lambda x: edge.get(x, x))
-        return df
+            cols["pred"] = remap(t["pred"], edge)
+        return pa.table(cols)
 
-    return triples.map_batches(sub, batch_format="pandas")
+    return triples.map_batches(sub, batch_format="pyarrow")
 
 
 def rewrite_stage_join(triples: "ray.data.Dataset",

@@ -65,6 +65,11 @@ def test_jaccard_verify(ray_session):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
     assert (0, 1) in got and got[(0, 1)] >= 0.5
     assert (0, 2) not in got
+    # the join dual (forced via broadcast_limit=0) must agree exactly
+    out2 = jaccard_verify(ds, pairs, threshold=0.5,
+                          broadcast_limit=0).take_all()
+    got2 = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out2}
+    assert got2 == got
 
 
 def test_simhash_properties(ray_session):

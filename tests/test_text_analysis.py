@@ -71,3 +71,38 @@ def test_tfidf_top_terms(ray_session):
     # the doc-specific term beats the corpus-common one
     assert top == {0: "rare0", 1: "rare1"}
     assert all(r["tfidf"] > 0 for r in rows)
+
+
+def test_tfidf_join_dual_matches_broadcast(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.text_analysis import tfidf_top_terms
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": list(range(6)),
+        "text": ["alpha beta gamma", "alpha beta", "gamma delta epsilon",
+                 "zeta zeta eta", "alpha eta theta", "beta gamma gamma"]}))
+
+    def canon(rows):
+        return sorted((r["doc_id"], r["term"], r["tfidf"]) for r in rows)
+
+    bcast = canon(tfidf_top_terms(docs, k=2).take_all())
+    joined = canon(tfidf_top_terms(docs, k=2,
+                                   broadcast_limit=0).take_all())
+    assert joined == bcast   # bit-identical scores, same tiebreak
+
+
+def test_top_ngrams_trigrams_and_row_boundaries(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.text_analysis import top_ngrams
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c d", "a b c", ""]}))
+    out = [(r["ngram"], r["n_occur"])
+           for r in top_ngrams(docs, n=3, k=5).take_all()]
+    # trigrams never cross document boundaries; empty doc contributes none
+    assert out == [("a b c", 2), ("b c d", 1)]
