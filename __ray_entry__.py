@@ -156,7 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_stats": q_kg_graph_stats,
         "kg_degrees": q_kg_degrees,
         "kg_top_relations": q_kg_top_relations,
-        "kg_components": q_kg_components,             # rows-only (iterative)
+        "kg_components": q_kg_components,
         "kg_semantic_alias": q_kg_semantic_alias,     # rows-only (k-means + judge loop)
         "kg_incremental": q_kg_incremental,
         "kg_triples_llm": q_kg_triples_llm,
@@ -165,7 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_hist": q_lang_hist,
-        "lang_id": q_lang_id,                          # rows-only (heuristic)
+        "lang_id": q_lang_id,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct_docs": q_approx_distinct,     # rows-only (HLL estimate)
@@ -175,7 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_sig_fast": q_minhash_sig_fast,
-        "dedup_simhash": q_dedup_simhash,              # rows-only (bit packing)
+        "dedup_simhash": q_dedup_simhash,
         "near_dup_canonical": q_near_dup_canonical,
         "fused_text_fast": q_fused_text_fast,          # rows-only (u64 engine hashes)
         # --- retrieval (SURVEY §2 X4 BM25 / T2 rank fusion)
@@ -821,6 +821,7 @@ _FBANDS = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from kg_gen_ray.functions.text_analysis import _LANG_MARKERS
     sql = {}
 
     sql["kg_pages"] = f"""
@@ -893,6 +894,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT pred, count(*)::BIGINT AS n_triples FROM triples
         GROUP BY pred ORDER BY n_triples DESC, pred LIMIT 10"""
 
+    # weakly-connected components: recursive closure; component label =
+    # min by (length, lex) — mirrored via the same rank encoding
+    # canonicalize._encode_rank uses
+    sql["kg_components"] = f"""
+        {_KG_PREFIX.replace("WITH ", "WITH RECURSIVE ", 1)},
+        edges0 AS (SELECT DISTINCT subj AS a, obj AS b FROM triples),
+        nodes AS (SELECT subj AS node FROM triples
+                  UNION SELECT obj FROM triples),
+        edges AS (SELECT a AS u, b AS v FROM edges0
+                  UNION ALL SELECT b, a FROM edges0),
+        reach(node, lab) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.node),
+        comp AS (SELECT node,
+                        min(lpad(length(lab)::VARCHAR, 6, '0') || '|' || lab)
+                          AS enc
+                 FROM reach GROUP BY node)
+        SELECT node, substr(enc, 8) AS component FROM comp"""
+
     sql["text_tokens"] = f"""
         WITH {_DOCS}, {_TOKS}
         SELECT doc_id, count(*)::BIGINT AS n_tokens,
@@ -914,6 +935,51 @@ def oracle_sql() -> dict[str, str]:
 
     sql["lang_hist"] = """
         SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"""
+
+    # marker-word voting with the LangId actor's exact tiebreak: strictly
+    # more hits wins, ties go to the alphabetically-first language, zero
+    # hits -> 'unknown'
+    _markers = ", ".join(
+        f"('{lang}','{w}')"
+        for lang in sorted(_LANG_MARKERS)
+        for w in sorted(_LANG_MARKERS[lang]))
+    sql["lang_id"] = f"""
+        WITH markers(lang, w) AS (VALUES {_markers}),
+        words AS (SELECT doc_id,
+                         lower(unnest(regexp_extract_all(text, '[a-zA-Z]+')))
+                           AS w
+                  FROM documents),
+        hits AS (SELECT doc_id, lang, count(*) AS n
+                 FROM words JOIN markers USING (w) GROUP BY doc_id, lang),
+        best AS (SELECT doc_id, lang, n,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY n DESC, lang ASC) AS rn
+                 FROM hits)
+        SELECT d.doc_id, coalesce(b.lang, 'unknown') AS pred_lang
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1 AND n > 0) b
+          USING (doc_id)"""
+
+    # SimHash: md5-prefix uint64 token hashes, ±1 per bit per occurrence,
+    # sign-threshold packing — bit ops DuckDB replays exactly
+    sql["dedup_simhash"] = """
+        WITH stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents WHERE text <> ''),
+        sh AS (SELECT doc_id, ('0x'||substr(md5(w),1,16))::UBIGINT AS h
+               FROM stoks),
+        bits AS (SELECT doc_id, j,
+                        sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                          AS acc
+                 FROM sh CROSS JOIN (SELECT unnest(range(64)) AS j) js
+                 GROUP BY doc_id, j),
+        packed AS (SELECT doc_id,
+                          sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j)
+                                   ELSE 0::HUGEINT END) AS v
+                   FROM bits GROUP BY doc_id)
+        SELECT d.doc_id,
+               lower(lpad(hex(coalesce(p.v, 0)::UBIGINT), 16, '0'))
+                 AS simhash_hex
+        FROM documents d LEFT JOIN packed p USING (doc_id)"""
 
     sql["tfidf_top_terms"] = """
         WITH t1 AS (
