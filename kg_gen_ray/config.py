@@ -28,6 +28,7 @@ class ExtractorConfig:
     context: str = ""         # prompt steering (ref kg_gen.py:155)
     temperature: float = 0.0
     max_tokens: int = 4096
+    reasoning_effort: str | None = None  # gpt-5-family only (ref kg_gen.py:63-67)
 
 
 @dataclass(frozen=True)
@@ -74,8 +75,13 @@ class PipelineConfig:
             raise ValueError("chunk_size must be >= 0")
         if self.salt_buckets < 1:
             raise ValueError("salt_buckets must be >= 1")
+        from kg_gen_ray.stages.transport import validate_model_params
         for cfg in [self.default_extractor, *self.lang_routes.values()]:
             if cfg.backend not in ("pattern", "bigram", "llm"):
                 raise ValueError(f"unknown extractor backend: {cfg.backend}")
-            if cfg.backend == "llm" and not cfg.model:
-                raise ValueError("llm backend requires a model string")
+            if cfg.backend == "llm":
+                if not cfg.model:
+                    raise ValueError("llm backend requires a model string")
+                # reference model-parameter rules (kg_gen.py:63-75)
+                validate_model_params(cfg.model, cfg.temperature,
+                                      cfg.max_tokens, cfg.reasoning_effort)

@@ -167,9 +167,21 @@ class LLMExtractor:
 
     def __init__(self, config: ExtractorConfig, transport=None):
         if transport is None:
-            raise NotImplementedError(
-                "LLMExtractor requires a transport callable; network-backed "
-                "LiteLLM transport is not available in this environment")
+            # production last mile: build the LiteLLM transport from the
+            # config's model surface (validated eagerly). Only usable
+            # where litellm is installed — this sandbox has no network,
+            # so require it explicitly rather than failing per batch.
+            from kg_gen_ray.stages.transport import LiteLLMTransport
+            candidate = LiteLLMTransport(
+                model=config.model, temperature=config.temperature,
+                max_tokens=config.max_tokens,
+                reasoning_effort=config.reasoning_effort)
+            if not candidate.available:
+                raise NotImplementedError(
+                    "LLMExtractor requires a transport: litellm is not "
+                    "installed here — inject a callable (deterministic "
+                    "fake in tests) or install litellm for production")
+            transport = candidate
         self.config = config
         self.transport = transport
 

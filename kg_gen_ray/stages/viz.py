@@ -263,3 +263,110 @@ def write_view_model(triples: "ray.data.Dataset", path: str,
     with open(path, "w") as f:
         json.dump(view_model(triples, alias_map), f, indent=2)
     return path
+
+
+# Self-contained dashboard template — OUR OWN markup (the reference ships a
+# 1.3k-line app in template.html; only its INJECTION MECHANISM is parity:
+# the view-model JSON replaces a <!--DATA--> marker inside a JSON script
+# tag, ref visualize_kg.py:279-304). Rendering: stats tiles, top-k lists,
+# cluster listing, and an SVG circle layout using the byte-identical
+# string_to_color node colors.
+HTML_TEMPLATE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>Knowledge Graph</title>
+<style>
+ body { font-family: system-ui, sans-serif; margin: 1.5rem; color: #222; }
+ .tiles { display: flex; gap: 1rem; flex-wrap: wrap; margin-bottom: 1rem; }
+ .tile { border: 1px solid #ddd; border-radius: 8px; padding: .6rem 1rem; }
+ .tile b { display: block; font-size: 1.4rem; }
+ .cols { display: flex; gap: 2rem; flex-wrap: wrap; }
+ ul { padding-left: 1.2rem; } svg { border: 1px solid #eee; }
+ .muted { color: #777; font-size: .85rem; }
+</style>
+</head>
+<body>
+<h1>Knowledge Graph</h1>
+<div class="tiles" id="tiles"></div>
+<div class="cols">
+  <svg id="graph" width="640" height="640"></svg>
+  <div>
+    <h3>Top entities</h3><ul id="top-entities"></ul>
+    <h3>Top relations</h3><ul id="top-relations"></ul>
+    <h3>Clusters</h3><ul id="clusters"></ul>
+  </div>
+</div>
+<script type="application/json" id="viz-data">
+<!--DATA-->
+</script>
+<script>
+const data = JSON.parse(document.getElementById("viz-data").textContent);
+const tiles = document.getElementById("tiles");
+for (const [k, v] of Object.entries(data.stats)) {
+  const d = document.createElement("div");
+  d.className = "tile"; d.innerHTML = `<b>${v}</b><span class="muted">${k}</span>`;
+  tiles.appendChild(d);
+}
+const fill = (id, items) => {
+  const ul = document.getElementById(id);
+  for (const it of items) {
+    const li = document.createElement("li"); li.textContent = it;
+    ul.appendChild(li);
+  }
+};
+fill("top-entities", data.topEntities.map(e => `${e.label} (${e.degree})`));
+fill("top-relations", data.topRelations.map(r => `${r.label} (${r.count})`));
+fill("clusters", data.clusters.filter(c => c.members.length > 1)
+  .map(c => `${c.representative} ← ${c.members.join(", ")}`));
+const svg = document.getElementById("graph"), W = 640, R = 280;
+const pos = {};
+data.nodes.forEach((n, i) => {
+  const a = 2 * Math.PI * i / data.nodes.length;
+  pos[n.id] = [W / 2 + R * Math.cos(a), W / 2 + R * Math.sin(a)];
+});
+const NS = "http://www.w3.org/2000/svg";
+for (const e of data.edges) {
+  const [x1, y1] = pos[e.source] || [0, 0], [x2, y2] = pos[e.target] || [0, 0];
+  const l = document.createElementNS(NS, "line");
+  l.setAttribute("x1", x1); l.setAttribute("y1", y1);
+  l.setAttribute("x2", x2); l.setAttribute("y2", y2);
+  l.setAttribute("stroke", "#ccc"); svg.appendChild(l);
+}
+for (const n of data.nodes) {
+  const [x, y] = pos[n.id];
+  const c = document.createElementNS(NS, "circle");
+  c.setAttribute("cx", x); c.setAttribute("cy", y);
+  c.setAttribute("r", 4 + Math.sqrt(n.degree || 1));
+  c.setAttribute("fill", n.color);
+  const t = document.createElementNS(NS, "title");
+  t.textContent = `${n.id} (degree ${n.degree})`;
+  c.appendChild(t); svg.appendChild(c);
+}
+</script>
+</body>
+</html>
+"""
+
+
+def render_html(vm: dict) -> str:
+    """Inject a view-model into the template (the reference's mechanism:
+    JSON replaces the ``<!--DATA-->`` marker, ``visualize_kg.py:279-283``).
+    ``</`` is escaped so labels cannot terminate the JSON script tag."""
+    payload = json.dumps(vm, ensure_ascii=False, indent=2) \
+        .replace("</", "<\\/")
+    return HTML_TEMPLATE.replace("<!--DATA-->", payload)
+
+
+def write_html(triples: "ray.data.Dataset", path: str,
+               alias_map: "ray.data.Dataset | None" = None) -> str:
+    """Self-contained HTML dashboard (SURVEY.md §2 S6; ref
+    ``visualize_kg.py:264-304``). Raises on an empty graph like the
+    reference (``visualize_kg.py:281-282``)."""
+    vm = view_model(triples, alias_map)
+    if not vm["nodes"]:
+        raise ValueError("Cannot visualize an empty graph")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(render_html(vm))
+    return path

@@ -110,3 +110,35 @@ def test_color_hash_reference_parity():
 
     for label in ["entity::alice", "predicate::knows", "äöü"]:
         assert string_to_color(label) == ref_color(label)
+
+
+def test_html_sink_payload_equals_view_model(ray_session, tmp_path):
+    """S6 parity: the JSON injected into the emitted HTML is exactly the
+    view_model() payload (ref visualize_kg.py:279-283 mechanism)."""
+    import json
+    import re
+
+    from kg_gen_ray.stages.viz import write_html
+
+    path = str(tmp_path / "graph.html")
+    write_html(_triples(), path)
+    html = open(path, encoding="utf-8").read()
+    m = re.search(r'<script type="application/json" id="viz-data">\n(.*?)\n</script>',
+                  html, re.S)
+    assert m, "payload script tag missing"
+    payload = json.loads(m.group(1).replace("<\\/", "</"))
+    assert payload == view_model(_triples())
+    # self-contained: no external resources
+    assert "http://" not in html.replace("http://www.w3.org/", "") \
+        and "https://" not in html
+
+
+def test_html_sink_rejects_empty_graph(ray_session, tmp_path):
+    from kg_gen_ray.stages.viz import write_html
+
+    empty = rd.from_arrow(pa.table({
+        "subj": pa.array([], pa.string()),
+        "pred": pa.array([], pa.string()),
+        "obj": pa.array([], pa.string())}))
+    with pytest.raises(ValueError, match="empty graph"):
+        write_html(empty, str(tmp_path / "x.html"))
