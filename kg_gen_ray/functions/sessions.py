@@ -118,6 +118,67 @@ def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
     return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
 
 
+def grouped_quantiles_sketch(ds: "ray.data.Dataset", group_col: str,
+                             value_col: str, qs: tuple = (0.5, 0.9, 0.99),
+                             points_per_batch: int = 256
+                             ) -> "ray.data.Dataset":
+    """Approximate per-group quantiles via a mergeable weighted-summary
+    sketch — the 100 TB path for :func:`grouped_quantiles` (whose exact
+    per-group sort assumes a group fits one worker).
+
+    Combiner (``map_batches``): each batch compresses every group's values
+    to at most ``points_per_batch`` evenly-spaced order statistics, each
+    carrying ``n/k`` weight — O(groups x k) rows leave each batch
+    regardless of batch size. Reduce (one small groupby): merge the
+    weighted points by sorting and read quantiles off the cumulative
+    weight. Rank error is bounded by ~1/k per merge level (here: one
+    level), so with the default k=256 a quantile lands within ~0.4% of its
+    true rank. Output schema matches the exact operator (p50/p90/...).
+    """
+
+    def compress(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], t.schema.field(group_col).type),
+                "__v": pa.array([], pa.float64()),
+                "__w": pa.array([], pa.float64()),
+            })
+        df = pd.DataFrame({
+            group_col: t[group_col].to_pandas(),
+            "v": pc.cast(t[value_col], pa.float64()).to_pandas(),
+        })
+        out_g, out_v, out_w = [], [], []
+        for gkey, sub in df.groupby(group_col, sort=False):
+            vals = np.sort(sub["v"].to_numpy())
+            n = len(vals)
+            k = min(points_per_batch, n)
+            idx = np.minimum((np.floor((np.arange(k) + 0.5) * n / k))
+                             .astype(np.int64), n - 1)
+            out_g.extend([gkey] * k)
+            out_v.extend(vals[idx].tolist())
+            out_w.extend([n / k] * k)
+        return pa.table({
+            group_col: pa.array(out_g),
+            "__v": pa.array(out_v, pa.float64()),
+            "__w": pa.array(out_w, pa.float64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["__v"].to_numpy(), kind="stable")
+        v = g["__v"].to_numpy()[order]
+        w = g["__w"].to_numpy()[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        row = {group_col: [g[group_col].iloc[0]]}
+        for q in qs:
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            row[f"p{int(q * 100)}"] = [v[min(i, len(v) - 1)]]
+        return pd.DataFrame(row)
+
+    return (ds.map_batches(compress, batch_format="pyarrow")
+            .groupby(group_col).map_groups(merge, batch_format="pandas"))
+
+
 def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
                  k: int, tiebreak_col: str) -> "ray.data.Dataset":
     """Top-k rows per group by (order_col desc, tiebreak asc) — the

@@ -56,21 +56,69 @@ class FakeCodec:
 
 
 class PilCodec:
-    """Placeholder for a real image codec. The decode methods are NOT
-    implemented yet (only the availability gate is), so constructing it
-    always raises — with PIL installed it would otherwise fail with an
-    AttributeError deep inside a Ray task at first batch."""
+    """Real image codec over PIL (pillow), import-gated: constructing it
+    without pillow installed raises ``NotImplementedError`` at actor init
+    (the honest availability gate — never an AttributeError deep inside a
+    Ray task at first batch). With pillow present, every method is a real
+    implementation over the decoded image:
+
+    * ``probe`` -> actual (width, height),
+    * ``features`` -> an L2-normalized 4x4 grayscale thumbnail (dim=16) —
+      a deterministic perceptual fingerprint usable for embedding near-dup,
+    * ``resize`` -> re-encoded PNG bytes at the target size,
+    * ``sample_frames`` -> ``n`` evenly-spaced frames for multi-frame
+      formats (GIF/TIFF), PNG-encoded; a single-frame image yields its
+      one frame repeated.
+    """
 
     def __init__(self):
         try:
-            import PIL.Image  # noqa: F401
+            import PIL.Image
         except ImportError as e:
             raise NotImplementedError(
                 "PIL is not installed in this environment; use FakeCodec "
                 "for plumbing tests or install pillow") from e
-        raise NotImplementedError(
-            "PilCodec decode methods (probe/features/resize/sample_frames) "
-            "are not implemented; use FakeCodec for the Ray-side plumbing")
+        self._Image = PIL.Image
+
+    def _open(self, payload: bytes):
+        import io
+        return self._Image.open(io.BytesIO(payload))
+
+    def probe(self, payload: bytes) -> tuple[int, int]:
+        with self._open(payload) as im:
+            return im.width, im.height
+
+    def features(self, payload: bytes, dim: int = 16) -> np.ndarray:
+        side = max(1, int(np.sqrt(dim)))
+        with self._open(payload) as im:
+            thumb = im.convert("L").resize((side, side))
+            v = np.asarray(thumb, dtype=np.float32).ravel()
+        if len(v) < dim:
+            v = np.pad(v, (0, dim - len(v)))
+        v = v[:dim]
+        norm = np.linalg.norm(v)
+        return (v / norm if norm else v).astype(np.float32)
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        import io
+        with self._open(payload) as im:
+            out = io.BytesIO()
+            im.resize((w, h)).save(out, format="PNG")
+            return out.getvalue()
+
+    def sample_frames(self, payload: bytes, n: int) -> list:
+        import io
+        frames = []
+        with self._open(payload) as im:
+            total = getattr(im, "n_frames", 1)
+            picks = [min(total - 1, int(i * total / n)) for i in range(n)]
+            for f in picks:
+                if total > 1:
+                    im.seek(f)
+                out = io.BytesIO()
+                im.convert("RGB").save(out, format="PNG")
+                frames.append(out.getvalue())
+        return frames
 
 
 class MediaProbe:

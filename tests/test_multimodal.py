@@ -56,6 +56,43 @@ def test_frame_sample_row_expansion(ray_session):
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
 
 
-def test_pil_codec_gated():
+def _pil_available():
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_pil_codec_gated_without_pillow():
+    if _pil_available():
+        pytest.skip("pillow installed; gate not exercised")
     with pytest.raises(NotImplementedError):
         PilCodec()
+
+
+@pytest.mark.skipif(not _pil_available(), reason="pillow not installed")
+def test_pil_codec_real_roundtrip():
+    """With pillow present the codec is REAL: probe reads true dimensions,
+    resize re-encodes at the target size, features are deterministic and
+    L2-normalized, frame sampling returns n decodable frames."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    im = PIL.Image.new("RGB", (20, 10), (200, 30, 30))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    codec = PilCodec()
+    assert codec.probe(payload) == (20, 10)
+    resized = codec.resize(payload, 8, 4)
+    assert PIL.Image.open(io.BytesIO(resized)).size == (8, 4)
+    f1, f2 = codec.features(payload), codec.features(payload)
+    assert np.allclose(f1, f2) and abs(np.linalg.norm(f1) - 1) < 1e-5
+    frames = codec.sample_frames(payload, 3)
+    assert len(frames) == 3
+    assert all(PIL.Image.open(io.BytesIO(fr)).size == (20, 10)
+               for fr in frames)

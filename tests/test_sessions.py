@@ -75,3 +75,40 @@ def test_grouped_topk(ray_session):
     got = {(r["grp"], r["id"]) for r in out}
     # a: scores 3,2 -> ids 10,12 ; b: tie on 9 -> lower ids first (13,14)
     assert got == {("a", 10), ("a", 12), ("b", 13), ("b", 14)}
+
+
+def test_quantile_sketch_within_rank_tolerance(ray_session):
+    """Sketch vs exact on a skewed (zipf-like) distribution: each sketch
+    quantile must land within ~1% of its requested rank."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.sessions import (
+        grouped_quantiles, grouped_quantiles_sketch)
+
+    rng = np.random.RandomState(11)
+    groups, vals = [], []
+    for gname, size in [("a", 5000), ("b", 3000)]:
+        v = np.floor(rng.pareto(1.3, size) * 10).astype(np.int64)  # heavy tail
+        groups.extend([gname] * size)
+        vals.extend(v.tolist())
+    ds = rd.from_arrow(pa.table({"g": groups, "v": vals})).repartition(8)
+
+    exact = {r["g"]: r for r in grouped_quantiles(ds, "g", "v").take_all()}
+    sk = {r["g"]: r for r in grouped_quantiles_sketch(ds, "g", "v").take_all()}
+
+    by_group = {"a": np.sort(np.array(vals[:5000])),
+                "b": np.sort(np.array(vals[5000:]))}
+    for gname, sorted_vals in by_group.items():
+        n = len(sorted_vals)
+        for q in (0.5, 0.9, 0.99):
+            approx = sk[gname][f"p{int(q*100)}"]
+            # the answer's rank INTERVAL (ties span a range); the target
+            # rank must fall within it modulo the sketch tolerance
+            lo = np.searchsorted(sorted_vals, approx, side="left")
+            hi = np.searchsorted(sorted_vals, approx, side="right")
+            tol = 0.01 * n + 1
+            assert lo - tol <= q * n <= hi + tol, (gname, q, approx, lo, hi)
+        # exact path still matches duckdb-style quantile_disc by definition
+        assert exact[gname]["p50"] in sorted_vals
