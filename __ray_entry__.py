@@ -188,7 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_lsh": q_near_dup_lsh,                # rows-only (approximate)
         # --- multimodal (binary payload plumbing; FakeCodec determinism)
         "media_probe": q_media_probe,
-        "media_frames": q_media_frames,               # rows-only (binary frames)
+        "media_frames": q_media_frames,
         # --- relational pipelines (TPC-H-style operator demos)
         "pricing_summary": q_pricing_summary,
         "revenue_by_region": q_revenue_by_region,
@@ -530,12 +530,17 @@ def q_media_probe(sf_dir: str):
 
 
 def q_media_frames(sf_dir: str):
+    """Row-expanding frame sampling; the FakeCodec frame payload is an
+    md5 digest, emitted hex-encoded so DuckDB checks the actual frame
+    bytes, not just the row expansion."""
     from kg_gen_ray.stages.multimodal import frame_sample_stage
     out = frame_sample_stage(_media(sf_dir), n_frames=3)
     return out.map_batches(
         lambda t: pa.table({
             "media_id": t["media_id"],
             "frame_id": pc.cast(t["frame_id"], pa.int64()),
+            "frame_md5": pa.array(
+                [fr.hex() for fr in t["frame"].to_pylist()], pa.string()),
         }), batch_format="pyarrow")
 
 
@@ -720,7 +725,7 @@ _TRIPLES = "triples AS (SELECT DISTINCT subj, pred, obj FROM raw)"
 _NORM = """
 norm_{kind} AS (
   SELECT member,
-    CASE WHEN length(s3) > 3 AND s3 LIKE '%e' THEN substr(s3, 1, length(s3)-1) ELSE s3 END AS nk
+    trim(CASE WHEN length(s3) > 3 AND s3 LIKE '%e' THEN substr(s3, 1, length(s3)-1) ELSE s3 END, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS nk
   FROM (
     SELECT member,
       CASE WHEN length(s2) > 5 AND s2 LIKE '%ing' THEN substr(s2, 1, length(s2)-3) ELSE s2 END AS s3
@@ -1144,6 +1149,13 @@ def oracle_sql() -> dict[str, str]:
                (16 + {_HEXB.format(a=1, b=2)} % 240)::BIGINT AS width,
                (16 + {_HEXB.format(a=3, b=4)} % 240)::BIGINT AS height
         FROM documents"""
+
+    # FakeCodec frame payload = md5(b"frame{i}:" + utf8(text)); string
+    # concat + md5 reproduces the digest hex exactly
+    sql["media_frames"] = """
+        SELECT d.doc_id AS media_id, j AS frame_id,
+               md5('frame' || j || ':' || d.text) AS frame_md5
+        FROM documents d CROSS JOIN (SELECT unnest(range(3)) AS j) f"""
 
     # per-row integer conversion before summing (exact; see relational.py)
     sql["token_quantiles"] = """

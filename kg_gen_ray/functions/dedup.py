@@ -148,11 +148,11 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset",
     rows = coalesce(docs.map_batches(band_rows, batch_format="pyarrow"),
                     shuffle_partitions).materialize()
 
-    counts = rows.groupby("band_key").aggregate(Count(alias_name="n"))
-    hot = set()
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        hot.update(k for k, n in zip(b["band_key"].to_pylist(),
-                                     b["n"].to_pylist()) if n > 1)
+    # distributed n>=2 filter FIRST; only the (tiny) hot keys reach the
+    # driver — the full one-row-per-doc bucket-count table never does
+    hot_ds = rows.groupby("band_key").aggregate(Count(alias_name="n")) \
+                 .filter(expr="n >= 2").select_columns(["band_key"])
+    hot = {r["band_key"] for r in hot_ds.take_all()}
     if not hot:
         import pyarrow as _pa
         return ray.data.from_arrow(_pa.table({
@@ -349,11 +349,9 @@ def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3,
 
     sigs = coalesce(docs.map_batches(simhash_batch, batch_format="pyarrow"),
                     shuffle_partitions).materialize()
-    counts = sigs.groupby("bucket").aggregate(Count(alias_name="n"))
-    hot = set()
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        hot.update(k for k, n in zip(b["bucket"].to_pylist(),
-                                     b["n"].to_pylist()) if n > 1)
+    hot_ds = sigs.groupby("bucket").aggregate(Count(alias_name="n")) \
+                 .filter(expr="n >= 2").select_columns(["bucket"])
+    hot = {r["bucket"] for r in hot_ds.take_all()}
     if not hot:
         return ray.data.from_arrow(pa.table({
             "doc_a": pa.array([], pa.int64()),

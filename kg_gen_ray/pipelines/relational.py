@@ -20,6 +20,10 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+# module-level (pickle-by-value compatibility): worker-side UDF bodies
+# must not lazily import kg_gen_ray
+from kg_gen_ray.stages.common import dict_lookup, in_set_mask
+
 
 def _read(sf_dir: str, table: str, columns: list) -> "ray.data.Dataset":
     import os
@@ -122,12 +126,11 @@ def revenue_by_region(sf_dir: str,
 
         def attach_nation(t: pa.Table, cref=cref) -> pa.Table:
             m = ray.get(cref)
-            nk = [m.get(k) for k in t["o_custkey"].to_pylist()]
-            mask = pa.array([x is not None for x in nk])
+            nk = dict_lookup(t["o_custkey"], m, out_type=pa.int64())
             return pa.table({
-                "c_nationkey": pa.array(nk, pa.int64()),
+                "c_nationkey": nk,
                 "o_totalprice": t["o_totalprice"],
-            }).filter(mask)
+            }).filter(pc.is_valid(nk))
 
         joined = orders.map_batches(attach_nation, batch_format="pyarrow")
     else:
@@ -139,12 +142,14 @@ def revenue_by_region(sf_dir: str,
 
     def attach_region(t: pa.Table, dim=dim) -> pa.Table:
         nat, reg = ray.get(dim)
-        names = [reg[nat[nk]] for nk in t["c_nationkey"].to_pylist()]
+        nk_to_name = {nk: reg[rk] for nk, rk in nat.items()}
+        names = dict_lookup(t["c_nationkey"], nk_to_name,
+                            out_type=pa.string())
         # per-row cents (exact for 2-decimal money), integer sums
         rev = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
                       * 100.0).astype(np.int64)
         tmp = pa.table({
-            "r_name": pa.array(names, pa.string()),
+            "r_name": names,
             "rev": pa.array(rev),
         })
         agg = tmp.group_by(["r_name"]).aggregate([("rev", "sum")])
@@ -189,8 +194,7 @@ def top_parts_by_quantity(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     keys = {r["l_partkey"] for r in top_rows}
 
     def only_top(t: pa.Table) -> pa.Table:
-        mask = pa.array([pk in keys for pk in t["p_partkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(in_set_mask(t["p_partkey"], keys))
 
     names = {r["p_partkey"]: r["p_name"]
              for r in _read(sf_dir, "part", ["p_partkey", "p_name"])

@@ -38,6 +38,10 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+
+# module-level (pickle-by-value compatibility): worker-side UDF bodies
+# must not lazily import kg_gen_ray
+from kg_gen_ray.stages.common import dict_lookup
 import ray.data
 
 
@@ -65,7 +69,9 @@ def normalize_label(s: str) -> str:
         s = s[:-3]
     if len(s) > 3 and s.endswith("e"):
         s = s[:-1]
-    return s
+    # final strip: suffix removal can expose internal whitespace at the
+    # end ("00\re" -> "00\r"); without it the key is not idempotent
+    return s.strip()
 
 
 def choose_representative(members) -> str:
@@ -173,8 +179,8 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
                 m = ray.get(ref)
                 return pa.table({
                     "node": t["node"],
-                    "cand": pa.array([m.get(x, x) for x in
-                                      t["nbr"].to_pylist()], pa.string()),
+                    "cand": dict_lookup(t["nbr"], m, identity=True,
+                                        out_type=pa.string()),
                 })
 
             candidates = edges.map_batches(relabel, batch_format="pyarrow")

@@ -101,6 +101,26 @@ _VALSET_CACHE: dict = {}
 _VALSET_CACHE_MAX = 8
 
 
+def dict_lookup(col, mapping: dict, default=None, identity: bool = False,
+                out_type=None):
+    """Vectorized broadcast-dict lookup for a column: dictionary-encode
+    the column (Arrow C++), run the Python dict lookup once per UNIQUE
+    value (vocabulary-sized, not row-count-sized), then a vectorized
+    ``take`` rebuilds the full column. ``identity=True`` maps missing keys
+    to themselves; otherwise to ``default``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = pc.dictionary_encode(arr)
+    uniq = d.dictionary.to_pylist()
+    if identity:
+        vals = [mapping.get(v, v) for v in uniq]
+    else:
+        vals = [mapping.get(v, default) for v in uniq]
+    return pa.array(vals, out_type).take(d.indices)
+
+
 def coalesce(ds: "ray.data.Dataset", shuffle_partitions):
     """Repartition (no shuffle — block split/merge only) ahead of a wide op
     when a width override is requested."""
