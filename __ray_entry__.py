@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_sig_fast": q_minhash_sig_fast,
+        "near_dup_jaccard": q_near_dup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "near_dup_canonical": q_near_dup_canonical,
         "fused_text_fast": q_fused_text_fast,          # rows-only (u64 engine hashes)
@@ -457,6 +458,15 @@ def q_near_dup_canonical(sf_dir: str):
     minhash_signatures / minhash_band_pairs."""
     from kg_gen_ray.functions.dedup import near_dup_canonical
     return near_dup_canonical(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_near_dup_jaccard(sf_dir: str):
+    """LSH candidate pairs (md5 oracle-parity family) verified by exact
+    n-gram Jaccard >= 0.8 — the classic two-stage near-dup filter."""
+    from kg_gen_ray.functions.dedup import jaccard_verify, minhash_lsh_pairs
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs)
+    return jaccard_verify(docs, pairs, threshold=0.8)
 
 
 def q_minhash_sig_fast(sf_dir: str):
@@ -1094,6 +1104,35 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_sig_fast"] = f"""
         WITH {_DOCS}, {_FSH}, {_FSIGS}
         SELECT doc_id, m0, m1, m2, m3 FROM fsigs"""
+
+    # exact shingle-join Jaccard over the md5-family LSH candidates
+    sql["near_dup_jaccard"] = f"""
+        WITH {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS},
+        bands AS (
+          SELECT doc_id, 0 AS band, md5('0:' || h0 || ':' || h1) AS band_key FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, md5('1:' || h2 || ':' || h3) FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(*) AS i
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.doc_a
+          JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+          GROUP BY p.doc_a, p.doc_b),
+        j AS (
+          SELECT p.doc_a, p.doc_b,
+                 coalesce(i.i, 0)::DOUBLE
+                   / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+          FROM pairs p
+          JOIN sizes sa ON sa.doc_id = p.doc_a
+          JOIN sizes sb ON sb.doc_id = p.doc_b
+          LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8"""
 
     # transitive closure of the LSH candidate-pair graph via recursive CTE,
     # keep the min doc of each component. Candidate pairs come from the

@@ -126,6 +126,22 @@ def cmd_export_json(args) -> int:
     return 0
 
 
+def cmd_visualize(args) -> int:
+    ray = _init_ray()
+    import ray.data as rd
+
+    from kg_gen_ray.pipelines.incremental import load_graph
+    from kg_gen_ray.stages.viz import write_html
+
+    triples = load_graph(args.graph)
+    alias_dir = os.path.join(args.graph, "alias_map")
+    alias = rd.read_parquet(alias_dir) if os.path.isdir(alias_dir) else None
+    out = write_html(triples, args.out, alias)
+    print(json.dumps({"out": out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kg_gen_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -161,6 +177,12 @@ def main(argv=None) -> int:
     e.add_argument("--graph", required=True)
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_export_json)
+
+    v = sub.add_parser("visualize",
+                       help="self-contained HTML dashboard (ref visualize)")
+    v.add_argument("--graph", required=True)
+    v.add_argument("--out", required=True)
+    v.set_defaults(fn=cmd_visualize)
 
     args = p.parse_args(argv)
     return args.fn(args)
