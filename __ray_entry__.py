@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
         "near_dup_cosine": q_near_dup_cosine,
+        "near_dup_cosine_canonical": q_near_dup_cosine_canonical,
         "near_dup_lsh": q_near_dup_lsh,                # rows-only (approximate)
         # --- multimodal (binary payload plumbing; FakeCodec determinism)
         "media_probe": q_media_probe,
@@ -505,6 +506,13 @@ def q_ivf_assign(sf_dir: str):
 def q_near_dup_cosine(sf_dir: str):
     from kg_gen_ray.functions.ann import cosine_near_dup_pairs
     return cosine_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
+
+
+def q_near_dup_cosine_canonical(sf_dir: str):
+    """Embedding-cosine end-to-end dedup: pairs -> components -> lowest-id
+    survivor per cluster (same composition duals as the text near-dup)."""
+    from kg_gen_ray.functions.ann import cosine_near_dup_canonical
+    return cosine_near_dup_canonical(_embeddings(sf_dir), threshold=0.3)
 
 
 def q_near_dup_lsh(sf_dir: str):
@@ -1179,6 +1187,21 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+
+    sql["near_dup_cosine_canonical"] = """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.3),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lab) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.node),
+        comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node)
+        SELECT node AS vec_id FROM comp WHERE node = root"""
 
     # FakeCodec.probe: md5(payload) digest bytes 0 and 1 -> dims
     _HEXB = ("(16 * (strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1)"

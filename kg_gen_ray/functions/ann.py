@@ -227,6 +227,29 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
     return embeddings.map_batches(block_pairs, batch_format="pyarrow")
 
 
+def cosine_near_dup_canonical(embeddings: "ray.data.Dataset",
+                              threshold: float, id_col: str = "vec_id",
+                              broadcast_limit: int = 64 * 1024 * 1024
+                              ) -> "ray.data.Dataset":
+    """End-to-end embedding near-dup dedup: cosine pairs >= threshold ->
+    connected components -> keep each component's lowest id. Same
+    size-selected composition as the text near-dup
+    (:func:`kg_gen_ray.functions.dedup.near_dup_canonical`); swap the
+    pair source for :func:`lsh_near_dup_pairs` at corpus sizes where the
+    exact pair stage's broadcast matrix no longer fits."""
+    from kg_gen_ray.functions.dedup import drop_ids, pair_graph_losers
+
+    pairs = cosine_near_dup_pairs(embeddings, threshold, id_col)
+    losers = pair_graph_losers(pairs, broadcast_limit,
+                               a_col="id_a", b_col="id_b")
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64())})
+
+    return drop_ids(embeddings.map_batches(ids_only, batch_format="pyarrow"),
+                    losers, id_col, broadcast_limit)
+
+
 def lsh_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
                        n_planes: int = 12, seed: int = 7,
                        id_col: str = "vec_id") -> "ray.data.Dataset":

@@ -396,25 +396,34 @@ def near_dup_canonical(docs: "ray.data.Dataset",
     — still DuckDB-reproducible); ``method="md5"`` keeps the md5
     hex-string family for parity with the reference-shaped oracle chain.
 
-    Size-selected duals at both scale-sensitive points: (1) the candidate
-    pair graph — small (the common case: LSH pairs are rare by
-    construction) -> driver union-find, one pass, no iterated shuffles;
-    large (dup-heavy crawl) -> distributed min-label propagation. (2) the
-    dropped-id set — small -> one broadcast anti-membership filter (no
-    shuffle); large -> a distributed left-anti hash join. No O(corpus) or
+    Size-selected duals at both scale-sensitive points (see
+    :func:`pair_graph_losers` and :func:`drop_ids`): no O(corpus) or
     unconditional O(duplicates) driver collection anywhere."""
     from kg_gen_ray.functions.fast_text import minhash_lsh_pairs_fast
-    from kg_gen_ray.stages.canonicalize import label_propagation
 
     if method == "md5":
         pairs = minhash_lsh_pairs(docs, shuffle_partitions)
     else:
         pairs = minhash_lsh_pairs_fast(docs, shuffle_partitions)
+    losers = pair_graph_losers(pairs, broadcast_limit)
+    return drop_ids(docs.select_columns(["doc_id"]), losers, "doc_id",
+                    broadcast_limit)
+
+
+def pair_graph_losers(pairs: "ray.data.Dataset",
+                      broadcast_limit: int = 64 * 1024 * 1024,
+                      a_col: str = "doc_a", b_col: str = "doc_b"
+                      ) -> "ray.data.Dataset":
+    """(a, b) duplicate pairs -> (doc_id) of every node that is NOT its
+    connected component's minimum — the ids to drop in a keep-the-lowest
+    dedup. Size-selected dual: a small pair graph (the common case — LSH
+    pairs are rare by construction) runs one driver union-find pass; a
+    large one (dup-heavy crawl) runs distributed min-label propagation."""
+    from kg_gen_ray.stages.canonicalize import label_propagation
+
     pairs = pairs.materialize()
 
     if (pairs.size_bytes() or 0) <= broadcast_limit:
-        # driver union-find over the (tiny) pair graph; losers are every
-        # node that is not its component's min
         parent: dict = {}
 
         def find(x: int) -> int:
@@ -424,8 +433,7 @@ def near_dup_canonical(docs: "ray.data.Dataset",
             return x
 
         for b in pairs.iter_batches(batch_format="pyarrow"):
-            for a_, b_ in zip(b["doc_a"].to_pylist(),
-                              b["doc_b"].to_pylist()):
+            for a_, b_ in zip(b[a_col].to_pylist(), b[b_col].to_pylist()):
                 parent.setdefault(a_, a_)
                 parent.setdefault(b_, b_)
                 ra, rb = find(a_), find(b_)
@@ -433,54 +441,56 @@ def near_dup_canonical(docs: "ray.data.Dataset",
                     lo, hi = (ra, rb) if ra < rb else (rb, ra)
                     parent[hi] = lo
         loser_ids = [x for x in parent if find(x) != x]
-        losers = ray.data.from_arrow(pa.table({
+        return ray.data.from_arrow(pa.table({
             "doc_id": pa.array(loser_ids, pa.int64())}))
-    else:
-        # label propagation orders labels by (len, lex): zero-pad doc ids
-        # so that order coincides with numeric order
-        def pad(t: pa.Table) -> pa.Table:
-            def z(col):
-                s = pc.cast(pc.cast(col, pa.int64()), pa.string())
-                return pc.utf8_lpad(s, 20, "0")
-            return pa.table({"a": z(t["doc_a"]), "b": z(t["doc_b"])})
 
-        comp = label_propagation(
-            pairs.map_batches(pad, batch_format="pyarrow"))
+    # label propagation orders labels by (len, lex): zero-pad ids so that
+    # order coincides with numeric order
+    def pad(t: pa.Table) -> pa.Table:
+        def z(col):
+            s = pc.cast(pc.cast(col, pa.int64()), pa.string())
+            return pc.utf8_lpad(s, 20, "0")
+        return pa.table({"a": z(t[a_col]), "b": z(t[b_col])})
 
-        # docs that lost their component election (node != min) drop out
-        def losers_only(t: pa.Table) -> pa.Table:
-            keep = pc.not_equal(t["node"], t["component"])
-            sub = t.filter(keep)
-            return pa.table({
-                "doc_id": pc.cast(sub["node"], pa.int64()),
-            })
+    comp = label_propagation(pairs.map_batches(pad, batch_format="pyarrow"))
 
-        losers = comp.map_batches(losers_only, batch_format="pyarrow")
+    def losers_only(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["component"])
+        sub = t.filter(keep)
+        return pa.table({"doc_id": pc.cast(sub["node"], pa.int64())})
+
+    return comp.map_batches(losers_only, batch_format="pyarrow")
+
+
+def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
+             id_col: str, broadcast_limit: int = 64 * 1024 * 1024
+             ) -> "ray.data.Dataset":
+    """Anti-filter ``ds`` by the loser id set. Size-selected dual: small ->
+    one broadcast anti-membership filter (no shuffle); large -> a
+    distributed left-anti hash join."""
+    import ray as _ray
+
     losers = losers.materialize()
-
     if (losers.size_bytes() or 0) <= broadcast_limit:
-        import ray as _ray
         dropped = set()
         for b in losers.iter_batches(batch_format="pyarrow"):
             dropped.update(b["doc_id"].to_pylist())
         ref = _ray.put(dropped)
 
         def keep(t: pa.Table) -> pa.Table:
-            return t.select(["doc_id"]).filter(
-                in_set_mask(t["doc_id"], ref, invert=True))
+            return t.filter(in_set_mask(t[id_col], ref, invert=True))
 
-        return docs.map_batches(keep, batch_format="pyarrow")
+        return ds.map_batches(keep, batch_format="pyarrow")
 
-    # join dual: anti-join docs against the loser ids
-    import ray as _ray
     n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
     marked = losers.repartition(n_parts).map_batches(
-        lambda t: t.append_column("__drop", pa.array([1] * t.num_rows,
-                                                     pa.int8())),
+        lambda t, c=id_col: pa.table({
+            c: pc.cast(t["doc_id"], pa.int64()),
+            "__drop": pa.array([1] * t.num_rows, pa.int8())}),
         batch_format="pyarrow")
-    joined = docs.select_columns(["doc_id"]).repartition(n_parts) \
-        .join(marked, join_type="left_outer", on=("doc_id",),
+    joined = ds.repartition(n_parts) \
+        .join(marked, join_type="left_outer", on=(id_col,),
               num_partitions=n_parts)
     return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["__drop"])).select(["doc_id"]),
+        lambda t: t.filter(pc.is_null(t["__drop"])).drop_columns(["__drop"]),
         batch_format="pyarrow")
