@@ -1,0 +1,54 @@
+"""Unit tests for the shared broadcast/lookup utilities in stages/common."""
+
+import pyarrow as pa
+import ray
+
+from kg_gen_ray.stages import common
+from kg_gen_ray.stages.common import dict_lookup, in_set_mask
+
+
+def test_dict_lookup_identity_and_default():
+    col = pa.array(["a", "b", "c", "a"])
+    assert dict_lookup(col, {"a": "A"}, identity=True).to_pylist() == \
+        ["A", "b", "c", "A"]
+    out = dict_lookup(col, {"a": "A"}, default=None, out_type=pa.string())
+    assert out.to_pylist() == ["A", None, None, "A"]
+
+
+def test_dict_lookup_int_keys():
+    col = pa.array([1, 2, 3, 1], pa.int64())
+    out = dict_lookup(col, {1: 10, 3: 30}, out_type=pa.int64())
+    assert out.to_pylist() == [10, None, 30, 10]
+
+
+def test_in_set_mask_plain_set_and_invert(ray_session):
+    col = pa.array([1, 2, 3, 4], pa.int64())
+    assert in_set_mask(col, {2, 4}).to_pylist() == \
+        [False, True, False, True]
+    assert in_set_mask(col, {2, 4}, invert=True).to_pylist() == \
+        [True, False, True, False]
+    # empty set: nothing matches / everything survives the inverse
+    assert in_set_mask(col, set()).to_pylist() == [False] * 4
+    assert in_set_mask(col, set(), invert=True).to_pylist() == [True] * 4
+
+
+def test_in_set_mask_type_mismatch_uint64(ray_session):
+    # uint64 column vs a value set of Python ints >= 2^63 (int64 overflow)
+    big = 2**64 - 5
+    col = pa.array([big, 7], pa.uint64())
+    ref = ray.put({big})
+    assert in_set_mask(col, ref).to_pylist() == [True, False]
+
+
+def test_in_set_mask_cache_bounded(ray_session):
+    col = pa.array([1], pa.int64())
+    before = dict(common._VALSET_CACHE)
+    refs = [ray.put({i}) for i in range(common._VALSET_CACHE_MAX + 4)]
+    for r in refs:
+        in_set_mask(col, r)
+    assert len(common._VALSET_CACHE) <= common._VALSET_CACHE_MAX
+    # most-recent ref is cached, oldest evicted
+    assert refs[-1].hex() in common._VALSET_CACHE
+    assert refs[0].hex() not in common._VALSET_CACHE
+    common._VALSET_CACHE.clear()
+    common._VALSET_CACHE.update(before)
