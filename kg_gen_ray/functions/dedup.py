@@ -253,11 +253,19 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
 
     def verify_joined(t: pa.Table) -> pa.Table:
         keep_a, keep_b, sims = [], [], []
+        cache: dict = {}   # doc texts repeat across pairs; shingle once
+
+        def sh_of(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = shingle_set(text)
+            return s
+
         for a, b, ta, tb in zip(t["doc_a"].to_pylist(),
                                 t["doc_b"].to_pylist(),
                                 t["text_a"].to_pylist(),
                                 t["text_b"].to_pylist()):
-            j = jac(shingle_set(ta), shingle_set(tb))
+            j = jac(sh_of(a, ta), sh_of(b, tb))
             if j >= threshold:
                 keep_a.append(a); keep_b.append(b); sims.append(j)
         return pa.table({
