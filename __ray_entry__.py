@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_sig_fast": q_minhash_sig_fast,
         "near_dup_jaccard": q_near_dup_jaccard,
+        # --- serving-surface ops run through the engine (M7, S2/M3, J3)
+        "llm_filter": q_llm_filter,
+        "messages_flatten": q_messages_flatten,
+        "kg_neighborhood": q_kg_neighborhood,
         "dedup_simhash": q_dedup_simhash,
         "near_dup_canonical": q_near_dup_canonical,
         "fused_text_fast": q_fused_text_fast,          # rows-only (u64 engine hashes)
@@ -459,6 +463,52 @@ def q_near_dup_canonical(sf_dir: str):
     minhash_signatures / minhash_band_pairs."""
     from kg_gen_ray.functions.dedup import near_dup_canonical
     return near_dup_canonical(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_llm_filter(sf_dir: str):
+    """M7 LLM row filter through the actor-pool stage with the
+    deterministic keyword transport (YES iff the question substring occurs
+    in the row) — the full Ray path, SQL-mirrorable."""
+    from kg_gen_ray.stages.extract import KeywordFilterTransport, \
+        llm_filter_stage
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    kept = llm_filter_stage(docs, "table", KeywordFilterTransport())
+    return kept.select_columns(["doc_id"])
+
+
+def q_messages_flatten(sf_dir: str):
+    """S2/M3 conversation flattener end-to-end: documents are wrapped into
+    deterministic (user, system, assistant) message arrays, flattened with
+    the reference's role rules (system dropped, 'role: content' lines)."""
+    from kg_gen_ray.sources.messages import conversations_to_pages
+
+    def to_convs(t: pa.Table) -> pa.Table:
+        msgs = [
+            [{"role": "user", "content": txt},
+             {"role": "system", "content": "ignored"},
+             {"role": "assistant", "content": f"lang={lang}"}]
+            for txt, lang in zip(
+                pc.cast(t["text"], pa.string()).to_pylist(),
+                t["lang"].to_pylist())
+        ]
+        return pa.table({
+            "conv_id": pc.cast(t["doc_id"], pa.int64()),
+            "messages": pa.array(msgs),
+        })
+
+    convs = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        to_convs, batch_format="pyarrow")
+    return conversations_to_pages(convs).select_columns(["url", "text"])
+
+
+def q_kg_neighborhood(sf_dir: str):
+    """J3 retrieval context: 2-hop neighborhood of the lexicographically
+    smallest subject in the distinct-triples graph."""
+    from kg_gen_ray.pipelines.query import neighborhood
+    triples = _distinct_triples(sf_dir).materialize()
+    seed = min(r["subj"] for r in
+               triples.select_columns(["subj"]).take_all())
+    return neighborhood(triples, {seed}, depth=2)
 
 
 def q_near_dup_jaccard(sf_dir: str):
@@ -1112,6 +1162,27 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_sig_fast"] = f"""
         WITH {_DOCS}, {_FSH}, {_FSIGS}
         SELECT doc_id, m0, m1, m2, m3 FROM fsigs"""
+
+    sql["llm_filter"] = """
+        SELECT doc_id FROM documents
+        WHERE position('table' IN text) > 0"""
+
+    sql["messages_flatten"] = f"""
+        SELECT 'conv://' || doc_id AS url,
+               'user: ' || text || chr(10) || 'assistant: lang=' || lang
+                 AS text
+        FROM documents"""
+
+    # 2-hop bidirectional neighborhood of the min subject
+    sql["kg_neighborhood"] = f"""
+        {_KG_PREFIX},
+        f0 AS (SELECT min(subj) AS e FROM triples),
+        hop1 AS (SELECT t.subj, t.pred, t.obj FROM triples t, f0
+                 WHERE t.subj = f0.e OR t.obj = f0.e),
+        f1 AS (SELECT subj AS e FROM hop1 UNION SELECT obj FROM hop1
+               UNION SELECT e FROM f0)
+        SELECT DISTINCT t.subj, t.pred, t.obj
+        FROM triples t JOIN f1 ON t.subj = f1.e OR t.obj = f1.e"""
 
     # exact shingle-join Jaccard over the md5-family LSH candidates
     sql["near_dup_jaccard"] = f"""

@@ -18,9 +18,14 @@ edges — multiple predicates between one (s, o) pair are NOT collapsed
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+# module-level (pickle-by-value compatibility): worker-side UDF bodies
+# must not lazily import kg_gen_ray
+from kg_gen_ray.stages.common import in_set_mask
 
 
 def neighborhood(triples: "ray.data.Dataset", seeds: set,
@@ -33,10 +38,8 @@ def neighborhood(triples: "ray.data.Dataset", seeds: set,
         ref = ray.put(frontier)
 
         def touching(t: pa.Table, ref=ref) -> pa.Table:
-            f = ray.get(ref)
-            mask = pa.array([s in f or o in f
-                             for s, o in zip(t["subj"].to_pylist(),
-                                             t["obj"].to_pylist())])
+            mask = pc.or_(in_set_mask(t["subj"], ref),
+                          in_set_mask(t["obj"], ref))
             return t.filter(mask)
 
         hop = triples.map_batches(touching, batch_format="pyarrow")
