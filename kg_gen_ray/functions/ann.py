@@ -191,40 +191,91 @@ def kmeans_centroids(embeddings: "ray.data.Dataset", n_centroids: int,
 # embedding near-dup (exact + LSH-bucketed scale path)
 # ---------------------------------------------------------------------------
 
+def _norm_block(t: pa.Table, id_col: str):
+    ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+    m = _mat(t)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    return ids, mn
+
+
+@ray.remote
+def _block_pair_task(tab_i, tab_j, same: bool, threshold: float,
+                     id_col: str) -> pa.Table:
+    """Exact cosine pairs between two blocks (zero-copy Arrow from the
+    object store). ``same=True`` -> upper triangle within one block."""
+    ids_i, mi = _norm_block(tab_i, id_col)
+    ids_j, mj = (ids_i, mi) if same else _norm_block(tab_j, id_col)
+    sims = mi @ mj.T
+    if same:
+        mask = np.triu(sims >= threshold, k=1)
+    else:
+        mask = sims >= threshold
+    ai, bj = np.where(mask)
+    a = np.minimum(ids_i[ai], ids_j[bj])
+    b = np.maximum(ids_i[ai], ids_j[bj])
+    keep = a < b
+    return pa.table({
+        "id_a": pa.array(a[keep]),
+        "id_b": pa.array(b[keep]),
+    })
+
+
 def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
-                          id_col: str = "vec_id") -> "ray.data.Dataset":
-    """Exact pairs (a < b) with cosine >= threshold.
+                          id_col: str = "vec_id",
+                          broadcast_limit: int = 64 * 1024 * 1024
+                          ) -> "ray.data.Dataset":
+    """Exact pairs (a < b) with cosine >= threshold — size-selected dual.
 
-    The normalized matrix is broadcast once; each block computes
-    block x all similarities. O(n^2/B) per task — the exact baseline; use
-    :func:`lsh_near_dup_pairs` when n is too large for a broadcast matrix.
+    Small table (fits ``broadcast_limit``): the normalized matrix is
+    broadcast once and each block computes block x all similarities —
+    O(n^2/B) per task, one pass. Large table: distributed block-pair
+    tasks — every (i <= j) block pair is one raw Ray task reading both
+    blocks zero-copy from the object store, so NOTHING is ever assembled
+    on the driver and no worker holds more than two blocks. Still exact
+    O(n^2) compute by definition; :func:`lsh_near_dup_pairs` is the
+    sub-quadratic approximate path.
     """
-    rows = []
-    for b in embeddings.iter_batches(batch_format="pyarrow"):
-        ids = b[id_col].to_pylist()
-        m = _mat(b)
-        rows.append((ids, m))
-    all_ids = np.concatenate([np.asarray(i, dtype=np.int64) for i, _ in rows])
-    all_m = np.vstack([m for _, m in rows])
-    all_n = all_m / np.maximum(np.linalg.norm(all_m, axis=1, keepdims=True), 1e-300)
-    ref = ray.put((all_ids, all_n))
+    mat = embeddings.materialize()
 
-    def block_pairs(t: pa.Table, ref=ref) -> pa.Table:
-        ids_all, mat_all = ray.get(ref)
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
-        m = _mat(t)
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        sims = mn @ mat_all.T
-        ai, bj = np.where(sims >= threshold)
-        a = ids[ai]
-        b = ids_all[bj]
-        keep = a < b
-        return pa.table({
-            "id_a": pa.array(a[keep]),
-            "id_b": pa.array(b[keep]),
-        })
+    if (mat.size_bytes() or 0) <= broadcast_limit:
+        rows = []
+        for b in mat.iter_batches(batch_format="pyarrow"):
+            ids = b[id_col].to_pylist()
+            m = _mat(b)
+            rows.append((ids, m))
+        all_ids = np.concatenate([np.asarray(i, dtype=np.int64)
+                                  for i, _ in rows])
+        all_m = np.vstack([m for _, m in rows])
+        all_n = all_m / np.maximum(
+            np.linalg.norm(all_m, axis=1, keepdims=True), 1e-300)
+        ref = ray.put((all_ids, all_n))
 
-    return embeddings.map_batches(block_pairs, batch_format="pyarrow")
+        def block_pairs(t: pa.Table, ref=ref) -> pa.Table:
+            ids_all, mat_all = ray.get(ref)
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            m = _mat(t)
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            sims = mn @ mat_all.T
+            ai, bj = np.where(sims >= threshold)
+            a = ids[ai]
+            b = ids_all[bj]
+            keep = a < b
+            return pa.table({
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+            })
+
+        return mat.map_batches(block_pairs, batch_format="pyarrow")
+
+    # distributed block-pair tasks over the materialized blocks
+    refs = mat.to_arrow_refs()
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(_block_pair_task.remote(
+                refs[i], refs[j], i == j, threshold, id_col))
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def cosine_near_dup_canonical(embeddings: "ray.data.Dataset",

@@ -77,3 +77,15 @@ def test_lsh_near_dup_subset_of_exact(ray_session):
            for r in lsh_near_dup_pairs(emb_ds(), 0.3).take_all()}
     assert lsh <= exact                # LSH verifies within buckets -> no FPs
     assert exact                       # dataset has near pairs at 0.3
+
+
+def test_cosine_pairs_block_dual_matches_broadcast(ray_session):
+    from kg_gen_ray.functions.ann import cosine_near_dup_pairs
+
+    ds = emb_ds().repartition(5)   # force multiple blocks
+    bcast = {(r["id_a"], r["id_b"])
+             for r in cosine_near_dup_pairs(ds, 0.3).take_all()}
+    dist = {(r["id_a"], r["id_b"])
+            for r in cosine_near_dup_pairs(ds, 0.3,
+                                           broadcast_limit=0).take_all()}
+    assert dist == bcast and len(bcast) > 0
