@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_hist": q_lang_hist,
         "lang_id": q_lang_id,
+        "text_tokens_re": q_text_tokens_re,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct_docs": q_approx_distinct,     # rows-only (HLL estimate)
@@ -203,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "events_asof_fwd": q_events_asof_fwd,
         "events_sessions": q_events_sessions,
         # --- sampling / per-group top-k
         "hash_sample": q_hash_sample,
@@ -729,6 +731,49 @@ def q_events_asof(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def q_events_asof_fwd(sf_dir: str):
+    """Forward as-of: each event picks the EARLIEST order (by customer) at
+    or after its timestamp — the other as-of direction, same bucketed
+    merge_asof composition."""
+    import ray.data
+
+    from kg_gen_ray.functions.windows import asof_join
+    epath = f"{sf_dir}/events.parquet"
+    opath = f"{sf_dir}/orders.parquet"
+    events = ray.data.read_parquet(epath, columns=["event_id", "user_id", "ts"],
+                                   override_num_blocks=_read_blocks(epath))
+    orders = ray.data.read_parquet(
+        opath, columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        override_num_blocks=_read_blocks(opath))
+
+    def max_per_key_ts(refs):
+        return refs.groupby(["__key", "__ts"], as_index=False).max()
+
+    joined = asof_join(events, orders, key_col="user_id", ts_col="ts",
+                       right_ts_col="o_orderdate",
+                       right_value_cols=["o_totalprice"],
+                       right_key_col="o_custkey",
+                       right_reduce=max_per_key_ts,
+                       direction="forward")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["l_event_id"], pa.int64()),
+            "next_totalprice": pc.cast(t["r_o_totalprice"], pa.float64()),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def q_text_tokens_re(sf_dir: str):
+    """BPE-ish regex token counting (letter runs / digit runs / single
+    non-space symbols) alongside the whitespace count — the second
+    tokenizer family from the training-data brief."""
+    from kg_gen_ray.functions.text_analysis import regex_token_stats
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        regex_token_stats, batch_format="pyarrow")
+
+
 def q_events_sessions(sf_dir: str):
     """Gap-based sessionization (30-minute inactivity timeout)."""
     import ray.data
@@ -1162,6 +1207,22 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_sig_fast"] = f"""
         WITH {_DOCS}, {_FSH}, {_FSIGS}
         SELECT doc_id, m0, m1, m2, m3 FROM fsigs"""
+
+    sql["text_tokens_re"] = """
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+                 AS n_re_tokens
+        FROM documents"""
+
+    sql["events_asof_fwd"] = """
+        WITH o1 AS (
+          SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+          FROM orders GROUP BY o_custkey, o_orderdate)
+        SELECT e.event_id, o1.o_totalprice AS next_totalprice
+        FROM events e
+        ASOF LEFT JOIN o1
+          ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate"""
 
     sql["llm_filter"] = """
         SELECT doc_id FROM documents

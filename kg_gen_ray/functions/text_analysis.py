@@ -81,6 +81,23 @@ def fingerprint(batch: pa.Table, col: str = "text",
     })
 
 
+# BPE-ish tokenization: letter runs, digit runs, single non-space symbols
+# (the shape of GPT-style pre-tokenizers, restricted to RE2-compatible
+# classes so DuckDB regexp_extract_all mirrors it exactly)
+_RE_TOKEN = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def regex_token_stats(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_re_tokens) — BPE-ish regex token counts. Arrow's RE2
+    kernel does the scan (``count_substring_regex``); no Python loop."""
+    counts = pc.count_substring_regex(
+        pc.cast(batch["text"], pa.string()), pattern=_RE_TOKEN.pattern)
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "n_re_tokens": pc.cast(counts, pa.int64()),
+    })
+
+
 # --- language ID: n-gram/stopword heuristic -------------------------------
 
 _LANG_MARKERS = {

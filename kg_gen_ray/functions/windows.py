@@ -95,12 +95,14 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key_col: str, ts_col: str, right_ts_col: str,
               right_value_cols: list, right_key_col: str | None = None,
-              right_reduce=None) -> "ray.data.Dataset":
+              right_reduce=None,
+              direction: str = "backward") -> "ray.data.Dataset":
     """For each left row, attach the right row with the same key and the
-    greatest ``right_ts_col`` <= left ``ts_col`` (backward as-of join).
-    Missing match -> nulls. Composition: union both sides tagged, group
-    into key-hash buckets, vectorized ``pandas.merge_asof(by=key)`` per
-    bucket.
+    greatest ``right_ts_col`` <= left ``ts_col`` (``direction="backward"``,
+    the default) or the smallest ``right_ts_col`` >= left ``ts_col``
+    (``direction="forward"``). Missing match -> nulls. Composition: union
+    both sides tagged, group into key-hash buckets, vectorized
+    ``pandas.merge_asof(by=key)`` per bucket.
 
     ``right_reduce`` (optional): pandas function applied to each bucket's
     reference rows (columns ``__key, __ts, r_*``) before the as-of match —
@@ -108,6 +110,8 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     this inside the bucket avoids a whole Ray pre-aggregation pass over the
     right side (and the extra execution its ``schema()`` would trigger);
     keep ``right`` a plain read so its schema comes from file metadata."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
 
     # the union below needs one schema: type the left side's (all-null)
     # right-payload columns from the right schema, and vice versa for the
@@ -183,7 +187,7 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         merged = pd.merge_asof(
             rows[["__key", "__ts", *left_cols]],
             refs[["__key", "__ts", *r_cols]],
-            on="__ts", by="__key", direction="backward")
+            on="__ts", by="__key", direction=direction)
         return merged[[*left_cols, *r_cols]]
 
     return lt.union(rt).groupby("__bucket").map_groups(

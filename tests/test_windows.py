@@ -99,3 +99,24 @@ def test_asof_join_exact_timestamp_inclusive(ray_session):
     out = asof_join(left, right, key_col="k", ts_col="ts",
                     right_ts_col="rts", right_value_cols=["v"]).take_all()
     assert out[0]["r_v"] == 7.0   # ts == rts matches (backward inclusive)
+
+
+def test_asof_join_forward(ray_session):
+    left, right = _asof_fixture()
+    out = {r["l_event_id"]: r["r_price"]
+           for r in asof_join(left, right, key_col="user_id", ts_col="ts",
+                              right_ts_col="rts",
+                              right_value_cols=["price"],
+                              direction="forward").take_all()}
+    import pandas as pd
+    assert pd.isna(out[10])   # day 5: no later ref for user 1
+    assert out[11] == 300.0   # day 1: earliest ref at/after is day 3
+    assert out[12] == 900.0   # user 2: future ref at day 9 now matches
+    assert pd.isna(out[13])   # user 3: no refs at all
+
+
+def test_asof_join_bad_direction():
+    import pytest
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(None, None, key_col="k", ts_col="t", right_ts_col="rt",
+                  right_value_cols=[], direction="nearest")
