@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "events_asof_fwd": q_events_asof_fwd,
         "events_sessions": q_events_sessions,
+        "events_session_assign": q_events_session_assign,
         # --- sampling / per-group top-k
         "hash_sample": q_hash_sample,
         "grouped_topk": q_grouped_topk,
@@ -772,6 +773,30 @@ def q_text_tokens_re(sf_dir: str):
     from kg_gen_ray.functions.text_analysis import regex_token_stats
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         regex_token_stats, batch_format="pyarrow")
+
+
+def q_events_session_assign(sf_dir: str):
+    """Range join: each event attached to the session interval containing
+    its timestamp (events x sessionize intervals on user_id)."""
+    import ray.data
+
+    from kg_gen_ray.functions.sessions import sessionize
+    from kg_gen_ray.functions.windows import range_join
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["event_id", "user_id", "ts"],
+                               override_num_blocks=_read_blocks(path))
+    sessions = sessionize(ds, gap_sec=1800)
+    joined = range_join(ds, sessions, key_col="user_id", ts_col="ts",
+                        start_col="session_start", end_col="session_end",
+                        payload_cols=["session_id"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["l_event_id"], pa.int64()),
+            "session_id": pc.cast(t["p_session_id"], pa.int64()),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")
 
 
 def q_events_sessions(sf_dir: str):
@@ -1386,6 +1411,36 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS session_start, max(ts) AS session_end,
                count(*)::BIGINT AS n_events
         FROM numbered GROUP BY user_id, session_id"""
+
+    # range join: the session CTE above, then ts BETWEEN start AND end
+    sql["events_session_assign"] = """
+        WITH ordered AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN prev_ts IS NULL
+                           OR date_diff('microseconds', prev_ts, ts)
+                              > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM ordered),
+        numbered AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                   AS session_id
+          FROM flagged),
+        sess AS (
+          SELECT user_id, session_id::BIGINT AS session_id,
+                 min(ts) AS session_start, max(ts) AS session_end
+          FROM numbered GROUP BY user_id, session_id)
+        SELECT e.event_id, s.session_id
+        FROM events e JOIN sess s
+          ON e.user_id = s.user_id
+         AND e.ts BETWEEN s.session_start AND s.session_end"""
 
     sql["hash_sample"] = """
         SELECT doc_id FROM documents

@@ -92,6 +92,108 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
                        Sum(value_col, alias_name="sum_value")))
 
 
+def range_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
+               key_col: str, ts_col: str,
+               start_col: str, end_col: str,
+               payload_cols: list,
+               interval_key_col: str | None = None) -> "ray.data.Dataset":
+    """For each left row, attach the interval with the same key whose
+    ``[start_col, end_col]`` contains ``ts_col`` (inclusive both ends).
+    Missing match -> nulls. The third custom temporal operator next to
+    the windowed aggregates and the as-of join: Ray Data has no native
+    range join, so it composes as union-tag -> key-hash buckets ->
+    per-bucket vectorized ``searchsorted`` over each key's
+    start-sorted intervals.
+
+    Partitioning assumptions (documented like :func:`asof_join`): one
+    key's rows fit a bucket, and a key's intervals are NON-OVERLAPPING
+    (e.g. sessions) — with overlaps the interval with the greatest start
+    <= ts wins, which is the as-of containment rule."""
+    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+
+    ikey = interval_key_col or key_col
+    n_buckets = default_buckets()
+
+    iv_schema = intervals.schema()
+    ptypes = {c: iv_schema.types[iv_schema.names.index(c)]
+              for c in payload_cols}
+    left_schema = left.schema()
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {
+            "__key": t[key_col],
+            "__ts": pc.cast(t[ts_col], pa.timestamp("us")),
+            "__end": pa.nulls(t.num_rows, pa.timestamp("us")),
+            "__side": pa.array([0] * t.num_rows, pa.int8()),
+        }
+        for c in t.column_names:
+            cols[f"l_{c}"] = t[c]
+        for c in payload_cols:
+            cols[f"p_{c}"] = pa.nulls(t.num_rows, type=ptypes[c])
+        return pa.table(cols)
+
+    def tag_iv(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "__key": t[ikey],
+            "__ts": pc.cast(t[start_col], pa.timestamp("us")),
+            "__end": pc.cast(t[end_col], pa.timestamp("us")),
+            "__side": pa.array([1] * n, pa.int8()),
+        }
+        for c, typ in ltypes.items():
+            cols[f"l_{c}"] = pa.nulls(n, type=typ)
+        for c in payload_cols:
+            cols[f"p_{c}"] = t[c]
+        return pa.table(cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", hash_bucket_array(t["__key"], n_buckets))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow") \
+             .map_batches(add_bucket, batch_format="pyarrow")
+    it = intervals.map_batches(tag_iv, batch_format="pyarrow") \
+                  .map_batches(add_bucket, batch_format="pyarrow")
+
+    left_cols = [f"l_{c}" for c in left_schema.names]
+    p_cols = [f"p_{c}" for c in payload_cols]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["__side"] == 0]
+        ivs = g[g["__side"] == 1].sort_values(["__key", "__ts"],
+                                              kind="stable")
+        out = rows[left_cols].copy()
+        if not len(ivs) or not len(rows):
+            for c in p_cols:
+                out[c] = pd.Series(None, index=out.index,
+                                   dtype=g[c].dtype)
+            return out
+        # per key: searchsorted over start times, then containment check
+        matched = np.full(len(rows), -1, dtype=np.int64)
+        iv_by_key = {k: sub for k, sub in ivs.groupby("__key", sort=False)}
+        for k, sub_idx in rows.groupby("__key", sort=False).groups.items():
+            sub = iv_by_key.get(k)
+            if sub is None:
+                continue
+            starts = sub["__ts"].to_numpy()
+            ends = sub["__end"].to_numpy()
+            ts = rows.loc[sub_idx, "__ts"].to_numpy()
+            pos = np.searchsorted(starts, ts, side="right") - 1
+            ok = (pos >= 0) & (ts <= ends[np.clip(pos, 0, None)])
+            rowpos = rows.index.get_indexer(sub_idx)
+            matched[rowpos[ok]] = sub.index.to_numpy()[pos[ok]]
+        for c in p_cols:
+            vals = pd.Series(None, index=out.index, dtype=g[c].dtype)
+            hit = matched >= 0
+            vals.iloc[hit] = ivs.loc[matched[hit], c].to_numpy()
+            out[c] = vals
+        return out
+
+    return lt.union(it).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key_col: str, ts_col: str, right_ts_col: str,
               right_value_cols: list, right_key_col: str | None = None,

@@ -120,3 +120,32 @@ def test_asof_join_bad_direction():
     with pytest.raises(ValueError, match="direction"):
         asof_join(None, None, key_col="k", ts_col="t", right_ts_col="rt",
                   right_value_cols=[], direction="nearest")
+
+
+def test_range_join_containment(ray_session):
+    from datetime import datetime
+
+    from kg_gen_ray.functions.windows import range_join
+
+    def T(d):
+        return datetime(2026, 1, d)
+
+    left = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([T(2), T(5), T(9), T(4), T(1)], pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64())}))
+    ivs = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "s": pa.array([T(1), T(6), T(3)], pa.timestamp("us")),
+        "e": pa.array([T(3), T(8), T(4)], pa.timestamp("us")),
+        "session_id": pa.array([0, 1, 0], pa.int64())}))
+    out = {int(r["l_event_id"]): r["p_session_id"] for r in
+           range_join(left, ivs, "user_id", "ts", "s", "e",
+                      ["session_id"]).take_all()}
+    import pandas as pd
+    assert out[10] == 0            # day 2 in [1, 3]
+    assert pd.isna(out[11])        # day 5 falls in the gap
+    assert pd.isna(out[12])        # day 9 after the last interval
+    assert out[13] == 0            # inclusive end: day 4 == e
+    assert pd.isna(out[14])        # user 3 has no intervals
+    assert len(out) == 5           # left-outer: every row survives
