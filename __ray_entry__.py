@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_sig_fast": q_minhash_sig_fast,
+        "doc_winnow": q_doc_winnow,
         "near_dup_jaccard": q_near_dup_jaccard,
         # --- serving-surface ops run through the engine (M7, S2/M3, J3)
         "llm_filter": q_llm_filter,
@@ -521,6 +522,15 @@ def q_near_dup_jaccard(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs)
     return jaccard_verify(docs, pairs, threshold=0.8)
+
+
+def q_doc_winnow(sf_dir: str):
+    """MOSS-style winnowing fingerprints (window-4 minima over the u64
+    3-gram shingle hashes) — the rolling-hash document-fingerprint family
+    from the training-data brief, exploded (doc_id, fp)."""
+    from kg_gen_ray.functions.fast_text import winnow_fingerprints
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow_fingerprints, batch_format="pyarrow")
 
 
 def q_minhash_sig_fast(sf_dir: str):
@@ -1269,6 +1279,26 @@ def oracle_sql() -> dict[str, str]:
                UNION SELECT e FROM f0)
         SELECT DISTINCT t.subj, t.pred, t.obj
         FROM triples t JOIN f1 ON t.subj = f1.e OR t.obj = f1.e"""
+
+    # winnowing: per-position window-4 minima over the u64 shingle lists,
+    # full windows only; short docs contribute their single overall min
+    sql["doc_winnow"] = f"""
+        WITH {_DOCS}, {_FSH},
+        fw AS (SELECT f.doc_id, f.shs, len(f.shs) AS ns
+               FROM fsh f JOIN fts t ON t.doc_id = f.doc_id
+               WHERE len(t.ts) >= 3 AND len(f.shs) > 0),
+        pos AS (SELECT doc_id, unnest(shs) AS h,
+                       generate_subscripts(shs, 1) AS i, ns FROM fw),
+        winmin AS (SELECT doc_id, i, ns,
+                          min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND 3 FOLLOWING) AS m
+                   FROM pos),
+        kept AS (
+          SELECT doc_id, m FROM winmin WHERE ns >= 4 AND i <= ns - 3
+          UNION ALL
+          SELECT doc_id, list_min(shs) FROM fw WHERE ns < 4)
+        SELECT DISTINCT doc_id, m::UBIGINT AS fp FROM kept"""
 
     # exact shingle-join Jaccard over the md5-family LSH candidates
     sql["near_dup_jaccard"] = f"""

@@ -152,3 +152,44 @@ def test_lsh_pairs_fast_finds_duplicates(ray_session):
             for r in minhash_lsh_pairs_fast(
                 docs, broadcast_limit=0).take_all()}
     assert dist == pairs
+
+
+def test_winnow_fingerprints_brute_force_parity():
+    """Winnowing = distinct window-4 minima over 3-gram shingle hashes;
+    short docs contribute one overall min; <3-token docs contribute none."""
+    import hashlib
+
+    from kg_gen_ray.functions.fast_text import (
+        _OC1, _OC2, winnow_fingerprints)
+
+    texts = ["w1 w2 w3 w4 w5 w6 w7 w8 w1 w2", "a b c d e",
+             "one two three", "a b", "", "x"]
+    tab = _batch(texts)
+
+    def hu(t):
+        return np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:8], 16))
+
+    want = set()
+    W = 4
+    for did, t in enumerate(texts):
+        toks = t.split(" ")
+        with np.errstate(over="ignore"):
+            sh = [hu(toks[i]) * _OC1 + hu(toks[i + 1]) * _OC2
+                  + hu(toks[i + 2]) for i in range(len(toks) - 2)]
+        if not sh:
+            continue
+        if len(sh) < W:
+            want.add((did, int(min(sh))))
+        else:
+            for i in range(len(sh) - W + 1):
+                want.add((did, int(min(sh[i:i + W]))))
+    got = {(r["doc_id"], int(r["fp"]))
+           for r in winnow_fingerprints(tab).to_pylist()}
+    assert got == want
+    # fingerprint set is a subset of the shingle set, much smaller for
+    # long docs, and shared content -> shared fingerprints
+    t2 = _batch(["w1 w2 w3 w4 w5 w6 w7 w8", "w1 w2 w3 w4 w5 w6 w7 w8"])
+    g2 = winnow_fingerprints(t2).to_pylist()
+    fps0 = {r["fp"] for r in g2 if r["doc_id"] == 0}
+    fps1 = {r["fp"] for r in g2 if r["doc_id"] == 1}
+    assert fps0 == fps1 and fps0
