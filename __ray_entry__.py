@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": q_kg_degrees,
         "kg_top_relations": q_kg_top_relations,
         "kg_components": q_kg_components,
+        "kg_pagerank": q_kg_pagerank,
         "kg_semantic_alias": q_kg_semantic_alias,     # rows-only (k-means + judge loop)
         "kg_incremental": q_kg_incremental,
         "kg_triples_llm": q_kg_triples_llm,
@@ -302,6 +303,14 @@ def q_kg_top_relations(sf_dir: str):
 def q_kg_components(sf_dir: str):
     from kg_gen_ray.stages.viz import components_table
     return components_table(_distinct_triples(sf_dir))
+
+
+def q_kg_pagerank(sf_dir: str):
+    """Deterministic integer PageRank over the distinct-triples graph —
+    integer arithmetic makes the distributed sums order-independent, so
+    the result is value-exact against the serial SQL oracle."""
+    from kg_gen_ray.stages.viz import pagerank
+    return pagerank(_distinct_triples(sf_dir), n_iter=5)
 
 
 def q_kg_semantic_alias(sf_dir: str):
@@ -1238,6 +1247,30 @@ def oracle_sql() -> dict[str, str]:
                      CAST(e.embedding AS DOUBLE[]), q.qv) AS fs
           FROM bscores b JOIN embeddings e ON e.vec_id = b.doc_id, q)
         SELECT doc_id FROM fused ORDER BY fs DESC, doc_id LIMIT 10"""
+
+    # deterministic integer PageRank, 5 unrolled iterations (integer
+    # floor-division damping keeps every sum order-independent)
+    _S = 10 ** 12
+    _pr_iters = ""
+    for _k in range(5):
+        _pr_iters += f"""
+        , pr{_k + 1} AS (
+          SELECT n.n, ((({_S} * 15 // 100) // cnt.nn)
+            + coalesce(sum((p.pr * 85 // 100) // d.od), 0))::BIGINT AS pr
+          FROM prnodes n CROSS JOIN cnt
+          LEFT JOIN dedges e ON e.v = n.n
+          LEFT JOIN pr{_k} p ON p.n = e.u
+          LEFT JOIN prdeg d ON d.u = e.u
+          GROUP BY n.n, cnt.nn)"""
+    sql["kg_pagerank"] = f"""
+        {_KG_PREFIX},
+        dedges AS (SELECT DISTINCT subj AS u, obj AS v FROM triples),
+        prnodes AS (SELECT u AS n FROM dedges UNION SELECT v FROM dedges),
+        cnt AS (SELECT count(*) AS nn FROM prnodes),
+        prdeg AS (SELECT u, count(*) AS od FROM dedges GROUP BY u),
+        pr0 AS (SELECT n, ({_S} // nn)::BIGINT AS pr FROM prnodes, cnt)
+        {_pr_iters}
+        SELECT n AS entity, pr FROM pr5"""
 
     sql["minhash_sig_fast"] = f"""
         WITH {_DOCS}, {_FSH}, {_FSIGS}

@@ -23,7 +23,7 @@ import os
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 
 def string_to_color(label: str) -> str:
@@ -99,6 +99,120 @@ def components_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
     edges = distinct(triples.map_batches(as_edges, batch_format="pyarrow"),
                      ["a", "b"])
     return label_propagation(edges)
+
+
+def pagerank(triples: "ray.data.Dataset", n_iter: int = 5,
+             scale: int = 10 ** 12,
+             broadcast_limit: int = 64 * 1024 * 1024,
+             shuffle_partitions=None) -> "ray.data.Dataset":
+    """Deterministic integer PageRank over the distinct (subj -> obj)
+    edge graph -> (entity, pr) with pr in 1/``scale`` units.
+
+    All arithmetic is integer (floor divisions, associative int64 sums),
+    so the result is independent of summation order — the property that
+    lets a distributed run match a serial SQL oracle bit-for-bit, which
+    float PageRank cannot do (same lesson as the money sums in
+    ``pipelines/relational.py``). Semantics: damping 0.85 as ``x*85//100``,
+    uniform base ``(scale*15//100)//N``, dangling mass evaporates,
+    multi-predicate edges collapse to one. Per iteration: one
+    size-selected broadcast/join of the rank table onto the edge list and
+    one integer groupby-Sum — the textbook distributed PageRank shape.
+    """
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from kg_gen_ray.stages.common import coalesce, dict_lookup
+    from kg_gen_ray.stages.rewrite import distinct
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t["subj"].combine_chunks().cast(pa.string()),
+            "v": t["obj"].combine_chunks().cast(pa.string()),
+        })
+
+    edges = distinct(triples.map_batches(as_edges, batch_format="pyarrow"),
+                     ["u", "v"], shuffle_partitions).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"entity": pa.concat_arrays([
+            t["u"].combine_chunks(), t["v"].combine_chunks()])})
+
+    nodes = distinct(edges.map_batches(endpoints, batch_format="pyarrow"),
+                     ["entity"], shuffle_partitions).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array([], pa.string()),
+            "pr": pa.array([], pa.int64())}))
+    base = (scale * 15 // 100) // n_nodes
+
+    # attach out-degree to each edge once (degree table is node-sized)
+    deg = edges.groupby("u").aggregate(Count(alias_name="od")).materialize()
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    edges_od = edges.repartition(n_parts).join(
+        deg.repartition(n_parts), join_type="inner", on=("u",),
+        num_partitions=n_parts)
+    # normalize: the join emits schemaless empty partitions that a further
+    # join cannot key on; engine-side Project + repartition stamps them
+    edges_od = edges_od.select_columns(["u", "v", "od"]) \
+        .repartition(n_parts).materialize()
+
+    pr = nodes.map_batches(
+        lambda t: pa.table({"entity": t["entity"],
+                            "pr": pa.array([scale // n_nodes] * t.num_rows,
+                                           pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table({"v": t["entity"],
+                            "c": pa.array([0] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        if (pr.size_bytes() or 0) <= broadcast_limit:
+            pr_map = {}
+            for b in pr.iter_batches(batch_format="pyarrow"):
+                pr_map.update(zip(b["entity"].to_pylist(),
+                                  b["pr"].to_pylist()))
+            ref = ray.put(pr_map)
+
+            def contrib(t: pa.Table, ref=ref) -> pa.Table:
+                m = ray.get(ref)
+                pru = dict_lookup(t["u"], m, default=0,
+                                  out_type=pa.int64())
+                c = _pc.divide(_pc.divide(_pc.multiply(pru, 85), 100),
+                               t["od"])
+                return pa.table({"v": t["v"], "c": _pc.cast(c, pa.int64())})
+
+            contribs = edges_od.map_batches(contrib, batch_format="pyarrow")
+        else:
+            # select_columns first: the engine-side Project stamps a
+            # schema even on the aggregate's empty blocks, which the
+            # join's key resolution needs (rename via map_batches alone
+            # skips empties)
+            pr_u = pr.select_columns(["entity", "pr"]) \
+                .repartition(n_parts).map_batches(
+                    lambda t: t.rename_columns(["u", "__pr"]),
+                    batch_format="pyarrow")
+            joined = edges_od.join(pr_u, join_type="inner", on=("u",),
+                                   num_partitions=n_parts)
+
+            def contrib_j(t: pa.Table) -> pa.Table:
+                c = _pc.divide(_pc.divide(_pc.multiply(t["__pr"], 85), 100),
+                               t["od"])
+                return pa.table({"v": t["v"], "c": _pc.cast(c, pa.int64())})
+
+            contribs = joined.map_batches(contrib_j, batch_format="pyarrow")
+
+        summed = coalesce(contribs.union(zeros), shuffle_partitions or
+                          "auto").groupby("v") \
+            .aggregate(Sum("c", alias_name="c"))
+        pr = summed.map_batches(
+            lambda t: pa.table({
+                "entity": t["v"],
+                "pr": _pc.cast(_pc.add(t["c"], base), pa.int64())}),
+            batch_format="pyarrow").materialize()
+    return pr
 
 
 def extended_stats(triples: "ray.data.Dataset",

@@ -142,3 +142,25 @@ def test_html_sink_rejects_empty_graph(ray_session, tmp_path):
         "obj": pa.array([], pa.string())}))
     with pytest.raises(ValueError, match="empty graph"):
         write_html(empty, str(tmp_path / "x.html"))
+
+
+def test_pagerank_deterministic_integer(ray_session):
+    """Integer PageRank: duals agree exactly; a sink-heavy graph ranks
+    the popular node first; dangling node keeps only the base share."""
+    from kg_gen_ray.stages.viz import pagerank
+
+    t = rd.from_arrow(pa.table({
+        "subj": ["a", "b", "c", "d", "a"],
+        "pred": ["r"] * 5,
+        "obj": ["b", "c", "a", "a", "c"]}))
+    pr = {r["entity"]: r["pr"] for r in pagerank(t).take_all()}
+    pr_join = {r["entity"]: r["pr"]
+               for r in pagerank(t, broadcast_limit=0).take_all()}
+    assert pr == pr_join
+    assert set(pr) == {"a", "b", "c", "d"}
+    # a receives from c AND d -> outranks b (one in-edge); d has no
+    # in-edges -> exactly the uniform base share after iteration 1
+    assert pr["a"] > pr["b"]
+    assert pr["d"] == (10 ** 12 * 15 // 100) // 4
+    # repeated runs are bit-identical (order-independent integer sums)
+    assert pr == {r["entity"]: r["pr"] for r in pagerank(t).take_all()}
