@@ -517,10 +517,13 @@ def q_messages_flatten(sf_dir: str):
 def q_kg_neighborhood(sf_dir: str):
     """J3 retrieval context: 2-hop neighborhood of the lexicographically
     smallest subject in the distinct-triples graph."""
+    from ray.data.aggregate import Min
+
     from kg_gen_ray.pipelines.query import neighborhood
     triples = _distinct_triples(sf_dir).materialize()
-    seed = min(r["subj"] for r in
-               triples.select_columns(["subj"]).take_all())
+    # distributed min: only one scalar reaches the driver (never the
+    # whole subject column)
+    seed = triples.select_columns(["subj"]).aggregate(Min("subj"))["min(subj)"]
     return neighborhood(triples, {seed}, depth=2)
 
 
@@ -889,7 +892,7 @@ norm_{kind} AS (
     FROM (
       SELECT member,
         CASE WHEN length(s1) > 3 AND s1 LIKE '%s' AND s1 NOT LIKE '%ss' THEN substr(s1, 1, length(s1)-1) ELSE s1 END AS s2
-      FROM (SELECT member, lower(trim(member)) AS s1 FROM labels_{kind}) t1
+      FROM (SELECT member, lower(trim(member, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) AS s1 FROM labels_{kind}) t1
     ) t2
   ) t3
 ),

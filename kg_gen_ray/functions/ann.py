@@ -243,6 +243,10 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
             ids = b[id_col].to_pylist()
             m = _mat(b)
             rows.append((ids, m))
+        if not rows or not any(len(i) for i, _ in rows):
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64())}))
         all_ids = np.concatenate([np.asarray(i, dtype=np.int64)
                                   for i, _ in rows])
         all_m = np.vstack([m for _, m in rows])
@@ -290,7 +294,8 @@ def cosine_near_dup_canonical(embeddings: "ray.data.Dataset",
     exact pair stage's broadcast matrix no longer fits."""
     from kg_gen_ray.functions.dedup import drop_ids, pair_graph_losers
 
-    pairs = cosine_near_dup_pairs(embeddings, threshold, id_col)
+    pairs = cosine_near_dup_pairs(embeddings, threshold, id_col,
+                                  broadcast_limit=broadcast_limit)
     losers = pair_graph_losers(pairs, broadcast_limit,
                                a_col="id_a", b_col="id_b")
 

@@ -412,7 +412,8 @@ def near_dup_canonical(docs: "ray.data.Dataset",
     if method == "md5":
         pairs = minhash_lsh_pairs(docs, shuffle_partitions)
     else:
-        pairs = minhash_lsh_pairs_fast(docs, shuffle_partitions)
+        pairs = minhash_lsh_pairs_fast(docs, shuffle_partitions,
+                                       broadcast_limit=broadcast_limit)
     losers = pair_graph_losers(pairs, broadcast_limit)
     return drop_ids(docs.select_columns(["doc_id"]), losers, "doc_id",
                     broadcast_limit)

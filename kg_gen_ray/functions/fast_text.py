@@ -111,6 +111,22 @@ def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES,
     return pa.table(cols)
 
 
+def _shingle_rows(th: np.ndarray, row_idx: np.ndarray,
+                  c1: np.uint64, c2: np.uint64):
+    """3-gram shingle hashes (``t0*c1 + t1*c2 + t2``, uint64 wraparound)
+    restricted to within-row windows, plus each shingle's row id — the
+    shared front half of MinHash signatures and winnowing fingerprints."""
+    with np.errstate(over="ignore"):
+        if len(th) >= 3:
+            same = (row_idx[:-2] == row_idx[2:])
+            sh = (th[:-2] * c1 + th[1:-1] * c2 + th[2:])[same]
+            srow = row_idx[:-2][same]
+        else:
+            sh = np.zeros(0, dtype=np.uint64)
+            srow = np.zeros(0, dtype=np.int64)
+    return sh, srow
+
+
 def _minhash_core(th: np.ndarray, row_idx: np.ndarray, lengths: np.ndarray,
                   n: int, n_hashes: int, c1: np.uint64, c2: np.uint64,
                   A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -120,14 +136,8 @@ def _minhash_core(th: np.ndarray, row_idx: np.ndarray, lengths: np.ndarray,
     (1-2 tokens) contribute one whole-row fold ``v = v*c1 + t``. Returns
     a ``(n_hashes, n)`` uint64 matrix (sentinel max for zero-token rows).
     """
+    sh, srow = _shingle_rows(th, row_idx, c1, c2)
     with np.errstate(over="ignore"):
-        if len(th) >= 3:
-            same = (row_idx[:-2] == row_idx[2:])
-            sh = (th[:-2] * c1 + th[1:-1] * c2 + th[2:])[same]
-            srow = row_idx[:-2][same]
-        else:
-            sh = np.zeros(0, dtype=np.uint64)
-            srow = np.zeros(0, dtype=np.int64)
         short = (lengths > 0) & (lengths < 3)
         if short.any():
             extra = np.zeros(int(short.sum()), dtype=np.uint64)
@@ -239,15 +249,7 @@ def winnow_fingerprints(batch: pa.Table, window: int = 4) -> pa.Table:
                 .astype(np.int64)
     th = _md5_u32_hashes(toks.flatten())
     row_idx = np.repeat(np.arange(n), lengths)
-
-    with np.errstate(over="ignore"):
-        if len(th) >= 3:
-            same = (row_idx[:-2] == row_idx[2:])
-            sh = (th[:-2] * _OC1 + th[1:-1] * _OC2 + th[2:])[same]
-            srow = row_idx[:-2][same]
-        else:
-            sh = np.zeros(0, dtype=np.uint64)
-            srow = np.zeros(0, dtype=np.int64)
+    sh, srow = _shingle_rows(th, row_idx, _OC1, _OC2)
     if not len(sh):
         return empty
 
@@ -391,7 +393,10 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
     import pandas as pd
 
     def pair_up(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
+        # set(): a doc whose two band keys collide appears twice in one
+        # group — without dedup the group would emit a (x, x) self-pair,
+        # violating doc_a < doc_b and diverging from the driver dual
+        ids = sorted(set(g["doc_id"].tolist()))
         a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

@@ -227,6 +227,13 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
         comp = new_comp
         if changed == 0:
             break
+    else:
+        # fail LOUDLY: returning unconverged labels would silently emit
+        # wrong components (min labels travel one hop per iteration, so a
+        # component with diameter > max_iter needs a larger budget)
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} iterations "
+            "(component diameter exceeds the budget); raise max_iter")
     return comp
 
 

@@ -71,28 +71,23 @@ def rewrite_stage(triples: "ray.data.Dataset",
     The batch never leaves Arrow, so the downstream distinct shuffle gets
     zero-copy input.
     """
-    import pyarrow.compute as pc
+    from kg_gen_ray.stages.common import dict_lookup
 
     ent_ref = ray.put(entity_alias)
     edge_ref = ray.put(edge_alias)
-
-    def remap(col: "pa.ChunkedArray | pa.Array", alias: dict) -> "pa.Array":
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-            else col
-        d = pc.dictionary_encode(arr)
-        uniq = d.dictionary.to_pylist()
-        new_vals = pa.array([alias.get(v, v) for v in uniq], pa.string())
-        return new_vals.take(d.indices)
 
     def sub(t: pa.Table, ent_ref=ent_ref, edge_ref=edge_ref) -> pa.Table:
         ent = ray.get(ent_ref)
         edge = ray.get(edge_ref)
         cols = {c: t[c] for c in t.column_names}
         if ent:
-            cols["subj"] = remap(t["subj"], ent)
-            cols["obj"] = remap(t["obj"], ent)
+            cols["subj"] = dict_lookup(t["subj"], ent, identity=True,
+                                       out_type=pa.string())
+            cols["obj"] = dict_lookup(t["obj"], ent, identity=True,
+                                      out_type=pa.string())
         if edge:
-            cols["pred"] = remap(t["pred"], edge)
+            cols["pred"] = dict_lookup(t["pred"], edge, identity=True,
+                                       out_type=pa.string())
         return pa.table(cols)
 
     return triples.map_batches(sub, batch_format="pyarrow")
