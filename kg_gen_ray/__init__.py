@@ -36,6 +36,23 @@ def __getattr__(name):
         "load_graph": ("kg_gen_ray.pipelines.incremental", "load_graph"),
         "run_partitioned": ("kg_gen_ray.pipelines.partitioned",
                             "run_partitioned"),
+        # sinks / serving surface
+        "write_html": ("kg_gen_ray.stages.viz", "write_html"),
+        "view_model": ("kg_gen_ray.stages.viz", "view_model"),
+        "pagerank": ("kg_gen_ray.stages.viz", "pagerank"),
+        "LiteLLMTransport": ("kg_gen_ray.stages.transport",
+                             "LiteLLMTransport"),
+        # training-data operator families
+        "near_dup_canonical": ("kg_gen_ray.functions.dedup",
+                               "near_dup_canonical"),
+        "exact_dedup": ("kg_gen_ray.functions.dedup", "exact_dedup"),
+        "winnow_fingerprints": ("kg_gen_ray.functions.fast_text",
+                                "winnow_fingerprints"),
+        "fused_text_analysis": ("kg_gen_ray.functions.fast_text",
+                                "fused_text_analysis"),
+        "asof_join": ("kg_gen_ray.functions.windows", "asof_join"),
+        "range_join": ("kg_gen_ray.functions.windows", "range_join"),
+        "sessionize": ("kg_gen_ray.functions.sessions", "sessionize"),
     }
     if name in _API:
         import importlib
