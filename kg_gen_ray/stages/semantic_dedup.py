@@ -47,6 +47,32 @@ def norm_equality_judge(item: str, candidates: list) -> list:
     return [c for c in candidates if normalize_label(c) == key]
 
 
+class LLMDedupJudge:
+    """Production LLM duplicate judge over a ``transport(prompt) -> str``
+    callable (e.g. :class:`kg_gen_ray.stages.transport.LiteLLMTransport`),
+    with the reference's ``context`` prompt steering
+    (``kg_gen.py:270-289``; judge loop ``cluster_and_deduplication.py:
+    245-296``). Wire format: candidates one per line; the response lists
+    the duplicates one per line — anything not among the candidates is
+    discarded (the same hard post-filter discipline as the extractor)."""
+
+    def __init__(self, transport, context: str = ""):
+        if transport is None:
+            raise NotImplementedError(
+                "LLMDedupJudge requires a transport callable")
+        self.transport = transport
+        self.context = context
+
+    def __call__(self, item: str, candidates: list) -> list:
+        if not candidates:
+            return []
+        resp = self.transport(
+            f"DEDUP\n{self.context}\n{item}\n---\n" + "\n".join(candidates))
+        allowed = set(candidates)
+        return [ln.strip() for ln in resp.splitlines()
+                if ln.strip() in allowed]
+
+
 def dedup_cluster(members: list, embeddings: np.ndarray,
                   judge=norm_equality_judge,
                   retrieval_k: int = RETRIEVAL_K) -> list:

@@ -88,3 +88,45 @@ def test_kind_isolation(ray_session):
     kinds = {(r["kind"], r["member"]): r["representative"] for r in out}
     assert kinds[("entity", "like")] == "like"
     assert kinds[("edge", "likes")] == "likes"
+
+
+def test_llm_dedup_judge_with_fake_transport(ray_session):
+    """The production judge shape: transport + context steering; with a
+    normalization-faithful fake transport it reproduces the deterministic
+    judge's alias map exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.stages.canonicalize import normalize_label
+    from kg_gen_ray.stages.semantic_dedup import (
+        LLMDedupJudge, semantic_canonicalize)
+
+    class FakeJudgeTransport:
+        def __call__(self, prompt):
+            head, _, cand_blob = prompt.partition("\n---\n")
+            kind, context, item = head.split("\n", 2)
+            assert kind == "DEDUP" and context == "animals"
+            key = normalize_label(item)
+            return "\n".join(c for c in cand_blob.splitlines()
+                             if normalize_label(c) == key)
+
+    labels = rd.from_arrow(pa.table({
+        "kind": ["entity"] * 5,
+        "member": ["cat", "Cat", "cats", "dog", "Dogs"]}))
+    with_llm = {(r["representative"], r["member"])
+                for r in semantic_canonicalize(
+                    labels, judge=LLMDedupJudge(FakeJudgeTransport(),
+                                                context="animals"))
+                .take_all()}
+    baseline = {(r["representative"], r["member"])
+                for r in semantic_canonicalize(labels).take_all()}
+    assert with_llm == baseline
+    assert ("Cat", "cat") in with_llm   # shortest-then-lex rep
+
+
+def test_llm_dedup_judge_requires_transport():
+    import pytest
+
+    from kg_gen_ray.stages.semantic_dedup import LLMDedupJudge
+    with pytest.raises(NotImplementedError):
+        LLMDedupJudge(None)
