@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_top_relations": q_kg_top_relations,
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
+        "kg_triples_routed": q_kg_triples_routed,
         "kg_semantic_alias": q_kg_semantic_alias,     # rows-only (k-means + judge loop)
         "kg_incremental": q_kg_incremental,
         "kg_triples_llm": q_kg_triples_llm,
@@ -303,6 +304,24 @@ def q_kg_top_relations(sf_dir: str):
 def q_kg_components(sf_dir: str):
     from kg_gen_ray.stages.viz import components_table
     return components_table(_distinct_triples(sf_dir))
+
+
+def q_kg_triples_routed(sf_dir: str):
+    """Language-aware extractor routing (north_star): 'en' routes to the
+    bigram backend, every other language to the pattern backend — which
+    emits nothing on this corpus — so the distinct triples come from the
+    English pages only. Exercises the per-lang actor routing end to end."""
+    from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+    from kg_gen_ray.pipelines.kg_pipeline import raw_triples
+    from kg_gen_ray.stages.rewrite import distinct
+    cfg = PipelineConfig(
+        chunk_size=0,
+        default_extractor=ExtractorConfig(backend="pattern"),
+        lang_routes={"en": ExtractorConfig(backend="bigram")},
+        extractor_concurrency=2, salt_buckets=8,
+        shuffle_partitions="auto")
+    return distinct(raw_triples(_pages(sf_dir), cfg),
+                    ["subj", "pred", "obj"])
 
 
 def q_kg_pagerank(sf_dir: str):
@@ -1250,6 +1269,13 @@ def oracle_sql() -> dict[str, str]:
                      CAST(e.embedding AS DOUBLE[]), q.qv) AS fs
           FROM bscores b JOIN embeddings e ON e.vec_id = b.doc_id, q)
         SELECT doc_id FROM fused ORDER BY fs DESC, doc_id LIMIT 10"""
+
+    # per-lang routing: only English pages flow through the triple-
+    # emitting backend, so the oracle is the triples CTE over lang='en'
+    sql["kg_triples_routed"] = f"""
+        {_KG_PREFIX.replace("FROM documents)",
+                            "FROM documents WHERE lang = 'en')")}
+        SELECT subj, pred, obj FROM triples"""
 
     # deterministic integer PageRank, 5 unrolled iterations (integer
     # floor-division damping keeps every sum order-independent)
