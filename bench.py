@@ -209,6 +209,69 @@ def run_bench() -> dict:
     return out
 
 
+def run_skew() -> dict:
+    """Hot-entity skew probe: same composite KG pipeline over a corpus
+    where one entity appears in 40% of all pages (FIXTURES.md §6 shape),
+    vs the uniform corpus — evidence that the salted canonicalization
+    groupby keeps throughput flat under a hot key."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from kg_gen_ray.config import PipelineConfig
+    from kg_gen_ray.pipelines.kg_pipeline import build_kg
+
+    skew_dir = BENCH_DIR.rstrip("/") + "_skew"
+    marker = os.path.join(skew_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(skew_dir, exist_ok=True)
+        n_shards = (BENCH_PAGES + SHARD - 1) // SHARD
+
+        @ray.remote
+        def gen(shard: int) -> str:
+            import pyarrow.parquet as pq
+            from kg_gen_ray.sources.pages import synthetic_pages_table
+            n = min(SHARD, BENCH_PAGES - shard * SHARD)
+            t = synthetic_pages_table(
+                n, seed=42 + shard, facts_range=FACTS_RANGE,
+                hot_entity="machine learning", hot_fraction=0.4)
+            path = os.path.join(skew_dir, f"pages-{shard:05d}.parquet")
+            pq.write_table(t, path)
+            return path
+
+        ray.get([gen.remote(i) for i in range(n_shards)])
+        with open(marker, "w") as f:
+            f.write(str(BENCH_PAGES))
+
+    uniform = ensure_corpus()
+    warm_cluster(uniform)
+    warm_cluster(skew_dir)
+    cfg = PipelineConfig(chunk_size=300, salt_buckets=16,
+                         shuffle_partitions="auto")
+    timings = {}
+    for name, corpus in (("uniform", uniform), ("skewed", skew_dir)):
+        t0 = time.time()
+        res = build_kg(rd.read_parquet(corpus), cfg)
+        n = res.triples.count()
+        timings[name] = {"sec": round(time.time() - t0, 3), "triples": n}
+    ratio = timings["skewed"]["sec"] / timings["uniform"]["sec"]
+    out = {
+        "metric": "skew_slowdown_ratio",
+        "value": round(ratio, 3),
+        "unit": "ratio",
+        "n_pages": BENCH_PAGES,
+        "hot_fraction": 0.4,
+        "num_cpus": NUM_CPUS,
+        "timings": timings,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling_child() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -264,6 +327,8 @@ if __name__ == "__main__":
         ray.shutdown()
     elif "--scaling-child" in sys.argv:
         print(json.dumps(run_scaling_child()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
