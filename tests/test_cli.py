@@ -1,0 +1,58 @@
+"""CLI integration: build -> stats -> export-json -> visualize -> add,
+driven through main() in-process (the ray_session fixture owns Ray; the
+CLI's guarded init is a no-op under it)."""
+
+import json
+import os
+
+import pytest
+
+from kg_gen_ray.__main__ import main
+from kg_gen_ray.sources.pages import write_synthetic_pages
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_pages"))
+    write_synthetic_pages(d, n_pages=32, seed=9, rows_per_file=16)
+    return d
+
+
+def test_cli_full_surface(pages_dir, tmp_path, capsys, ray_session):
+    graph = str(tmp_path / "graph")
+    assert main(["build", "--input", pages_dir, "--out", graph]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["stats"]["n_triples"] > 0
+    assert os.path.isdir(os.path.join(graph, "triples"))
+
+    assert main(["stats", "--graph", graph]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["entities"] > 0
+
+    gjson = str(tmp_path / "graph.json")
+    assert main(["export-json", "--graph", graph, "--out", gjson]) == 0
+    capsys.readouterr()
+    doc = json.load(open(gjson))
+    assert doc["relations"] and doc["entities"]
+
+    html = str(tmp_path / "graph.html")
+    assert main(["visualize", "--graph", graph, "--out", html]) == 0
+    capsys.readouterr()
+    content = open(html, encoding="utf-8").read()
+    assert "viz-data" in content and "<svg" in content
+
+    out2 = str(tmp_path / "graph2")
+    assert main(["add", "--input", pages_dir, "--graph", graph,
+                 "--out", out2]) == 0
+    added = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # adding the same pages is idempotent on the triple set
+    assert added["stats"]["n_triples"] == built["stats"]["n_triples"]
+
+
+def test_cli_resumable_build(pages_dir, tmp_path, capsys, ray_session):
+    graph = str(tmp_path / "graph_resumable")
+    assert main(["build", "--input", pages_dir, "--out", graph,
+                 "--resumable", "--partitions", "2"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["summary"]["completed_partitions"] == 2
+    assert not summary["summary"]["interrupted"]
