@@ -57,15 +57,17 @@ def consume(result) -> int:
     return 0
 
 
-def ensure_corpus() -> str:
-    """Generate (once, cached) the synthetic pages corpus: one Ray task per
-    shard, each deterministic via seed = 42 + shard index."""
+def ensure_corpus(out_dir: str | None = None, **synth_kwargs) -> str:
+    """Generate (once, cached) a synthetic pages corpus: one Ray task per
+    shard, each deterministic via seed = 42 + shard index. ``synth_kwargs``
+    pass through to the generator (e.g. the skew probe's hot_entity)."""
     import ray
+    out_dir = out_dir or BENCH_DIR
     n_shards = (BENCH_PAGES + SHARD - 1) // SHARD
-    marker = os.path.join(BENCH_DIR, "_COMPLETE")
+    marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
-        return BENCH_DIR
-    os.makedirs(BENCH_DIR, exist_ok=True)
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
 
     @ray.remote
     def gen(shard: int) -> str:
@@ -73,15 +75,15 @@ def ensure_corpus() -> str:
         from kg_gen_ray.sources.pages import synthetic_pages_table
         n = min(SHARD, BENCH_PAGES - shard * SHARD)
         t = synthetic_pages_table(n, seed=42 + shard,
-                                  facts_range=FACTS_RANGE)
-        path = os.path.join(BENCH_DIR, f"pages-{shard:05d}.parquet")
+                                  facts_range=FACTS_RANGE, **synth_kwargs)
+        path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
         pq.write_table(t, path)
         return path
 
     ray.get([gen.remote(i) for i in range(n_shards)])
     with open(marker, "w") as f:
         f.write(str(BENCH_PAGES))
-    return BENCH_DIR
+    return out_dir
 
 
 def warm_cluster(corpus: str) -> None:
@@ -225,28 +227,9 @@ def run_skew() -> dict:
     from kg_gen_ray.config import PipelineConfig
     from kg_gen_ray.pipelines.kg_pipeline import build_kg
 
-    skew_dir = BENCH_DIR.rstrip("/") + "_skew"
-    marker = os.path.join(skew_dir, "_COMPLETE")
-    if not os.path.exists(marker):
-        os.makedirs(skew_dir, exist_ok=True)
-        n_shards = (BENCH_PAGES + SHARD - 1) // SHARD
-
-        @ray.remote
-        def gen(shard: int) -> str:
-            import pyarrow.parquet as pq
-            from kg_gen_ray.sources.pages import synthetic_pages_table
-            n = min(SHARD, BENCH_PAGES - shard * SHARD)
-            t = synthetic_pages_table(
-                n, seed=42 + shard, facts_range=FACTS_RANGE,
-                hot_entity="machine learning", hot_fraction=0.4)
-            path = os.path.join(skew_dir, f"pages-{shard:05d}.parquet")
-            pq.write_table(t, path)
-            return path
-
-        ray.get([gen.remote(i) for i in range(n_shards)])
-        with open(marker, "w") as f:
-            f.write(str(BENCH_PAGES))
-
+    skew_dir = ensure_corpus(BENCH_DIR.rstrip("/") + "_skew",
+                             hot_entity="machine learning",
+                             hot_fraction=0.4)
     uniform = ensure_corpus()
     warm_cluster(uniform)
     warm_cluster(skew_dir)

@@ -25,12 +25,27 @@ import os
 import sys
 
 
-def _init_ray():
-    import ray
-    if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
-                 include_dashboard=False, logging_level="ERROR")
-    return ray
+class _RaySession:
+    """Guarded Ray ownership: init only if nobody else did, and shut down
+    only what we started — a command must never tear down an externally
+    owned session (e.g. a pytest fixture's cluster or an interactive
+    driver)."""
+
+    def __init__(self):
+        import ray
+        self._ray = ray
+        self._owned = not ray.is_initialized()
+        if self._owned:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                     include_dashboard=False, logging_level="ERROR")
+
+    def shutdown(self):
+        if self._owned:
+            self._ray.shutdown()
+
+
+def _init_ray() -> _RaySession:
+    return _RaySession()
 
 
 def _config(args) -> "object":

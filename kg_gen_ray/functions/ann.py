@@ -284,7 +284,8 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
 
 def cosine_near_dup_canonical(embeddings: "ray.data.Dataset",
                               threshold: float, id_col: str = "vec_id",
-                              broadcast_limit: int = 64 * 1024 * 1024
+                              broadcast_limit: int = 64 * 1024 * 1024,
+                              max_label_iter: int = 20
                               ) -> "ray.data.Dataset":
     """End-to-end embedding near-dup dedup: cosine pairs >= threshold ->
     connected components -> keep each component's lowest id. Same
@@ -297,7 +298,8 @@ def cosine_near_dup_canonical(embeddings: "ray.data.Dataset",
     pairs = cosine_near_dup_pairs(embeddings, threshold, id_col,
                                   broadcast_limit=broadcast_limit)
     losers = pair_graph_losers(pairs, broadcast_limit,
-                               a_col="id_a", b_col="id_b")
+                               a_col="id_a", b_col="id_b",
+                               max_label_iter=max_label_iter)
 
     def ids_only(t: pa.Table) -> pa.Table:
         return pa.table({id_col: pc.cast(t[id_col], pa.int64())})

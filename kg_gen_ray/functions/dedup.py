@@ -389,8 +389,8 @@ def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3,
 
 def near_dup_canonical(docs: "ray.data.Dataset",
                        shuffle_partitions=None, method: str = "fast",
-                       broadcast_limit: int = 64 * 1024 * 1024
-                       ) -> "ray.data.Dataset":
+                       broadcast_limit: int = 64 * 1024 * 1024,
+                       max_label_iter: int = 20) -> "ray.data.Dataset":
     """End-to-end near-duplicate document dedup: MinHash-LSH candidate
     pairs -> connected components (distributed min-label propagation) ->
     keep the lowest doc_id of each component (singletons keep themselves).
@@ -414,15 +414,16 @@ def near_dup_canonical(docs: "ray.data.Dataset",
     else:
         pairs = minhash_lsh_pairs_fast(docs, shuffle_partitions,
                                        broadcast_limit=broadcast_limit)
-    losers = pair_graph_losers(pairs, broadcast_limit)
+    losers = pair_graph_losers(pairs, broadcast_limit,
+                               max_label_iter=max_label_iter)
     return drop_ids(docs.select_columns(["doc_id"]), losers, "doc_id",
                     broadcast_limit)
 
 
 def pair_graph_losers(pairs: "ray.data.Dataset",
                       broadcast_limit: int = 64 * 1024 * 1024,
-                      a_col: str = "doc_a", b_col: str = "doc_b"
-                      ) -> "ray.data.Dataset":
+                      a_col: str = "doc_a", b_col: str = "doc_b",
+                      max_label_iter: int = 20) -> "ray.data.Dataset":
     """(a, b) duplicate pairs -> (doc_id) of every node that is NOT its
     connected component's minimum — the ids to drop in a keep-the-lowest
     dedup. Size-selected dual: a small pair graph (the common case — LSH
@@ -461,7 +462,8 @@ def pair_graph_losers(pairs: "ray.data.Dataset",
             return pc.utf8_lpad(s, 20, "0")
         return pa.table({"a": z(t[a_col]), "b": z(t[b_col])})
 
-    comp = label_propagation(pairs.map_batches(pad, batch_format="pyarrow"))
+    comp = label_propagation(pairs.map_batches(pad, batch_format="pyarrow"),
+                             max_iter=max_label_iter)
 
     def losers_only(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t["node"], t["component"])

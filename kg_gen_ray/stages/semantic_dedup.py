@@ -63,14 +63,26 @@ class LLMDedupJudge:
         self.transport = transport
         self.context = context
 
+    @staticmethod
+    def _esc(s: str) -> str:
+        # the wire format is line-oriented; labels extracted from raw web
+        # text can themselves contain newlines, so escape for transport
+        # and unescape responses before the candidate post-filter
+        return s.replace("\\", "\\\\").replace("\n", "\\n")
+
+    @staticmethod
+    def _unesc(s: str) -> str:
+        return s.replace("\\n", "\n").replace("\\\\", "\\")
+
     def __call__(self, item: str, candidates: list) -> list:
         if not candidates:
             return []
         resp = self.transport(
-            f"DEDUP\n{self.context}\n{item}\n---\n" + "\n".join(candidates))
+            f"DEDUP\n{self._esc(self.context)}\n{self._esc(item)}\n---\n"
+            + "\n".join(self._esc(c) for c in candidates))
         allowed = set(candidates)
-        return [ln.strip() for ln in resp.splitlines()
-                if ln.strip() in allowed]
+        return [self._unesc(ln.strip()) for ln in resp.splitlines()
+                if self._unesc(ln.strip()) in allowed]
 
 
 def dedup_cluster(members: list, embeddings: np.ndarray,

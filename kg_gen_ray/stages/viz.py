@@ -83,10 +83,13 @@ def top_relations(triples: "ray.data.Dataset", k: int = 10,
             .select_columns(["pred", "n_triples"]))
 
 
-def components_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+def components_table(triples: "ray.data.Dataset",
+                     max_label_iter: int = 20) -> "ray.data.Dataset":
     """(node, component) — weakly-connected components of the triple graph
     by distributed min-label propagation (the scalable re-expression of the
-    reference's driver-side BFS, ``visualize_kg.py:143-169``)."""
+    reference's driver-side BFS, ``visualize_kg.py:143-169``).
+    ``max_label_iter`` bounds the propagation (one hop per iteration);
+    raise it for graphs with diameter above the default budget."""
     from kg_gen_ray.stages.canonicalize import label_propagation
     from kg_gen_ray.stages.rewrite import distinct
 
@@ -98,7 +101,7 @@ def components_table(triples: "ray.data.Dataset") -> "ray.data.Dataset":
 
     edges = distinct(triples.map_batches(as_edges, batch_format="pyarrow"),
                      ["a", "b"])
-    return label_propagation(edges)
+    return label_propagation(edges, max_iter=max_label_iter)
 
 
 def pagerank(triples: "ray.data.Dataset", n_iter: int = 5,
