@@ -108,3 +108,62 @@ def test_fused_signatures_deterministic(docs):
                 assert a[col][i].as_py() == a[col][j].as_py()
         else:
             seen[d] = i
+
+
+@given(st.lists(st.text(alphabet="abcd ", min_size=1, max_size=40),
+                min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_winnowing_window_coverage(texts):
+    """The winnowing guarantee: every window of 4 consecutive shingles
+    contains at least one of the doc's fingerprints (full-window docs);
+    fingerprints are always a subset of the shingle hashes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kg_gen_ray.functions.fast_text import (
+        _OC1, _OC2, _md5_u32_hashes, winnow_fingerprints)
+
+    tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = winnow_fingerprints(tab)
+    fps_by_doc = {}
+    for did, fp in zip(out["doc_id"].to_pylist(), out["fp"].to_pylist()):
+        fps_by_doc.setdefault(did, set()).add(int(fp))
+
+    for did, text in enumerate(texts):
+        toks = text.split(" ")
+        th = _md5_u32_hashes(pa.array(toks))
+        with np.errstate(over="ignore"):
+            sh = [int(th[i] * _OC1 + th[i + 1] * _OC2 + th[i + 2])
+                  for i in range(len(toks) - 2)]
+        fps = fps_by_doc.get(did, set())
+        if not sh:
+            assert not fps
+            continue
+        assert fps <= set(sh)
+        if len(sh) >= 4:
+            for i in range(len(sh) - 3):
+                assert fps & set(sh[i:i + 4]), (did, i)
+        else:
+            assert min(sh) in fps
+
+
+def test_pagerank_mass_bounds(ray_session):
+    """Integer PageRank mass: every node holds at least the uniform base
+    share, and total mass never exceeds the scale (damping + integer
+    truncation + dangling evaporation only ever remove mass)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.stages.viz import pagerank
+
+    t = rd.from_arrow(pa.table({
+        "subj": ["a", "b", "c", "d", "e", "e"],
+        "pred": ["r"] * 6,
+        "obj": ["b", "c", "a", "e", "a", "b"]}))
+    scale = 10 ** 12
+    rows = pagerank(t, scale=scale).take_all()
+    n = len(rows)
+    base = (scale * 15 // 100) // n
+    assert all(r["pr"] >= base for r in rows)
+    assert sum(r["pr"] for r in rows) <= scale
