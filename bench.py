@@ -255,6 +255,45 @@ def run_skew() -> dict:
     return out
 
 
+def run_memory_probe(store_mb: int = 256) -> dict:
+    """Backpressure/memory-stability probe (north_star: 'streaming
+    execution with bounded object-store backpressure keeps the run
+    memory-stable'): run the composite KG pipeline under an object store
+    far smaller than the data flowing through it. Completion (with
+    spilling) is the pass criterion; the slowdown vs an unconstrained
+    store is the price of the bound, not a failure."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             object_store_memory=store_mb * 1024 * 1024,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from kg_gen_ray.config import PipelineConfig
+    from kg_gen_ray.pipelines.kg_pipeline import build_kg
+
+    corpus = ensure_corpus()
+    warm_cluster(corpus)
+    t0 = time.time()
+    res = build_kg(rd.read_parquet(corpus),
+                   PipelineConfig(chunk_size=300, salt_buckets=16,
+                                  shuffle_partitions="auto"))
+    n = res.triples.count()
+    out = {
+        "metric": "memory_probe_seconds",
+        "value": round(time.time() - t0, 3),
+        "unit": "sec",
+        "object_store_mb": store_mb,
+        "n_pages": BENCH_PAGES,
+        "n_canonical_triples": n,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling_child() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -312,6 +351,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling_child()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
+    elif "--memory-probe" in sys.argv:
+        print(json.dumps(run_memory_probe()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
