@@ -72,7 +72,25 @@ class LLMDedupJudge:
 
     @staticmethod
     def _unesc(s: str) -> str:
-        return s.replace("\\n", "\n").replace("\\\\", "\\")
+        # left-to-right scanner: sequential str.replace would mangle a
+        # literal backslash followed by 'n' ("a\\nb" -> esc "a\\\\nb" must
+        # round-trip, but replace("\\n") would eat the wrong pair)
+        out = []
+        i = 0
+        while i < len(s):
+            if s[i] == "\\" and i + 1 < len(s):
+                nxt = s[i + 1]
+                if nxt == "n":
+                    out.append("\n")
+                    i += 2
+                    continue
+                if nxt == "\\":
+                    out.append("\\")
+                    i += 2
+                    continue
+            out.append(s[i])
+            i += 1
+        return "".join(out)
 
     def __call__(self, item: str, candidates: list) -> list:
         if not candidates:

@@ -130,3 +130,12 @@ def test_llm_dedup_judge_requires_transport():
     from kg_gen_ray.stages.semantic_dedup import LLMDedupJudge
     with pytest.raises(NotImplementedError):
         LLMDedupJudge(None)
+
+
+def test_llm_judge_escape_roundtrip():
+    from kg_gen_ray.stages.semantic_dedup import LLMDedupJudge
+    for s in ["plain", "two\nlines", "back\\slash", "a\\nb",
+              "\\", "\n", "mix\\\n\\n end", ""]:
+        assert LLMDedupJudge._unesc(LLMDedupJudge._esc(s)) == s
+    # escaped form is always single-line
+    assert "\n" not in LLMDedupJudge._esc("x\ny\nz")
