@@ -116,14 +116,18 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
 
     ``edges_ds``: columns ``(a, b)``. Returns ``(node, component)`` where
     component is the min label (by (len, lex)) reachable from node. Each
-    iteration is one relabel + one vectorized groupby-Min shuffle;
-    converges in O(diameter) iterations — alias clusters are shallow in
-    practice (SURVEY.md §7.4).
+    iteration combines one-hop neighbor relabeling with POINTER JUMPING
+    (each node also adopts its current label's label), so the reachable-
+    min distance roughly doubles per round and convergence is
+    O(log diameter) — a chain of 2^20 nodes converges inside the default
+    ``max_iter=20`` budget that one-hop propagation alone would blow on
+    a 21-node chain.
 
     Scale duals per iteration, chosen by the measured component-map size:
-    small map -> broadcast dict relabel (no shuffle); large map -> hash
-    join on ``nbr``. Convergence is checked distributed (count of changed
-    labels), never by collecting the map."""
+    small map -> broadcast dict relabel + in-dict jump (no shuffle);
+    large map -> hash joins on ``nbr`` and on the label table itself.
+    Convergence is checked distributed (count of changed labels), never
+    by collecting the map."""
     from ray.data.aggregate import Min
 
     # undirected: both directions, plus self-edges so singletons survive
@@ -173,9 +177,14 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
             for b in comp.iter_batches(batch_format="pyarrow"):
                 comp_map.update(zip(b["node"].to_pylist(),
                                     b["component"].to_pylist()))
-            ref = ray.put(comp_map)
+            # pointer jumping, driver-side while the map is broadcastable:
+            # each node's candidate includes label(label(node))
+            jumped = {n: comp_map.get(c, c) for n, c in comp_map.items()}
+            ref = ray.put(jumped)
 
             def relabel(t: pa.Table, ref=ref) -> pa.Table:
+                # nbr -> JUMPED label of nbr: one lookup delivers both the
+                # neighbor hop and the pointer jump
                 m = ray.get(ref)
                 return pa.table({
                     "node": t["node"],
@@ -184,6 +193,17 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
                 })
 
             candidates = edges.map_batches(relabel, batch_format="pyarrow")
+
+            def self_jump(t: pa.Table, ref=ref) -> pa.Table:
+                m = ray.get(ref)
+                return pa.table({
+                    "node": t["node"],
+                    "cand": dict_lookup(t["component"], m, identity=True,
+                                        out_type=pa.string()),
+                })
+
+            jump_ds = comp.map_batches(self_jump, batch_format="pyarrow")
+            candidates = candidates.union(jump_ds)
         else:
             n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
             # normalize blocks before joining: aggregate outputs can carry
@@ -207,6 +227,27 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
             candidates = joined.map_batches(coalesce_cand,
                                             batch_format="pyarrow")
 
+            # pointer jump via label self-join: node adopts its current
+            # label's label (halves the remaining hop distance)
+            lab = comp.select_columns(["node", "component"]) \
+                .repartition(n_parts).map_batches(
+                    lambda t: t.rename_columns(["component", "jump"]),
+                    batch_format="pyarrow")
+            jump_joined = comp.select_columns(["node", "component"]) \
+                .repartition(n_parts) \
+                .join(lab, join_type="left_outer", on=("component",),
+                      num_partitions=n_parts)
+
+            def jump_cand(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return pa.table({
+                    "node": t["node"],
+                    "cand": pc.coalesce(t["jump"], t["component"]),
+                })
+
+            candidates = candidates.union(
+                jump_joined.map_batches(jump_cand, batch_format="pyarrow"))
+
         # keep the current label in the running too (min never regresses)
         cur = comp.map_batches(
             lambda t: t.rename_columns(["node", "cand"]),
@@ -229,11 +270,13 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
             break
     else:
         # fail LOUDLY: returning unconverged labels would silently emit
-        # wrong components (min labels travel one hop per iteration, so a
-        # component with diameter > max_iter needs a larger budget)
+        # wrong components. With pointer jumping the reachable-min
+        # distance ~doubles per round, so the default budget covers
+        # diameters up to ~2^max_iter — hitting this means something is
+        # structurally wrong, not merely a deep graph.
         raise RuntimeError(
-            f"label propagation did not converge in {max_iter} iterations "
-            "(component diameter exceeds the budget); raise max_iter")
+            f"label propagation did not converge in {max_iter} iterations; "
+            "raise max_iter (pointer jumping covers diameter ~2^max_iter)")
     return comp
 
 

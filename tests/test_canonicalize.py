@@ -100,3 +100,22 @@ def test_label_propagation_distributed(ray_session):
     assert comp["n1"] == comp["n2"] == comp["n3"] == "n1"
     assert comp["n5"] == comp["n6"] == "n5"
     assert comp["n7"] == "n7"
+
+
+def test_label_propagation_long_chain_pointer_jumping(ray_session):
+    """A 60-node chain (diameter 59, far beyond the 20-iteration budget of
+    one-hop propagation) converges via pointer jumping in both duals."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.stages.canonicalize import label_propagation
+
+    names = [f"n{i:03d}" for i in range(60)]
+    edges = rd.from_arrow(pa.table({
+        "a": names[:-1], "b": names[1:]}))
+    for limit in (128 * 1024 * 1024, 0):   # broadcast dual, join dual
+        comp = {r["node"]: r["component"]
+                for r in label_propagation(
+                    edges, broadcast_limit=limit).take_all()}
+        assert set(comp.values()) == {"n000"}
+        assert len(comp) == 60
