@@ -149,11 +149,27 @@ def kmeans_centroids(embeddings: "ray.data.Dataset", n_centroids: int,
                      n_iter: int = 5, id_col: str = "vec_id") -> np.ndarray:
     """Distributed Lloyd's k-means (seeded from the lowest-id vectors).
 
-    Per-iteration: broadcast centroids -> per-block partial sums per cluster
-    (map_batches combiner) -> tiny driver reduce. Mirrors the reference's
-    FAISS ``niter=20`` k-means partitioner, Ray-Data-first.
+    Seeding is a per-block partial top-k (each block keeps its
+    ``n_centroids`` smallest ids), so the only sort in the plan runs over
+    at most ``n_centroids x n_blocks`` partial rows — never a full-table
+    sort shuffle of the embedding table (the round-2 plan paid one just to
+    pick seeds). Per-iteration: broadcast centroids -> per-block partial
+    sums per cluster (map_batches combiner) -> tiny driver reduce. Mirrors
+    the reference's FAISS ``niter=20`` k-means partitioner, Ray-Data-first.
     """
-    first = embeddings.sort(id_col).limit(n_centroids)
+    import pyarrow.compute as _pc
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, "embedding"])
+        if t.num_rows <= n_centroids:
+            return t
+        idx = _pc.sort_indices(t[id_col])
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        return t.take(idx.slice(0, n_centroids))
+
+    first = embeddings.map_batches(seed_partial, batch_format="pyarrow") \
+                      .sort(id_col).limit(n_centroids)
     cents = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                       for r in first.take_all()])
     for _ in range(n_iter):

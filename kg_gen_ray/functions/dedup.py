@@ -182,27 +182,51 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
                    ) -> "ray.data.Dataset":
     """Exact n-gram Jaccard over candidate pairs.
 
-    The candidate-id set (small: ids of docs appearing in any pair) is
-    broadcast and the docs table is filtered DISTRIBUTED — the full corpus
-    never streams through the driver. The surviving candidate rows then go
-    through a size-selected dual: small -> driver builds the doc->shingles
-    map once and broadcasts it; large (dup-heavy corpus) -> two hash joins
-    attach text_a/text_b to each pair and Jaccard runs per batch with no
-    driver state at all."""
+    The candidate-id restriction of the docs table is itself a
+    size-selected dual on the PAIR set: while the pairs fit the broadcast
+    budget the id set ships once via ``ray.put`` and docs are filtered
+    distributed; on a dup-heavy corpus (pair bytes above the limit — O(#
+    duplicates) rows that must never stream through the driver) the ids are
+    exploded/distinct-ed distributed and a hash semi-join restricts docs.
+    The surviving candidate rows then go through the second size-selected
+    dual: small -> driver builds the doc->shingles map once and broadcasts
+    it; large -> two hash joins attach text_a/text_b to each pair and
+    Jaccard runs per batch with no driver state at all."""
     import ray
 
-    cand_ids = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b["doc_a"].to_pylist())
-        cand_ids.update(b["doc_b"].to_pylist())
-    cid_ref = ray.put(cand_ids)
+    from kg_gen_ray.stages.rewrite import distinct as _distinct
 
-    def only_cands(t: pa.Table, cid_ref=cid_ref) -> pa.Table:
-        return t.select(["doc_id", "text"]).filter(
-            in_set_mask(t["doc_id"], cid_ref))
+    pairs = pairs.materialize()
+    if (pairs.size_bytes() or 0) <= broadcast_limit:
+        cand_ids = set()
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            cand_ids.update(b["doc_a"].to_pylist())
+            cand_ids.update(b["doc_b"].to_pylist())
+        cid_ref = ray.put(cand_ids)
 
-    cands = docs.map_batches(only_cands, batch_format="pyarrow") \
-                .materialize()
+        def only_cands(t: pa.Table, cid_ref=cid_ref) -> pa.Table:
+            return t.select(["doc_id", "text"]).filter(
+                in_set_mask(t["doc_id"], cid_ref))
+
+        cands = docs.map_batches(only_cands, batch_format="pyarrow") \
+                    .materialize()
+    else:
+        def explode_ids(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": pa.concat_arrays([
+                pc.cast(t["doc_a"].combine_chunks(), pa.int64()),
+                pc.cast(t["doc_b"].combine_chunks(), pa.int64())])})
+
+        ids = _distinct(
+            pairs.map_batches(explode_ids, batch_format="pyarrow"),
+            ["doc_id"])
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        cands = docs.map_batches(
+            lambda t: t.select(["doc_id", "text"]),
+            batch_format="pyarrow") \
+            .repartition(n_parts) \
+            .join(ids.repartition(n_parts), join_type="inner",
+                  on=("doc_id",), num_partitions=n_parts) \
+            .select_columns(["doc_id", "text"]).materialize()
 
     def jac(sa: set, sb: set) -> float:
         denom = len(sa | sb)

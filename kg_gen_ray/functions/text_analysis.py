@@ -216,7 +216,44 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
     sentinel = stats.filter(expr="word == ''").take_all()
     n_docs = int(sentinel[0]["df"]) if sentinel else 0
 
+    def tf_rows(t: pa.Table) -> pa.Table:
+        """Vectorized per-batch (doc_id, word, tf): Arrow whitespace split
+        (same tokens as Python ``str.split()``: runs of whitespace, no
+        empties) + an Arrow C++ hash-aggregate — no Python loop over
+        tokens (the round-2 per-doc ``Counter`` is gone)."""
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "word": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        texts = pc.utf8_lower(pc.cast(t["text"], pa.string()))
+        toks = pc.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        if not len(flat):
+            return empty
+        dids = np.repeat(
+            pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False),
+            lengths)
+        pairs = pa.table({"doc_id": pa.array(dids, pa.int64()),
+                          "word": flat})
+        pairs = pairs.filter(pc.not_equal(pairs["word"], ""))
+        agg = pairs.group_by(["doc_id", "word"]).aggregate([([], "count_all")])
+        return pa.table({
+            "doc_id": agg["doc_id"],
+            "word": agg["word"],
+            "tf": pc.cast(agg["count_all"], pa.int64()),
+        })
+
     if (stats.size_bytes() or 0) <= broadcast_limit:
+        import pandas as _pd
+
+        from kg_gen_ray.stages.common import dict_lookup
+
         idf = {}
         for b in stats.iter_batches(batch_format="pyarrow"):
             for w, df in zip(b["word"].to_pylist(), b["df"].to_pylist()):
@@ -225,44 +262,32 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
         ref = _ray.put(idf)
 
         def per_doc(t: pa.Table, ref=ref) -> pa.Table:
-            from collections import Counter
+            # tf per (doc, word) in Arrow, idf via the dictionary-encoded
+            # broadcast lookup (one dict probe per UNIQUE word), then a
+            # C-level per-doc top-k — docs are whole rows, so a batch
+            # always holds every (doc, word) pair of its docs
             m = _ray.get(ref)
-            doc_ids, terms, scores = [], [], []
-            for did, text in zip(t["doc_id"].to_pylist(),
-                                 pc.cast(t["text"], pa.string()).to_pylist()):
-                tf = Counter(text.lower().split())
-                scored = sorted(((cnt * m.get(w, 0.0), w)
-                                 for w, cnt in tf.items()),
-                                key=lambda x: (-x[0], x[1]))[:k]
-                for s, w in scored:
-                    doc_ids.append(did)
-                    terms.append(w)
-                    scores.append(s)
-            return pa.table({
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "term": pa.array(terms, pa.string()),
-                "tfidf": pa.array(scores, pa.float64()),
-            })
+            tf = tf_rows(t)
+            idf_col = dict_lookup(tf["word"], m, default=0.0,
+                                  out_type=pa.float64())
+            scored = pa.table({
+                "doc_id": tf["doc_id"],
+                "term": tf["word"],
+                "tfidf": pc.multiply(pc.cast(tf["tf"], pa.float64()),
+                                     idf_col),
+            }).to_pandas()
+            top = (scored.sort_values(["doc_id", "tfidf", "term"],
+                                      ascending=[True, False, True],
+                                      kind="stable")
+                   .groupby("doc_id", sort=False).head(k))
+            return pa.Table.from_pandas(top, preserve_index=False).cast(
+                pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                           ("tfidf", pa.float64())]))
 
         return docs.map_batches(per_doc, batch_format="pyarrow")
 
     # join dual: (doc_id, word, tf) ⋈ (word, idf) -> per-doc top-k
     import pandas as _pd
-
-    def tf_rows(t: pa.Table) -> pa.Table:
-        from collections import Counter
-        doc_ids, words, tfs = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(),
-                             pc.cast(t["text"], pa.string()).to_pylist()):
-            for w, cnt in Counter(text.lower().split()).items():
-                doc_ids.append(did)
-                words.append(w)
-                tfs.append(cnt)
-        return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "word": pa.array(words, pa.string()),
-            "tf": pa.array(tfs, pa.int64()),
-        })
 
     n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
 

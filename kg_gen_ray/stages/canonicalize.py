@@ -398,26 +398,85 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
                   num_partitions=n_parts)
         return joined.select_columns(["kind", "representative", "member"])
 
-    # judge path: full group per (kind, norm_key), size-capped chunks
-    def judged(g: pd.DataFrame) -> pd.DataFrame:
-        kind = g["kind"].iloc[0]
-        members = sorted(g["member"], key=lambda m: (len(m), m))
-        reps, mems = [], []
+    # judge path: TWO-LEVEL hierarchical judging so a hot norm_key never
+    # lands whole on one reducer (the no-judge path's salt, applied to the
+    # judge flow). Level 1 groups by (kind, norm_key, SALT) — per-reducer
+    # rows are bounded by the salt fan-out — and judges each salt bucket
+    # into sub-clusters. Level 2 then judges only the level-1
+    # REPRESENTATIVES per (kind, norm_key): one row per sub-cluster, a
+    # set that is smaller than the member set by the judge's own merge
+    # factor, with the same max_group_size capacity cap. Because
+    # choose_representative is an associative min (len, lex), the global
+    # min member survives level 1 and wins level 2, so a judge that always
+    # merges reproduces the unsalted result exactly; a judge that never
+    # merges is unaffected by bucketing. (Chunk composition seen by a
+    # content-sensitive judge differs from the unsalted order — the same
+    # approximation the pre-existing max_group_size chunking already made.)
+    def run_judge(members: list) -> list[tuple[str, str]]:
+        members = sorted(members, key=lambda m: (len(m), m))
+        out = []
         for lo in range(0, len(members), max_group_size):
-            chunk = members[lo:lo + max_group_size]
-            for cluster in judge(chunk):
+            for cluster in judge(members[lo:lo + max_group_size]):
                 rep = choose_representative(cluster)
-                for m in cluster:
-                    reps.append(rep)
-                    mems.append(m)
+                out.extend((rep, m) for m in cluster)
+        return out
+
+    def judged_local(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = run_judge(list(g["member"]))
         return pd.DataFrame({
-            "kind": [kind] * len(mems),
-            "representative": reps,
-            "member": mems,
+            "kind": [g["kind"].iloc[0]] * len(pairs),
+            "norm_key": [g["norm_key"].iloc[0]] * len(pairs),
+            "l1_rep": [r for r, _ in pairs],
+            "member": [m for _, m in pairs],
         })
 
-    return keyed.groupby(["kind", "norm_key"]).map_groups(
-        judged, batch_format="pandas")
+    l1 = keyed.groupby(["kind", "norm_key", "salt"]).map_groups(
+        judged_local, batch_format="pandas").materialize()
+
+    def judged_global(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = run_judge(list(g["l1_rep"]))
+        return pd.DataFrame({
+            "kind": [g["kind"].iloc[0]] * len(pairs),
+            "norm_key": [g["norm_key"].iloc[0]] * len(pairs),
+            "representative": [r for r, _ in pairs],
+            "l1_rep": [m for _, m in pairs],
+        })
+
+    from kg_gen_ray.stages.rewrite import distinct as _distinct
+    l1_reps = _distinct(l1.select_columns(["kind", "norm_key", "l1_rep"]),
+                        ["kind", "norm_key", "l1_rep"])
+    l2 = l1_reps.groupby(["kind", "norm_key"]).map_groups(
+        judged_global, batch_format="pandas").materialize()
+
+    # compose member -> l1_rep -> representative (size-selected dual, same
+    # rule as the no-judge rep assignment above)
+    if (l2.size_bytes() or 0) <= broadcast_limit:
+        rep_map = {}
+        for b in l2.iter_batches(batch_format="pyarrow"):
+            rep_map.update(zip(
+                zip(b["kind"].to_pylist(), b["norm_key"].to_pylist(),
+                    b["l1_rep"].to_pylist()),
+                b["representative"].to_pylist()))
+        ref = ray.put(rep_map)
+
+        def emit_l2(t: pa.Table, ref=ref) -> pa.Table:
+            m = ray.get(ref)
+            keys = zip(t["kind"].to_pylist(), t["norm_key"].to_pylist(),
+                       t["l1_rep"].to_pylist())
+            return pa.table({
+                "kind": t["kind"],
+                "representative": pa.array([m[k] for k in keys],
+                                           pa.string()),
+                "member": t["member"],
+            })
+
+        return l1.map_batches(emit_l2, batch_format="pyarrow")
+
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    joined = l1.repartition(n_parts).join(
+        l2.repartition(n_parts), join_type="inner",
+        on=("kind", "norm_key", "l1_rep"), num_partitions=n_parts)
+    return joined.select_columns(["kind", "representative", "member"])
 
 
 def canonicalize_labels(labels: "ray.data.Dataset", kind: str,

@@ -81,6 +81,27 @@ def test_judge_path(ray_session):
     assert amap["bank"] == "bank" and amap["banks"] == "banks"
 
 
+def test_judge_path_salted_hot_key(ray_session):
+    """The judge flow is two-level salted: a hot norm_key is judged in
+    per-salt sub-clusters, then the sub-cluster representatives are judged
+    per (kind, norm_key). A merge-all judge must reproduce the unsalted
+    no-judge clustering exactly regardless of bucket count (the min member
+    survives level 1 and wins level 2); a no-merge judge must keep every
+    member a singleton."""
+    # 40 case-variants of one hot key, spread across salt buckets
+    hot = [f"CAT{'s' * (i % 2)}".lower() if i % 3 else f"Cat{'s' * (i % 2)}"
+           for i in range(8)] + ["cat", "cats", "CAT", "CATS", "CaT"]
+    merge_all = lambda members: [list(members)]
+    for buckets in (1, 7):
+        amap = alias_of(hot, salt_buckets=buckets, judge=merge_all)
+        baseline = alias_of(hot, salt_buckets=buckets)  # no judge
+        assert amap == baseline
+        assert len(set(amap.values())) == 1
+    no_merge = lambda members: [[m] for m in members]
+    amap = alias_of(hot, salt_buckets=7, judge=no_merge)
+    assert all(amap[m] == m for m in set(hot))
+
+
 def test_connected_components_unionfind():
     comp = connected_components([("a", "b"), ("b", "c"), ("x", "y")])
     assert comp["a"] == comp["b"] == comp["c"]
