@@ -141,21 +141,25 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # EXACTLY 50 queries — the driver's correctness window — so every
+    # registry entry gets a driver row each round. Related operator
+    # variants are merged into combined-output queries (each component
+    # still oracle-checked via its own columns/rows); the merged-away
+    # standalones remain implemented + pytest-covered (see COVERAGE.md).
     return {
         # --- KG pipeline chain (SURVEY.md §2: S1,M1,M2,X1/X2,A1,A2,A4,J1,T3,A6)
         "kg_pages": q_kg_pages,
         "kg_extract_text": q_kg_extract_text,
-        "kg_chunks": q_kg_chunks,                      # rows-only (sequential chunk packing)
+        "kg_chunks": q_kg_chunks,
         "kg_triples_raw": q_kg_triples_raw,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
-        "kg_edge_types": q_kg_edge_types,
         "kg_alias_map": q_kg_alias_map,
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_top_entities": q_kg_top_entities,
         "kg_graph_stats": q_kg_graph_stats,
         "kg_degrees": q_kg_degrees,
-        "kg_top_relations": q_kg_top_relations,
+        "kg_top_relations": q_kg_top_relations,        # = A2 edge types + counts + T3 ordering
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
         "kg_triples_routed": q_kg_triples_routed,
@@ -163,19 +167,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": q_kg_incremental,
         "kg_triples_llm": q_kg_triples_llm,
         # --- training-data ops: text analysis
-        "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,                  # whitespace + regex tokenizers
+        "text_quality": q_text_quality,                # quality scores + lang-id
         "doc_fingerprint": q_doc_fingerprint,
         "lang_hist": q_lang_hist,
-        "lang_id": q_lang_id,
-        "text_tokens_re": q_text_tokens_re,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct_docs": q_approx_distinct,     # rows-only (HLL estimate)
         # --- dedup family
         "dedup_exact": q_dedup_exact,
-        "text_shingles": q_text_shingles,
-        "minhash_signatures": q_minhash_signatures,
+        "minhash_signatures": q_minhash_signatures,    # + shingle counts
         "minhash_band_pairs": q_minhash_band_pairs,
         "minhash_sig_fast": q_minhash_sig_fast,
         "doc_winnow": q_doc_winnow,
@@ -186,7 +187,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighborhood": q_kg_neighborhood,
         "dedup_simhash": q_dedup_simhash,
         "near_dup_canonical": q_near_dup_canonical,
-        "fused_text_fast": q_fused_text_fast,          # rows-only (u64 engine hashes)
         # --- retrieval (SURVEY §2 X4 BM25 / T2 rank fusion)
         "bm25_scores": q_bm25_scores,
         "rank_fusion_topk": q_rank_fusion_topk,
@@ -194,22 +194,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
         "near_dup_cosine": q_near_dup_cosine,
-        "near_dup_cosine_canonical": q_near_dup_cosine_canonical,
-        "near_dup_lsh": q_near_dup_lsh,                # rows-only (approximate)
         # --- multimodal (binary payload plumbing; FakeCodec determinism)
-        "media_probe": q_media_probe,
-        "media_frames": q_media_frames,
+        "media_frames": q_media_frames,                # frames ⋈ probe dims
         # --- relational pipelines (TPC-H-style operator demos)
         "pricing_summary": q_pricing_summary,
         "revenue_by_region": q_revenue_by_region,
-        "top_parts": q_top_parts,
         # --- events (time bucketing, windows, as-of)
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "events_asof": q_events_asof,
-        "events_asof_fwd": q_events_asof_fwd,
-        "events_sessions": q_events_sessions,
-        "events_session_assign": q_events_session_assign,
+        "events_windows": q_events_windows,            # tumbling + sliding
+        "events_asof": q_events_asof,                  # backward + forward
+        "events_session_assign": q_events_session_assign,  # sessionize + range join
         # --- sampling / per-group top-k
         "hash_sample": q_hash_sample,
         "grouped_topk": q_grouped_topk,
@@ -261,10 +254,6 @@ def q_kg_nodes(sf_dir: str):
     from kg_gen_ray.stages.materialize import nodes_table
     return nodes_table(_distinct_triples(sf_dir))
 
-
-def q_kg_edge_types(sf_dir: str):
-    from kg_gen_ray.stages.materialize import edge_types_table
-    return edge_types_table(_distinct_triples(sf_dir))
 
 
 def q_kg_alias_map(sf_dir: str):
@@ -386,15 +375,38 @@ def q_kg_triples_llm(sf_dir: str):
 
 
 def q_text_tokens(sf_dir: str):
-    from kg_gen_ray.functions.text_analysis import token_stats
+    """Both tokenizer families in one pass: whitespace token stats AND the
+    BPE-ish regex count (letter runs / digit runs / single non-space
+    symbols) — merged so each stays driver-oracled inside the 50-query
+    window."""
+    from kg_gen_ray.functions.text_analysis import (regex_token_stats,
+                                                    token_stats)
+
+    def both(t: pa.Table) -> pa.Table:
+        ws = token_stats(t)
+        return ws.append_column("n_re_tokens",
+                                regex_token_stats(t)["n_re_tokens"])
+
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        token_stats, batch_format="pyarrow")
+        both, batch_format="pyarrow")
 
 
 def q_text_quality(sf_dir: str):
-    from kg_gen_ray.functions.text_analysis import quality_score
+    """Quality scoring + language-ID in one pass (lang_id's per-doc
+    predictions stay oracle-checked via the appended ``pred_lang``;
+    the LangId marker tables build once per actor as usual)."""
+    from kg_gen_ray.functions.text_analysis import LangId, quality_score
+
+    class QualityLang:
+        def __init__(self):
+            self.lang = LangId()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            q = quality_score(t)
+            return q.append_column("pred_lang", self.lang(t)["pred_lang"])
+
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        quality_score, batch_format="pyarrow")
+        QualityLang, batch_format="pyarrow", concurrency=2)
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -408,11 +420,6 @@ def q_lang_hist(sf_dir: str):
     ds = _docs(sf_dir, ["lang"])
     out = ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
     return out
-
-
-def q_lang_id(sf_dir: str):
-    from kg_gen_ray.functions.text_analysis import lang_id_stage
-    return lang_id_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_top_bigrams(sf_dir: str):
@@ -439,16 +446,19 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
-def q_text_shingles(sf_dir: str):
-    from kg_gen_ray.functions.dedup import shingle_stats
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        shingle_stats, batch_format="pyarrow")
-
-
 def q_minhash_signatures(sf_dir: str):
-    from kg_gen_ray.functions.dedup import minhash_signatures
+    """md5-family MinHash signatures + the distinct-shingle count per doc
+    (shingle_stats merged in so the shingling operator keeps its own
+    oracle-checked column inside the 50-query window)."""
+    from kg_gen_ray.functions.dedup import minhash_signatures, shingle_stats
+
+    def both(t: pa.Table) -> pa.Table:
+        sig = minhash_signatures(t)
+        return sig.append_column("n_shingles",
+                                 shingle_stats(t)["n_shingles"])
+
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        minhash_signatures, batch_format="pyarrow")
+        both, batch_format="pyarrow")
 
 
 def q_minhash_band_pairs(sf_dir: str):
@@ -572,13 +582,6 @@ def q_minhash_sig_fast(sf_dir: str):
         minhash_signatures_fast, batch_format="pyarrow")
 
 
-def q_fused_text_fast(sf_dir: str):
-    """Scale-path fused analysis (token stats + SimHash + MinHash in one
-    vectorized pass; engine-internal u64 hashes -> rows-only check)."""
-    from kg_gen_ray.functions.fast_text import fused_text_analysis
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fused_text_analysis, batch_format="pyarrow")
-
 
 def q_ann_topk(sf_dir: str):
     from kg_gen_ray.functions.ann import brute_force_topk, get_query_vector
@@ -602,17 +605,6 @@ def q_near_dup_cosine(sf_dir: str):
     return cosine_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
 
 
-def q_near_dup_cosine_canonical(sf_dir: str):
-    """Embedding-cosine end-to-end dedup: pairs -> components -> lowest-id
-    survivor per cluster (same composition duals as the text near-dup)."""
-    from kg_gen_ray.functions.ann import cosine_near_dup_canonical
-    return cosine_near_dup_canonical(_embeddings(sf_dir), threshold=0.3)
-
-
-def q_near_dup_lsh(sf_dir: str):
-    from kg_gen_ray.functions.ann import lsh_near_dup_pairs
-    return lsh_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
-
 
 def _media(sf_dir: str):
     """documents -> media rows (binary payload = UTF-8 text bytes)."""
@@ -628,32 +620,34 @@ def _media(sf_dir: str):
         to_media, batch_format="pyarrow")
 
 
-def q_media_probe(sf_dir: str):
-    """Actor-pool media decode (FakeCodec: dims from md5(payload) — SQL-
-    reproducible, so the binary-column plumbing is oracle-checked)."""
-    from kg_gen_ray.stages.multimodal import probe_stage
-    out = probe_stage(_media(sf_dir))
-    return out.map_batches(
-        lambda t: pa.table({
-            "media_id": t["media_id"],
-            "width": pc.cast(t["width"], pa.int64()),
-            "height": pc.cast(t["height"], pa.int64()),
-        }), batch_format="pyarrow")
-
-
 def q_media_frames(sf_dir: str):
-    """Row-expanding frame sampling; the FakeCodec frame payload is an
-    md5 digest, emitted hex-encoded so DuckDB checks the actual frame
-    bytes, not just the row expansion."""
-    from kg_gen_ray.stages.multimodal import frame_sample_stage
-    out = frame_sample_stage(_media(sf_dir), n_frames=3)
-    return out.map_batches(
+    """Both multimodal actor-pool stages in one result: the row-expanding
+    frame sampler joined (on media_id) with the header probe's dims, so
+    decode-probe AND frame-sample plumbing are driver-oracled in a single
+    query. FakeCodec is SQL-reproducible: dims from md5(payload) digest
+    bytes, frame payloads are md5 digests emitted hex-encoded so DuckDB
+    checks the actual frame bytes, not just the row expansion."""
+    import ray as _ray
+
+    from kg_gen_ray.stages.multimodal import frame_sample_stage, probe_stage
+    media = _media(sf_dir)
+    frames = frame_sample_stage(media, n_frames=3).map_batches(
         lambda t: pa.table({
-            "media_id": t["media_id"],
+            "media_id": pc.cast(t["media_id"], pa.int64()),
             "frame_id": pc.cast(t["frame_id"], pa.int64()),
             "frame_md5": pa.array(
                 [fr.hex() for fr in t["frame"].to_pylist()], pa.string()),
         }), batch_format="pyarrow")
+    probe = probe_stage(media).map_batches(
+        lambda t: pa.table({
+            "media_id": pc.cast(t["media_id"], pa.int64()),
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+        }), batch_format="pyarrow")
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    return frames.repartition(n_parts) \
+        .join(probe.repartition(n_parts), join_type="inner",
+              on=("media_id",), num_partitions=n_parts)
 
 
 def q_pricing_summary(sf_dir: str):
@@ -665,10 +659,6 @@ def q_revenue_by_region(sf_dir: str):
     from kg_gen_ray.pipelines.relational import revenue_by_region
     return revenue_by_region(sf_dir)
 
-
-def q_top_parts(sf_dir: str):
-    from kg_gen_ray.pipelines.relational import top_parts_by_quantity
-    return top_parts_by_quantity(sf_dir, 10)
 
 
 def q_token_quantiles(sf_dir: str):
@@ -686,31 +676,17 @@ def q_token_quantiles(sf_dir: str):
     return grouped_quantiles(enriched, "lang", "n_tokens")
 
 
-def q_events_hourly(sf_dir: str):
+def q_events_windows(sf_dir: str):
+    """Tumbling 1-hour windows AND 1-hour windows sliding every 30 min, in
+    one unioned result keyed by ``window_kind`` (both window families stay
+    driver-oracled inside the 50-query window). value is converted to
+    integer cents PER ROW before the distributed Sum (same as
+    pricing_summary), so float summation order cannot flip the hash at any
+    scale — a float64 sum rounded after the fact diverges from the oracle
+    once a window's accumulated error crosses half a cent."""
     import ray.data
-    from ray.data.aggregate import Count
-    path = f"{sf_dir}/events.parquet"
-    ds = ray.data.read_parquet(path, columns=["event_type", "ts"],
-                               override_num_blocks=_read_blocks(path))
+    from ray.data.aggregate import Count, Sum
 
-    def add_hour(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": t["event_type"],
-            "hour": pc.floor_temporal(t["ts"], unit="hour"),
-        })
-
-    return ds.map_batches(add_hour, batch_format="pyarrow") \
-        .groupby(["event_type", "hour"]) \
-        .aggregate(Count(alias_name="n_events"))
-
-
-def q_events_sliding(sf_dir: str):
-    """1-hour windows sliding every 30 min. value is converted to integer
-    cents PER ROW before the distributed Sum (same as pricing_summary), so
-    float summation order cannot flip the hash at any scale — a float64
-    sum rounded after the fact diverges from the oracle once a window's
-    accumulated error crosses half a cent."""
-    import ray.data
     from kg_gen_ray.functions.windows import sliding_window
     path = f"{sf_dir}/events.parquet"
     ds = ray.data.read_parquet(path, columns=["event_type", "ts", "value"],
@@ -724,24 +700,54 @@ def q_events_sliding(sf_dir: str):
                 pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()),
         })
 
-    out = sliding_window(ds.map_batches(to_cents, batch_format="pyarrow"),
-                         window_sec=3600, slide_sec=1800, value_col="cents")
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
 
-    def project(t: pa.Table) -> pa.Table:
+    def add_hour(t: pa.Table) -> pa.Table:
         return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            "cents": t["cents"],
+        })
+
+    tumbling = cents.map_batches(add_hour, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("cents", alias_name="sum_cents"))
+
+    def project_t(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_kind": pa.array(["tumbling_1h"] * t.num_rows,
+                                    pa.string()),
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
+        })
+
+    sliding = sliding_window(cents, window_sec=3600, slide_sec=1800,
+                             value_col="cents")
+
+    def project_s(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_kind": pa.array(["sliding_1h_30m"] * t.num_rows,
+                                    pa.string()),
             "event_type": t["event_type"],
             "window_start": t["window_start"],
             "n_events": pc.cast(t["n_events"], pa.int64()),
             "sum_cents": pc.cast(t["sum_value"], pa.int64()),
         })
 
-    return out.map_batches(project, batch_format="pyarrow")
+    return tumbling.map_batches(project_t, batch_format="pyarrow").union(
+        sliding.map_batches(project_s, batch_format="pyarrow"))
 
 
 def q_events_asof(sf_dir: str):
-    """Backward as-of join: each event picks the latest order (by customer)
-    at or before its timestamp. Right side pre-reduced to one row per
-    (custkey, orderdate) so the match is unambiguous."""
+    """BOTH as-of directions in one unioned result keyed by ``direction``:
+    backward (latest order by customer at or before the event) and forward
+    (earliest order at or after) — the same bucketed merge_asof
+    composition, each direction staying driver-oracled inside the 50-query
+    window. Right side pre-reduced to one row per (custkey, orderdate) so
+    the match is unambiguous."""
     import ray.data
 
     from kg_gen_ray.functions.windows import asof_join
@@ -758,67 +764,32 @@ def q_events_asof(sf_dir: str):
         # replaces a whole Ray pre-aggregation pass over orders
         return refs.groupby(["__key", "__ts"], as_index=False).max()
 
-    joined = asof_join(events, orders, key_col="user_id", ts_col="ts",
-                       right_ts_col="o_orderdate",
-                       right_value_cols=["o_totalprice"],
-                       right_key_col="o_custkey",
-                       right_reduce=max_per_key_ts)
+    def one_dir(direction: str):
+        joined = asof_join(events, orders, key_col="user_id", ts_col="ts",
+                           right_ts_col="o_orderdate",
+                           right_value_cols=["o_totalprice"],
+                           right_key_col="o_custkey",
+                           right_reduce=max_per_key_ts,
+                           direction=direction)
 
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_id": pc.cast(t["l_event_id"], pa.int64()),
-            "asof_totalprice": pc.cast(t["r_o_totalprice"], pa.float64()),
-        })
+        def project(t: pa.Table, direction=direction) -> pa.Table:
+            return pa.table({
+                "event_id": pc.cast(t["l_event_id"], pa.int64()),
+                "direction": pa.array([direction] * t.num_rows, pa.string()),
+                "totalprice": pc.cast(t["r_o_totalprice"], pa.float64()),
+            })
 
-    return joined.map_batches(project, batch_format="pyarrow")
+        return joined.map_batches(project, batch_format="pyarrow")
 
-
-def q_events_asof_fwd(sf_dir: str):
-    """Forward as-of: each event picks the EARLIEST order (by customer) at
-    or after its timestamp — the other as-of direction, same bucketed
-    merge_asof composition."""
-    import ray.data
-
-    from kg_gen_ray.functions.windows import asof_join
-    epath = f"{sf_dir}/events.parquet"
-    opath = f"{sf_dir}/orders.parquet"
-    events = ray.data.read_parquet(epath, columns=["event_id", "user_id", "ts"],
-                                   override_num_blocks=_read_blocks(epath))
-    orders = ray.data.read_parquet(
-        opath, columns=["o_custkey", "o_orderdate", "o_totalprice"],
-        override_num_blocks=_read_blocks(opath))
-
-    def max_per_key_ts(refs):
-        return refs.groupby(["__key", "__ts"], as_index=False).max()
-
-    joined = asof_join(events, orders, key_col="user_id", ts_col="ts",
-                       right_ts_col="o_orderdate",
-                       right_value_cols=["o_totalprice"],
-                       right_key_col="o_custkey",
-                       right_reduce=max_per_key_ts,
-                       direction="forward")
-
-    def project(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_id": pc.cast(t["l_event_id"], pa.int64()),
-            "next_totalprice": pc.cast(t["r_o_totalprice"], pa.float64()),
-        })
-
-    return joined.map_batches(project, batch_format="pyarrow")
-
-
-def q_text_tokens_re(sf_dir: str):
-    """BPE-ish regex token counting (letter runs / digit runs / single
-    non-space symbols) alongside the whitespace count — the second
-    tokenizer family from the training-data brief."""
-    from kg_gen_ray.functions.text_analysis import regex_token_stats
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        regex_token_stats, batch_format="pyarrow")
+    return one_dir("backward").union(one_dir("forward"))
 
 
 def q_events_session_assign(sf_dir: str):
-    """Range join: each event attached to the session interval containing
-    its timestamp (events x sessionize intervals on user_id)."""
+    """Sessionization + range join in one result: each event attached to
+    the gap-based (30-min timeout) session interval containing its
+    timestamp, carrying the session's bounds and size — so the sessionize
+    aggregates AND the per-event range-join assignment are both
+    driver-oracled in a single query."""
     import ray.data
 
     from kg_gen_ray.functions.sessions import sessionize
@@ -829,26 +800,19 @@ def q_events_session_assign(sf_dir: str):
     sessions = sessionize(ds, gap_sec=1800)
     joined = range_join(ds, sessions, key_col="user_id", ts_col="ts",
                         start_col="session_start", end_col="session_end",
-                        payload_cols=["session_id"])
+                        payload_cols=["session_id", "session_start",
+                                      "session_end", "n_events"])
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
             "event_id": pc.cast(t["l_event_id"], pa.int64()),
             "session_id": pc.cast(t["p_session_id"], pa.int64()),
+            "session_start": t["p_session_start"],
+            "session_end": t["p_session_end"],
+            "session_n_events": pc.cast(t["p_n_events"], pa.int64()),
         })
 
     return joined.map_batches(project, batch_format="pyarrow")
-
-
-def q_events_sessions(sf_dir: str):
-    """Gap-based sessionization (30-minute inactivity timeout)."""
-    import ray.data
-
-    from kg_gen_ray.functions.sessions import sessionize
-    path = f"{sf_dir}/events.parquet"
-    ds = ray.data.read_parquet(path, columns=["event_id", "user_id", "ts"],
-                               override_num_blocks=_read_blocks(path))
-    return sessionize(ds, gap_sec=1800)
 
 
 def q_hash_sample(sf_dir: str):
@@ -1016,6 +980,54 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_extract_text"] = f"""
         SELECT {_URL} AS url, text FROM documents"""
 
+    # Sequential chunk packing as a recursive CTE over word positions.
+    # The synthetic corpus contains no sentence terminators ([.!?]), so
+    # split_sentences(text) == [text] for every doc and chunk_text
+    # (reference src/kg_gen/utils/chunk_text.py:29-66) reduces to:
+    # length(text) <= max (200) -> ONE chunk (the sentence joins current,
+    # or — at exactly len==200 — becomes current whole); length > 200 ->
+    # the greedy word-split fallback, i.e. a running-length fold
+    # acc + len(word) + 1 <= 200 over the word sequence. The fold is the
+    # recursive CTE below (one row per (doc, word position), state =
+    # (chunk_id, acc)); recursion depth = max words per doc. Sentence-
+    # SPLITTING behavior (terminator/abbreviation rules) is pinned by the
+    # golden-hash corpora in tests/test_chunker.py — this oracle checks the
+    # packing arithmetic end-to-end on the driver corpus.
+    sql["kg_chunks"] = f"""
+        WITH RECURSIVE {_DOCS},
+        longdocs AS (SELECT doc_id FROM docs
+                     WHERE text <> '' AND length(text) > 200),
+        w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                      generate_subscripts(string_split(text, ' '), 1) AS pos0
+               FROM docs WHERE doc_id IN (SELECT doc_id FROM longdocs)),
+        w AS (SELECT doc_id, word,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY pos0) AS pos
+              FROM w0 WHERE word <> ''),
+        st(doc_id, pos, chunk_id, acc) AS (
+          SELECT doc_id, 1::BIGINT, 0, length(word) + 1
+          FROM w WHERE pos = 1
+          UNION ALL
+          SELECT s.doc_id, s.pos + 1,
+                 CASE WHEN s.acc + length(n.word) + 1 <= 200
+                      THEN s.chunk_id ELSE s.chunk_id + 1 END,
+                 CASE WHEN s.acc + length(n.word) + 1 <= 200
+                      THEN s.acc + length(n.word) + 1
+                      ELSE length(n.word) + 1 END
+          FROM st s JOIN w n ON n.doc_id = s.doc_id AND n.pos = s.pos + 1),
+        packed AS (
+          SELECT s.doc_id, s.chunk_id,
+                 string_agg(w.word, ' ' ORDER BY s.pos) AS text
+          FROM st s JOIN w ON w.doc_id = s.doc_id AND w.pos = s.pos
+          GROUP BY s.doc_id, s.chunk_id),
+        chunks AS (
+          SELECT doc_id, chunk_id, text FROM packed
+          UNION ALL
+          SELECT doc_id, 0, trim(text) FROM docs
+          WHERE text <> '' AND length(text) <= 200)
+        SELECT d.url, c.chunk_id, c.text, d.lang
+        FROM chunks c JOIN docs d USING (doc_id)"""
+
     sql["kg_triples_raw"] = f"""
         {_KG_PREFIX} SELECT subj, pred, obj, url FROM raw"""
 
@@ -1027,10 +1039,6 @@ def oracle_sql() -> dict[str, str]:
         endpoints AS (SELECT subj AS entity FROM triples
                       UNION ALL SELECT obj FROM triples)
         SELECT entity, count(*)::BIGINT AS degree FROM endpoints GROUP BY entity"""
-
-    sql["kg_edge_types"] = f"""
-        {_KG_PREFIX} SELECT pred, count(*)::BIGINT AS n_triples
-        FROM triples GROUP BY pred"""
 
     sql["kg_alias_map"] = f"""
         {_KG_PREFIX}, {_ALIAS_FULL}
@@ -1099,20 +1107,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, substr(enc, 8) AS component FROM comp"""
 
     sql["text_tokens"] = f"""
-        WITH {_DOCS}, {_TOKS}
-        SELECT doc_id, count(*)::BIGINT AS n_tokens,
-               count(DISTINCT w)::BIGINT AS n_unique_tokens
-        FROM toks GROUP BY doc_id"""
-
-    sql["text_quality"] = f"""
         WITH {_DOCS}, {_TOKS},
-        agg AS (SELECT doc_id, count(*) AS n_tokens,
-                       sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS stops
-                FROM toks GROUP BY doc_id)
-        SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
-               agg.n_tokens::BIGINT AS n_tokens,
-               agg.stops::DOUBLE / greatest(agg.n_tokens, 1) AS stop_ratio
-        FROM documents d JOIN agg USING (doc_id)"""
+        ws AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                      count(DISTINCT w)::BIGINT AS n_unique_tokens
+               FROM toks GROUP BY doc_id)
+        SELECT ws.doc_id, ws.n_tokens, ws.n_unique_tokens,
+               len(regexp_extract_all(d.text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+                 AS n_re_tokens
+        FROM ws JOIN documents d USING (doc_id)"""
 
     sql["doc_fingerprint"] = """
         SELECT doc_id, md5(text) AS fp FROM documents"""
@@ -1120,28 +1123,36 @@ def oracle_sql() -> dict[str, str]:
     sql["lang_hist"] = """
         SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"""
 
-    # marker-word voting with the LangId actor's exact tiebreak: strictly
-    # more hits wins, ties go to the alphabetically-first language, zero
-    # hits -> 'unknown'
+    # text_quality carries the merged lang-id column: marker-word voting
+    # with the LangId actor's exact tiebreak (strictly more hits wins, ties
+    # go to the alphabetically-first language, zero hits -> 'unknown')
     _markers = ", ".join(
         f"('{lang}','{w}')"
         for lang in sorted(_LANG_MARKERS)
         for w in sorted(_LANG_MARKERS[lang]))
-    sql["lang_id"] = f"""
-        WITH markers(lang, w) AS (VALUES {_markers}),
+    sql["text_quality"] = f"""
+        WITH {_DOCS}, {_TOKS},
+        agg AS (SELECT doc_id, count(*) AS n_tokens,
+                       sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS stops
+                FROM toks GROUP BY doc_id),
+        markers(mlang, w) AS (VALUES {_markers}),
         words AS (SELECT doc_id,
                          lower(unnest(regexp_extract_all(text, '[a-zA-Z]+')))
                            AS w
                   FROM documents),
-        hits AS (SELECT doc_id, lang, count(*) AS n
-                 FROM words JOIN markers USING (w) GROUP BY doc_id, lang),
-        best AS (SELECT doc_id, lang, n,
+        hits AS (SELECT doc_id, mlang, count(*) AS n
+                 FROM words JOIN markers USING (w) GROUP BY doc_id, mlang),
+        best AS (SELECT doc_id, mlang, n,
                         row_number() OVER (PARTITION BY doc_id
-                                           ORDER BY n DESC, lang ASC) AS rn
+                                           ORDER BY n DESC, mlang ASC) AS rn
                  FROM hits)
-        SELECT d.doc_id, coalesce(b.lang, 'unknown') AS pred_lang
+        SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+               agg.n_tokens::BIGINT AS n_tokens,
+               agg.stops::DOUBLE / greatest(agg.n_tokens, 1) AS stop_ratio,
+               coalesce(b.mlang, 'unknown') AS pred_lang
         FROM documents d
-        LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1 AND n > 0) b
+        JOIN agg USING (doc_id)
+        LEFT JOIN (SELECT doc_id, mlang FROM best WHERE rn = 1 AND n > 0) b
           USING (doc_id)"""
 
     # SimHash: md5-prefix uint64 token hashes, ±1 per bit per occurrence,
@@ -1201,18 +1212,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS fp
         FROM documents GROUP BY md5(text)"""
 
-    sql["text_shingles"] = f"""
-        WITH {_DOCS}, {_TOKS}, {_SHINGLES},
+    sql["minhash_signatures"] = f"""
+        WITH {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS},
         cnt AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
                 FROM sh GROUP BY doc_id)
-        SELECT d.doc_id,
+        SELECT s.doc_id, s.h0, s.h1, s.h2, s.h3,
                coalesce(cnt.n_shingles,
-                        CASE WHEN d.text = '' THEN 0 ELSE 1 END)::BIGINT AS n_shingles
-        FROM documents d LEFT JOIN cnt USING (doc_id)"""
-
-    sql["minhash_signatures"] = f"""
-        WITH {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS}
-        SELECT doc_id, h0, h1, h2, h3 FROM sigs"""
+                        CASE WHEN d.text = '' THEN 0 ELSE 1 END)::BIGINT
+                 AS n_shingles
+        FROM sigs s JOIN documents d USING (doc_id)
+        LEFT JOIN cnt USING (doc_id)"""
 
     sql["minhash_band_pairs"] = f"""
         WITH {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS},
@@ -1304,22 +1313,6 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_sig_fast"] = f"""
         WITH {_DOCS}, {_FSH}, {_FSIGS}
         SELECT doc_id, m0, m1, m2, m3 FROM fsigs"""
-
-    sql["text_tokens_re"] = """
-        SELECT doc_id,
-               len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
-                 AS n_re_tokens
-        FROM documents"""
-
-    sql["events_asof_fwd"] = """
-        WITH o1 AS (
-          SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
-          FROM orders GROUP BY o_custkey, o_orderdate)
-        SELECT e.event_id, o1.o_totalprice AS next_totalprice
-        FROM events e
-        ASOF LEFT JOIN o1
-          ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate"""
 
     sql["llm_filter"] = """
         SELECT doc_id FROM documents
@@ -1437,35 +1430,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3"""
 
-    sql["near_dup_cosine_canonical"] = """
-        WITH RECURSIVE pairs AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])) >= 0.3),
-        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-                  UNION ALL SELECT id_b, id_a FROM pairs),
-        reach(node, lab) AS (
-          SELECT vec_id, vec_id FROM embeddings
-          UNION
-          SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.node),
-        comp AS (SELECT node, min(lab) AS root FROM reach GROUP BY node)
-        SELECT node AS vec_id FROM comp WHERE node = root"""
-
-    # FakeCodec.probe: md5(payload) digest bytes 0 and 1 -> dims
+    # frames ⋈ probe dims. FakeCodec.probe: md5(payload) digest bytes 0 and
+    # 1 -> dims; frame payload = md5(b"frame{i}:" + utf8(text)) — string
+    # concat + md5 reproduces the digest hex exactly
     _HEXB = ("(16 * (strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1)"
              " + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)")
-    sql["media_probe"] = f"""
-        SELECT doc_id AS media_id,
+    sql["media_frames"] = f"""
+        SELECT d.doc_id AS media_id, j AS frame_id,
+               md5('frame' || j || ':' || d.text) AS frame_md5,
                (16 + {_HEXB.format(a=1, b=2)} % 240)::BIGINT AS width,
                (16 + {_HEXB.format(a=3, b=4)} % 240)::BIGINT AS height
-        FROM documents"""
-
-    # FakeCodec frame payload = md5(b"frame{i}:" + utf8(text)); string
-    # concat + md5 reproduces the digest hex exactly
-    sql["media_frames"] = """
-        SELECT d.doc_id AS media_id, j AS frame_id,
-               md5('frame' || j || ':' || d.text) AS frame_md5
         FROM documents d CROSS JOIN (SELECT unnest(range(3)) AS j) f"""
 
     # per-row integer conversion before summing (exact; see relational.py)
@@ -1479,32 +1453,8 @@ def oracle_sql() -> dict[str, str]:
                quantile_disc(n_tokens, 0.99)::BIGINT AS p99
         FROM toks GROUP BY lang"""
 
-    sql["events_sessions"] = """
-        WITH ordered AS (
-          SELECT user_id, ts, event_id,
-                 lag(ts) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev_ts
-          FROM events),
-        flagged AS (
-          SELECT user_id, ts, event_id,
-                 CASE WHEN prev_ts IS NULL
-                           OR date_diff('microseconds', prev_ts, ts)
-                              > 1800 * 1000000
-                      THEN 1 ELSE 0 END AS new_session
-          FROM ordered),
-        numbered AS (
-          SELECT user_id, ts,
-                 sum(new_session) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) - 1
-                   AS session_id
-          FROM flagged)
-        SELECT user_id, session_id::BIGINT AS session_id,
-               min(ts) AS session_start, max(ts) AS session_end,
-               count(*)::BIGINT AS n_events
-        FROM numbered GROUP BY user_id, session_id"""
-
-    # range join: the session CTE above, then ts BETWEEN start AND end
+    # sessionize (gap-based, 30-min timeout) + range join in one result:
+    # each event with its containing session's id, bounds, and size
     sql["events_session_assign"] = """
         WITH ordered AS (
           SELECT user_id, ts, event_id,
@@ -1527,9 +1477,11 @@ def oracle_sql() -> dict[str, str]:
           FROM flagged),
         sess AS (
           SELECT user_id, session_id::BIGINT AS session_id,
-                 min(ts) AS session_start, max(ts) AS session_end
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 count(*)::BIGINT AS n_events
           FROM numbered GROUP BY user_id, session_id)
-        SELECT e.event_id, s.session_id
+        SELECT e.event_id, s.session_id, s.session_start, s.session_end,
+               s.n_events AS session_n_events
         FROM events e JOIN sess s
           ON e.user_id = s.user_id
          AND e.ts BETWEEN s.session_start AND s.session_end"""
@@ -1573,22 +1525,9 @@ def oracle_sql() -> dict[str, str]:
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name"""
 
-    sql["top_parts"] = """
-        WITH q AS (
-          SELECT l_partkey,
-                 round(sum(l_quantity) * 100)::BIGINT AS qty_cents
-          FROM lineitem GROUP BY l_partkey)
-        SELECT q.l_partkey, q.qty_cents, p.p_name
-        FROM q JOIN part p ON p.p_partkey = q.l_partkey
-        ORDER BY q.qty_cents DESC, q.l_partkey LIMIT 10"""
-
-    sql["events_hourly"] = """
-        SELECT event_type, date_trunc('hour', ts) AS hour,
-               count(*)::BIGINT AS n_events
-        FROM events GROUP BY event_type, date_trunc('hour', ts)"""
-
-    # 1h windows sliding 30min: every event belongs to exactly 2 windows
-    sql["events_sliding"] = """
+    # tumbling 1h + (1h sliding 30min: every event belongs to exactly 2
+    # windows), unioned and keyed by window_kind
+    sql["events_windows"] = """
         WITH w AS (
           SELECT event_type, value,
                  make_timestamp((floor(epoch(ts) / 1800) * 1800 * 1000000)::BIGINT)
@@ -1598,18 +1537,31 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, value, s1 AS window_start FROM w
           UNION ALL
           SELECT event_type, value, s1 - INTERVAL '1800 seconds' FROM w)
-        SELECT event_type, window_start,
+        SELECT 'tumbling_1h' AS window_kind, event_type,
+               date_trunc('hour', ts) AS window_start,
                count(*)::BIGINT AS n_events,
                sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        UNION ALL
+        SELECT 'sliding_1h_30m', event_type, window_start,
+               count(*)::BIGINT,
+               sum(round(value * 100)::BIGINT)::BIGINT
         FROM exploded GROUP BY event_type, window_start"""
 
     sql["events_asof"] = """
         WITH o1 AS (
           SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
           FROM orders GROUP BY o_custkey, o_orderdate)
-        SELECT e.event_id, o1.o_totalprice AS asof_totalprice
+        SELECT e.event_id, 'backward' AS direction,
+               o1.o_totalprice AS totalprice
         FROM events e
         ASOF LEFT JOIN o1
-          ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate"""
+          ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+        UNION ALL
+        SELECT e.event_id, 'forward' AS direction,
+               o1.o_totalprice AS totalprice
+        FROM events e
+        ASOF LEFT JOIN o1
+          ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate"""
 
     return sql

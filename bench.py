@@ -35,11 +35,16 @@ BENCH_DIR = os.environ.get(
     "KG_BENCH_DIR", f"/tmp/kg_bench_corpus_v3_{BENCH_PAGES}")
 SHARD = 12_500
 
+# Registry names as of round 3's 50-query consolidation. Renames vs the
+# round-2 bench (for cross-round ratio reading): events_hourly +
+# events_sliding -> events_windows (one unioned query); events_sessions ->
+# events_session_assign (sessionize + range join merged); fused_text_fast
+# (deregistered) -> minhash_sig_fast, the oracled fast-family stand-in.
 QUERY_NAMES = [
     "kg_triples", "kg_canonical_triples", "kg_triples_llm", "text_tokens",
-    "fused_text_fast", "dedup_exact", "minhash_band_pairs",
-    "near_dup_canonical", "ann_topk", "near_dup_cosine", "events_hourly",
-    "events_sliding", "events_asof", "events_sessions", "pricing_summary",
+    "minhash_sig_fast", "dedup_exact", "minhash_band_pairs",
+    "near_dup_canonical", "ann_topk", "near_dup_cosine", "events_windows",
+    "events_asof", "events_session_assign", "pricing_summary",
     "revenue_by_region", "token_quantiles",
 ]
 
