@@ -212,3 +212,80 @@ def test_golden_corpus_chunks_pinned(name, n_chunks, md5):
     assert all(c == c.strip() for c in chunks)
     digest = hashlib.md5("\x00".join(chunks).encode("utf-8")).hexdigest()
     assert (len(chunks), digest) == (n_chunks, md5)
+
+
+# --- documented punkt-parity scope (adversarial splitter table) --------------
+# nltk/punkt is not installable in this sandbox (no network), so parity with
+# the reference's sent_tokenize cannot be asserted directly. This table IS
+# the documented parity scope instead of prose: every encoded rule family
+# (abbreviations, multi-initial names, ellipsis before lower/upper, closing
+# quotes/brackets, !/? hard terminators, numeric/citation forms) with the
+# exact expected boundaries — including the two known conservative
+# DIVERGENCES from trained punkt, marked below. Any edit that moves a
+# boundary fails this test loudly.
+
+@pytest.mark.parametrize("text,expected", [
+    # honorific abbreviation never breaks
+    ("Dr. Smith arrived. He sat down.",
+     ["Dr. Smith arrived.", "He sat down."]),
+    # KNOWN DIVERGENCE: trained punkt can break after an abbreviation
+    # before a strong sentence starter ("U.S. Canada"); the rule-based
+    # splitter takes the conservative no-break branch
+    ("He moved to the U.S. Canada stayed neutral.",
+     ["He moved to the U.S. Canada stayed neutral."]),
+    # single-letter initials chain without breaking
+    ("J. R. R. Tolkien wrote books. They sold well.",
+     ["J. R. R. Tolkien wrote books.", "They sold well."]),
+    # ellipsis + lowercase continuation stays mid-sentence
+    ("Well... maybe not. Done.", ["Well... maybe not.", "Done."]),
+    # ellipsis before an orthographic sentence start breaks
+    ("Wait... Stop now.", ["Wait...", "Stop now."]),
+    # Latin abbreviation mid-list
+    ("Choose fruit, e.g. apples and pears. Next sentence here.",
+     ["Choose fruit, e.g. apples and pears.", "Next sentence here."]),
+    # KNOWN DIVERGENCE: '!' always terminates (with the closing quote
+    # attached, punkt's realign_boundaries); trained punkt often keeps
+    # '"Stop!" he said.' as one sentence via its collocation stats
+    ('"Stop!" he said. Then he left.',
+     ['"Stop!"', 'he said.', 'Then he left.']),
+    # citation/measurement abbreviations before digits
+    ("See fig. 3 for details. Then read on.",
+     ["See fig. 3 for details.", "Then read on."]),
+    ("Mt. Everest is tall. Climbers love it.",
+     ["Mt. Everest is tall.", "Climbers love it."]),
+    # ordinary word + '.' breaks regardless of next-word case family
+    ("It cost $5. Then it doubled.",
+     ["It cost $5.", "Then it doubled."]),
+    # ? and ! hard-terminate back to back
+    ("Is that so? Yes! Absolutely.",
+     ["Is that so?", "Yes!", "Absolutely."]),
+    # abbreviation inside brackets; bracket does not end the sentence
+    ("He said (see p. 12) it works. Fine.",
+     ["He said (see p. 12) it works.", "Fine."]),
+    ("A vs. B was close. C won.", ["A vs. B was close.", "C won."]),
+])
+def test_punkt_parity_scope(text, expected):
+    assert split_sentences(text) == expected
+
+
+def test_punkt_parity_scope_through_chunker():
+    """The same adversarial families flowing through chunk_text: boundary
+    decisions and packing interact (golden pin, like the reference-corpora
+    hashes above)."""
+    import hashlib
+    corpus = (
+        "Dr. Smith met J. R. R. Tolkien at Acme Inc. headquarters... "
+        "they talked for hours. Prof. Jones arrived at 3 p.m. with figs. "
+        '"Wonderful!" she said. The U.S. delegation (see fig. 4) left. '
+        "Costs rose, i.e. by 12 pct. Then talks resumed. Is that all? No! "
+        "There was more... Much more.")
+    chunks = chunk_text(corpus, 80)
+    assert all(len(c) <= 80 for c in chunks)
+    # golden pin: abbreviation/initial/ellipsis boundaries interacting
+    # with the 80-char packing (incl. the word-split fallback on the long
+    # first sentence)
+    digest = hashlib.md5("\x00".join(chunks).encode("utf-8")).hexdigest()
+    assert (len(chunks), digest) == (5, "caeb878a6496b98ac9dd874231da3ddf")
+    assert chunks[1] == "hours."   # fallback tail of the oversized sentence
+    assert chunks[2] == 'Prof. Jones arrived at 3 p.m. with figs. ' \
+                        '"Wonderful!" she said.'
