@@ -260,6 +260,66 @@ def run_skew() -> dict:
     return out
 
 
+def run_skew_judge() -> dict:
+    """Judge-path hot-key probe: time the JUDGED canonicalization (the
+    two-level salted flow) over a label table where 40% of all labels
+    normalize to ONE key, vs a uniform table of the same size. The hot
+    members are case-mask variants of one long word (distinct strings,
+    identical norm_key), so before the salting fix the whole hot group
+    landed on a single reducer and the ratio blew up; with the two-level
+    salted flow the gate is ratio <= ~1. (Values well BELOW 1 are
+    expected: the hot table has 40% fewer distinct keys, and per-key
+    judge dispatch — not row volume — dominates this probe.)"""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow as pa
+
+    import ray.data as rd
+    from kg_gen_ray.stages.canonicalize import canonicalize_label_table
+
+    n_labels = 400_000
+    hot_word = "machinelearningsystem"          # 21 alpha chars -> 2^21 variants
+
+    def case_variant(i: int) -> str:
+        return "".join(c.upper() if (i >> k) & 1 else c
+                       for k, c in enumerate(hot_word))
+
+    def labels_table(hot_fraction: float) -> "rd.Dataset":
+        n_hot = int(n_labels * hot_fraction)
+        members = [case_variant(i) for i in range(n_hot)]
+        members += [f"item-{i:07d}" for i in range(n_labels - n_hot)]
+        t = pa.table({"kind": pa.array(["entity"] * n_labels),
+                      "member": pa.array(members, pa.string())})
+        return rd.from_arrow(t).repartition(NUM_CPUS)
+
+    def merge_all(chunk):
+        return [list(chunk)]
+
+    timings = {}
+    for name, frac in (("uniform", 0.0), ("hot40", 0.4)):
+        ds = labels_table(frac).materialize()
+        t0 = time.time()
+        n = canonicalize_label_table(ds, salt_buckets=16,
+                                     judge=merge_all).count()
+        timings[name] = {"sec": round(time.time() - t0, 3), "rows": n}
+    ratio = timings["hot40"]["sec"] / timings["uniform"]["sec"]
+    out = {
+        "metric": "judge_skew_slowdown_ratio",
+        "value": round(ratio, 3),
+        "unit": "ratio",
+        "n_labels": n_labels,
+        "hot_fraction": 0.4,
+        "num_cpus": NUM_CPUS,
+        "timings": timings,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_memory_probe(store_mb: int = 256) -> dict:
     """Backpressure/memory-stability probe (north_star: 'streaming
     execution with bounded object-store backpressure keeps the run
@@ -354,6 +414,8 @@ if __name__ == "__main__":
         ray.shutdown()
     elif "--scaling-child" in sys.argv:
         print(json.dumps(run_scaling_child()))
+    elif "--skew-judge" in sys.argv:
+        print(json.dumps(run_skew_judge()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
     elif "--memory-probe" in sys.argv:

@@ -421,32 +421,62 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
                 out.extend((rep, m) for m in cluster)
         return out
 
-    def judged_local(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = run_judge(list(g["member"]))
-        return pd.DataFrame({
-            "kind": [g["kind"].iloc[0]] * len(pairs),
-            "norm_key": [g["norm_key"].iloc[0]] * len(pairs),
-            "l1_rep": [r for r, _ in pairs],
-            "member": [m for _, m in pairs],
-        })
+    # Per-key-group Ray map_groups pays ~ms-scale per-group overhead — at
+    # hundreds of thousands of mostly-singleton norm_keys that dwarfs the
+    # judge work itself. Instead, both levels group by a HASH BUCKET of
+    # their grouping key (4 x cores buckets), so one Ray group holds many
+    # key-groups, and the per-key iteration happens inside the bucket with
+    # pandas' C-level groupby. A key-group is always fully inside one
+    # bucket (the bucket is a function of the grouping key), so semantics
+    # are identical to grouping by the key directly.
+    n_buckets = 4 * max(2, int(ray.cluster_resources().get("CPU", 8)))
 
-    l1 = keyed.groupby(["kind", "norm_key", "salt"]).map_groups(
-        judged_local, batch_format="pandas").materialize()
+    def with_bucket(cols: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            parts = [pc.cast(t[c], pa.string()) for c in cols]
+            joined = (parts[0] if len(parts) == 1
+                      else pc.binary_join_element_wise(*parts, "|"))
+            if isinstance(joined, pa.ChunkedArray):
+                joined = joined.combine_chunks()
+            bucket = pa.array(
+                [zlib.crc32(s) % n_buckets
+                 for s in joined.cast(pa.binary()).to_pylist()],
+                pa.int32())
+            return t.append_column("bucket", bucket)
+        return fn
+
+    def judged_local(g: pd.DataFrame) -> pd.DataFrame:
+        kinds, nks, l1s, mems = [], [], [], []
+        for (kind, nk, _s), sub in g.groupby(["kind", "norm_key", "salt"],
+                                             sort=False):
+            for rep, m in run_judge(list(sub["member"])):
+                kinds.append(kind); nks.append(nk)
+                l1s.append(rep); mems.append(m)
+        return pd.DataFrame({"kind": kinds, "norm_key": nks,
+                             "l1_rep": l1s, "member": mems})
+
+    l1 = keyed.map_batches(with_bucket(["kind", "norm_key", "salt"]),
+                           batch_format="pyarrow") \
+        .groupby("bucket").map_groups(judged_local, batch_format="pandas") \
+        .materialize()
 
     def judged_global(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = run_judge(list(g["l1_rep"]))
-        return pd.DataFrame({
-            "kind": [g["kind"].iloc[0]] * len(pairs),
-            "norm_key": [g["norm_key"].iloc[0]] * len(pairs),
-            "representative": [r for r, _ in pairs],
-            "l1_rep": [m for _, m in pairs],
-        })
+        kinds, nks, reps, l1s = [], [], [], []
+        for (kind, nk), sub in g.groupby(["kind", "norm_key"], sort=False):
+            for rep, m in run_judge(list(sub["l1_rep"])):
+                kinds.append(kind); nks.append(nk)
+                reps.append(rep); l1s.append(m)
+        return pd.DataFrame({"kind": kinds, "norm_key": nks,
+                             "representative": reps, "l1_rep": l1s})
 
     from kg_gen_ray.stages.rewrite import distinct as _distinct
     l1_reps = _distinct(l1.select_columns(["kind", "norm_key", "l1_rep"]),
                         ["kind", "norm_key", "l1_rep"])
-    l2 = l1_reps.groupby(["kind", "norm_key"]).map_groups(
-        judged_global, batch_format="pandas").materialize()
+    l2 = l1_reps.map_batches(with_bucket(["kind", "norm_key"]),
+                             batch_format="pyarrow") \
+        .groupby("bucket").map_groups(judged_global, batch_format="pandas") \
+        .materialize()
 
     # compose member -> l1_rep -> representative (size-selected dual, same
     # rule as the no-judge rep assignment above)

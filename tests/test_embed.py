@@ -41,3 +41,48 @@ def test_unknown_backend(ray_session):
     labels = rd.from_arrow(pa.table({"member": pa.array(["x"], pa.string())}))
     with pytest.raises(ValueError):
         embed_stage(labels, backend="bogus")
+
+
+# ---------------------------------------------------------------------------
+# recorded-fake production backend (same pattern as the litellm shim in
+# test_transport): exercises SentenceTransformerEmbedder beyond its gate
+# ---------------------------------------------------------------------------
+
+def test_sentence_transformer_round_trip_recorded_fake(monkeypatch):
+    """A fake sentence_transformers module drives the production embedder
+    end to end: asserts the model name reaching the constructor, the exact
+    encode() call surface (label list + convert_to_numpy), and the output
+    schema contract (input columns passed through + list<float32>
+    embedding)."""
+    import sys
+    import types
+
+    import numpy as np
+    import pyarrow as pa
+
+    calls = {"ctor": [], "encode": []}
+
+    class _FakeST:
+        def __init__(self, model_name):
+            calls["ctor"].append(model_name)
+
+        def encode(self, labels, convert_to_numpy=False):
+            calls["encode"].append((list(labels), convert_to_numpy))
+            # deterministic: vector i = [i, i, i, i]
+            return np.array([[float(i)] * 4 for i in range(len(labels))],
+                            dtype=np.float32)
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = _FakeST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    from kg_gen_ray.stages.embed import SentenceTransformerEmbedder
+    emb = SentenceTransformerEmbedder("custom/model-x")
+    out = emb(pa.table({"kind": ["entity", "entity"],
+                        "member": ["alpha", "beta"]}))
+
+    assert calls["ctor"] == ["custom/model-x"]
+    assert calls["encode"] == [(["alpha", "beta"], True)]
+    assert out.column_names == ["kind", "member", "embedding"]
+    assert out["embedding"].type == pa.list_(pa.float32())
+    assert out["embedding"].to_pylist() == [[0.0] * 4, [1.0] * 4]

@@ -96,3 +96,91 @@ def test_pil_codec_real_roundtrip():
     assert len(frames) == 3
     assert all(PIL.Image.open(io.BytesIO(fr)).size == (20, 10)
                for fr in frames)
+
+
+# ---------------------------------------------------------------------------
+# recorded-fake PIL: exercises PilCodec's real code paths beyond the gate
+# (pillow-present tests above skip in this container; the shim does not)
+# ---------------------------------------------------------------------------
+
+def test_pil_codec_round_trip_recorded_fake(monkeypatch):
+    import io
+    import sys
+    import types
+
+    import numpy as np
+
+    class _FakeImage:
+        """Minimal PIL.Image.Image surface PilCodec touches."""
+
+        def __init__(self, w, h, n_frames=1):
+            self.width, self.height = w, h
+            self.n_frames = n_frames
+            self.seeks, self.saves = [], []
+
+        # context manager + transforms return self (recorded)
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            self.converted = mode
+            return self
+
+        def resize(self, wh):
+            self.resized = wh
+            return _FakeImage(*wh)
+
+        def seek(self, f):
+            self.seeks.append(f)
+
+        def save(self, out, format=None):
+            self.saves.append(format)
+            out.write(b"PNGBYTES:%dx%d" % (self.width, self.height))
+
+        def __array__(self, dtype=None):
+            a = np.full((self.height, self.width), 3.0)
+            return a.astype(dtype) if dtype else a
+
+    current = {"img": None}
+
+    def _open(buf):
+        assert isinstance(buf, io.BytesIO)
+        current["opened"] = buf.getvalue()
+        return current["img"]
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = _open
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    from kg_gen_ray.stages.multimodal import PilCodec
+    codec = PilCodec()
+
+    current["img"] = _FakeImage(640, 480)
+    assert codec.probe(b"payload-1") == (640, 480)
+    assert current["opened"] == b"payload-1"
+
+    # features: 4x4 grayscale thumbnail, L2-normalized, dim=16
+    current["img"] = _FakeImage(640, 480)
+    v = codec.features(b"payload-2", dim=16)
+    assert v.shape == (16,) and v.dtype == np.float32
+    assert np.allclose(np.linalg.norm(v), 1.0, atol=1e-5)
+    assert current["img"].converted == "L"
+    assert current["img"].resized == (4, 4)
+
+    # resize re-encodes at the target size
+    current["img"] = _FakeImage(100, 50)
+    out = codec.resize(b"payload-3", 32, 16)
+    assert out == b"PNGBYTES:32x16"
+
+    # frame sampling: evenly spaced seeks over a 10-frame animation
+    current["img"] = _FakeImage(8, 8, n_frames=10)
+    frames = codec.sample_frames(b"payload-4", 3)
+    assert len(frames) == 3
+    assert current["img"].seeks == [0, 3, 6]
+    assert all(f == b"PNGBYTES:8x8" for f in frames)
