@@ -450,7 +450,18 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
         kinds, nks, l1s, mems = [], [], [], []
         for (kind, nk, _s), sub in g.groupby(["kind", "norm_key", "salt"],
                                              sort=False):
-            for rep, m in run_judge(list(sub["member"])):
+            members = list(sub["member"])
+            if len(members) == 1:
+                # singleton bypass: the only partition of one member is
+                # itself — never spend a judge (LLM) call on it. In a
+                # vocabulary-heavy corpus most norm_keys are singletons,
+                # so this is the dominant judge-cost cut (the reference's
+                # clustering loop likewise only judges multi-member
+                # candidate sets, _3_cluster_graph.py:116-176).
+                pairs = [(members[0], members[0])]
+            else:
+                pairs = run_judge(members)
+            for rep, m in pairs:
                 kinds.append(kind); nks.append(nk)
                 l1s.append(rep); mems.append(m)
         return pd.DataFrame({"kind": kinds, "norm_key": nks,
@@ -464,7 +475,10 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
     def judged_global(g: pd.DataFrame) -> pd.DataFrame:
         kinds, nks, reps, l1s = [], [], [], []
         for (kind, nk), sub in g.groupby(["kind", "norm_key"], sort=False):
-            for rep, m in run_judge(list(sub["l1_rep"])):
+            members = list(sub["l1_rep"])
+            pairs = ([(members[0], members[0])] if len(members) == 1
+                     else run_judge(members))   # singleton bypass (above)
+            for rep, m in pairs:
                 kinds.append(kind); nks.append(nk)
                 reps.append(rep); l1s.append(m)
         return pd.DataFrame({"kind": kinds, "norm_key": nks,

@@ -102,6 +102,29 @@ def test_judge_path_salted_hot_key(ray_session):
     assert all(amap[m] == m for m in set(hot))
 
 
+def test_judge_never_called_for_singletons(ray_session):
+    """Singleton groups bypass the judge entirely (an LLM judge must not
+    burn a call to partition one member), at BOTH levels; multi-member
+    groups still reach it. The judge RAISES on a singleton input — it runs
+    inside Ray workers, so a raise (which fails the whole run) is the
+    cross-process way to prove it was never invoked for the 50 singleton
+    norm_keys or for level 2's single surviving rep."""
+    def strict_judge(members):
+        if len(members) < 2:
+            raise AssertionError(
+                f"judge called for singleton group: {list(members)!r}")
+        return [list(members)]
+
+    labels = [f"unique-{i:04d}" for i in range(50)] + ["cat", "cats"]
+    # one salt bucket -> cat/cats meet in ONE level-1 group (judged,
+    # merged); every other group is a singleton (bypassed); level 2 sees
+    # one rep per norm_key (all bypassed)
+    amap = alias_of(labels, salt_buckets=1, judge=strict_judge)
+    assert amap["cats"] == amap["cat"] == "cat"
+    assert all(amap[f"unique-{i:04d}"] == f"unique-{i:04d}"
+               for i in range(50))
+
+
 def test_connected_components_unionfind():
     comp = connected_components([("a", "b"), ("b", "c"), ("x", "y")])
     assert comp["a"] == comp["b"] == comp["c"]
