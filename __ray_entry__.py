@@ -405,8 +405,10 @@ def q_text_quality(sf_dir: str):
             q = quality_score(t)
             return q.append_column("pred_lang", self.lang(t)["pred_lang"])
 
+    # autoscaling actor pool: only LangId's marker tables need actor
+    # state; a fixed tiny pool would serialize the whole query
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityLang, batch_format="pyarrow", concurrency=2)
+        QualityLang, batch_format="pyarrow", concurrency=(2, 16))
 
 
 def q_doc_fingerprint(sf_dir: str):

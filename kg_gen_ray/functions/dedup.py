@@ -212,9 +212,13 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
                     .materialize()
     else:
         def explode_ids(t: pa.Table) -> pa.Table:
+            # keep the pairs' own id type (int or string): the ids came
+            # FROM docs, so the semi-join key types line up without a
+            # cast — same type-agnosticism as the broadcast dual's
+            # in_set_mask
             return pa.table({"doc_id": pa.concat_arrays([
-                pc.cast(t["doc_a"].combine_chunks(), pa.int64()),
-                pc.cast(t["doc_b"].combine_chunks(), pa.int64())])})
+                t["doc_a"].combine_chunks(),
+                t["doc_b"].combine_chunks()])})
 
         ids = _distinct(
             pairs.map_batches(explode_ids, batch_format="pyarrow"),

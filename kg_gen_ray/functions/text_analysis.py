@@ -250,8 +250,6 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
         })
 
     if (stats.size_bytes() or 0) <= broadcast_limit:
-        import pandas as _pd
-
         from kg_gen_ray.stages.common import dict_lookup
 
         idf = {}

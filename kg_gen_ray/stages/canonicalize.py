@@ -433,16 +433,17 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
 
     def with_bucket(cols: list[str]):
         def fn(t: pa.Table) -> pa.Table:
+            import polars as pl
             import pyarrow.compute as pc
             parts = [pc.cast(t[c], pa.string()) for c in cols]
             joined = (parts[0] if len(parts) == 1
                       else pc.binary_join_element_wise(*parts, "|"))
             if isinstance(joined, pa.ChunkedArray):
                 joined = joined.combine_chunks()
-            bucket = pa.array(
-                [zlib.crc32(s) % n_buckets
-                 for s in joined.cast(pa.binary()).to_pylist()],
-                pa.int32())
+            # vectorized 64-bit hash (polars/Rust, same family fast_text
+            # uses) — run-stable, which is all a partitioning key needs
+            h = pl.from_arrow(joined).hash(seed=0) % n_buckets
+            bucket = pc.cast(h.to_arrow(), pa.int32())
             return t.append_column("bucket", bucket)
         return fn
 

@@ -89,3 +89,35 @@ def test_cosine_pairs_block_dual_matches_broadcast(ray_session):
             for r in cosine_near_dup_pairs(ds, 0.3,
                                            broadcast_limit=0).take_all()}
     assert dist == bcast and len(bcast) > 0
+
+
+def test_cosine_near_dup_canonical_matches_numpy_cc(ray_session):
+    """End-to-end embedding dedup vs a numpy/union-find oracle: exact
+    cosine pairs -> connected components -> lowest-id survivor. Broadcast
+    dual only: the forced-join dual's building blocks (pair join, label
+    propagation, anti-join drop) each have their own forced-join tests,
+    and the e2e join leg pays ~20 rounds of join overhead for no extra
+    coverage."""
+    from kg_gen_ray.functions.ann import cosine_near_dup_canonical
+
+    ids, m = emb_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ai, bj = np.where(np.triu(sims >= 0.3, k=1))
+    for a, b in zip(ids[ai], ids[bj]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i for i in parent if find(i) == i}
+
+    kept = {r["vec_id"] for r in cosine_near_dup_canonical(
+        emb_ds(), threshold=0.3).take_all()}
+    assert kept == expected

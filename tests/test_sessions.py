@@ -112,3 +112,25 @@ def test_quantile_sketch_within_rank_tolerance(ray_session):
             assert lo - tol <= q * n <= hi + tol, (gname, q, approx, lo, hi)
         # exact path still matches duckdb-style quantile_disc by definition
         assert exact[gname]["p50"] in sorted_vals
+
+
+def test_top_parts_by_quantity_matches_duckdb(ray_session):
+    """Partial-sum -> groupby -> deterministic top-k -> part-name enrich,
+    vs the DuckDB aggregate (integer cents, so value-exact)."""
+    import duckdb
+
+    from kg_gen_ray.pipelines.relational import top_parts_by_quantity
+
+    sf = "/root/testdata/sf0.001"
+    got = [(r["l_partkey"], r["qty_cents"], r["p_name"])
+           for r in top_parts_by_quantity(sf, 10).take_all()]
+    want = duckdb.sql(f"""
+        WITH q AS (
+          SELECT l_partkey,
+                 round(sum(l_quantity) * 100)::BIGINT AS qty_cents
+          FROM read_parquet('{sf}/lineitem.parquet') GROUP BY l_partkey)
+        SELECT q.l_partkey, q.qty_cents, p.p_name
+        FROM q JOIN read_parquet('{sf}/part.parquet') p
+          ON p.p_partkey = q.l_partkey
+        ORDER BY q.qty_cents DESC, q.l_partkey LIMIT 10""").fetchall()
+    assert got == want
