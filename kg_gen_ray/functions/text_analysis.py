@@ -50,23 +50,60 @@ def token_stats(batch: pa.Table) -> pa.Table:
 
 
 def quality_score(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_chars, n_tokens, stop_ratio) — cheap quality heuristics
-    (length + stopword density; the punct/ratio family from the task brief).
+    """(doc_id, n_chars, n_tokens, stop_ratio, distinct_ratio,
+    top_bigram_frac) — cheap quality heuristics: length + stopword density
+    (the punct/ratio family from the task brief) plus the Gopher-style
+    repetition signals (fraction of distinct tokens; fraction of token
+    bigrams taken by the single most frequent bigram — high values flag
+    boilerplate/spam pages). All sort-and-boundary-count vectorized; no
+    per-row Python.
     """
     toks, lengths, flat = _tok_lists(batch)
-    row_idx = np.repeat(np.arange(batch.num_rows), lengths)
-    stops = np.zeros(batch.num_rows, dtype=np.int64)
+    n_rows = batch.num_rows
+    row_idx = np.repeat(np.arange(n_rows), lengths)
+    stops = np.zeros(n_rows, dtype=np.int64)
+    n_unique = np.zeros(n_rows, dtype=np.int64)
+    top_bigram = np.zeros(n_rows, dtype=np.int64)
     if len(flat):
-        is_stop = np.isin(flat.astype(str), STOPWORDS)
+        strs = flat.astype(str)
+        is_stop = np.isin(strs, STOPWORDS)
         np.add.at(stops, row_idx[is_stop], 1)
+        # distinct tokens per row: sort (row, token), count boundaries
+        order = np.lexsort((strs, row_idx))
+        r = row_idx[order]
+        f = strs[order]
+        new = np.ones(len(f), dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+        np.add.at(n_unique, r[new], 1)
+        # top bigram per row: drop each row's last token, pair with the
+        # successor, sort (row, w1, w2), run-length count, max per row
+        keep = np.ones(len(strs), dtype=bool)
+        ends = np.cumsum(lengths) - 1
+        keep[ends[lengths > 0]] = False
+        i = np.nonzero(keep)[0]
+        if len(i):
+            bg_row = row_idx[i]
+            w1 = strs[i]
+            w2 = strs[i + 1]
+            order = np.lexsort((w2, w1, bg_row))
+            r2, a, b = bg_row[order], w1[order], w2[order]
+            new = np.ones(len(r2), dtype=bool)
+            new[1:] = ((r2[1:] != r2[:-1]) | (a[1:] != a[:-1])
+                       | (b[1:] != b[:-1]))
+            grp = np.cumsum(new) - 1
+            counts = np.bincount(grp)
+            np.maximum.at(top_bigram, r2[new], counts)
     n_chars = pc.utf8_length(pc.cast(batch["text"], pa.string())) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    ratio = stops / np.maximum(lengths, 1)
     return pa.table({
         "doc_id": pc.cast(batch["doc_id"], pa.int64()),
         "n_chars": pa.array(n_chars),
         "n_tokens": pa.array(lengths.astype(np.int64)),
-        "stop_ratio": pa.array(ratio, pa.float64()),
+        "stop_ratio": pa.array(stops / np.maximum(lengths, 1), pa.float64()),
+        "distinct_ratio": pa.array(n_unique / np.maximum(lengths, 1),
+                                   pa.float64()),
+        "top_bigram_frac": pa.array(
+            top_bigram / np.maximum(lengths - 1, 1), pa.float64()),
     })
 
 

@@ -27,6 +27,24 @@ def test_quality_score():
     assert out["n_tokens"].to_pylist() == [6, 2]
     assert out["stop_ratio"].to_pylist()[0] == 2 / 6   # 'the' and 'a'
     assert out["stop_ratio"].to_pylist()[1] == 0.0
+    assert out["distinct_ratio"].to_pylist() == [1.0, 1.0]
+    # all five bigrams distinct -> 1/5; "nothing here" -> 1/1
+    assert out["top_bigram_frac"].to_pylist() == [1 / 5, 1.0]
+
+
+def test_quality_score_repetition_signals():
+    out = quality_score(doc_batch([
+        "spam spam spam spam",       # one token repeated
+        "buy now buy now buy now",   # repeated bigram
+        "a b c d e",                 # all distinct
+        "",                          # '' splits to [''], no bigrams
+        "solo",                      # single token, no bigrams
+    ]))
+    assert out["distinct_ratio"].to_pylist() == [
+        1 / 4, 2 / 6, 1.0, 1.0, 1.0]
+    # "spam spam" x3 of 3 bigrams; "buy now" x3 of 5; max distinct 1/4
+    assert out["top_bigram_frac"].to_pylist() == [
+        1.0, 3 / 5, 1 / 4, 0.0, 0.0]
 
 
 def test_fingerprint_is_md5():
