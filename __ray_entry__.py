@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hist": q_lang_hist,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "approx_distinct_docs": q_approx_distinct,     # rows-only (HLL estimate)
+        "approx_distinct_docs": q_approx_distinct,     # HLL estimate (oracle-exact)
         # --- dedup family
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,    # + shingle counts
@@ -435,12 +435,14 @@ def q_tfidf_top_terms(sf_dir: str):
 
 
 def q_approx_distinct(sf_dir: str):
-    """HLL cardinality sketch vs exact distinct (approximate by design ->
-    rows-only; the pytest suite asserts the error bound)."""
-    from kg_gen_ray.functions.sketch import approx_distinct
-    est = approx_distinct(_docs(sf_dir, ["text"]), "text")
+    """HLL cardinality sketch. Oracle-checked to the full float estimate:
+    the md5-u64 hash family and the integer register sum make the sketch
+    deterministic, so DuckDB replays registers AND estimate bit-for-bit
+    (the pytest suite separately asserts the error bound vs truth)."""
+    from kg_gen_ray.functions.sketch import hll_estimate
+    est = hll_estimate(_docs(sf_dir, ["text"]), "text")
     return pd.DataFrame({"approx_distinct_texts": pd.Series([est],
-                                                            dtype="int64")})
+                                                            dtype="float64")})
 
 
 def q_dedup_exact(sf_dir: str):
@@ -1122,6 +1124,36 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_fingerprint"] = """
         SELECT doc_id, md5(text) AS fp FROM documents"""
 
+    # HLL replay: md5-u64 value hash, register = (idx = h >> 52,
+    # rank = leading zeros of the 12-bit-padded remainder + 1 via bin()),
+    # harmonic sum as the EXACT integer sum(2^(64-rank)) (HUGEINT), then
+    # the single-expression alpha*M^2*2^64/T estimate with the standard
+    # small-range linear-counting branch — every float op is one
+    # deterministic expression, identical to sketch._estimate
+    sql["approx_distinct_docs"] = """
+        WITH h AS (SELECT DISTINCT
+                          ('0x'||substr(md5(text),1,16))::UBIGINT AS h
+                   FROM documents WHERE text IS NOT NULL),
+        r AS (SELECT h >> 52 AS idx,
+                     (((h::HUGEINT * 4096) % 18446744073709551616)::UBIGINT
+                      | 4095) AS rest
+              FROM h),
+        regs AS (SELECT idx, max(65 - length(bin(rest))) AS rank
+                 FROM r GROUP BY idx),
+        t AS (SELECT (4096 - count(*))::HUGEINT
+                       * 18446744073709551616::HUGEINT
+                       + coalesce(sum((1::HUGEINT << (64 - rank))), 0) AS T,
+                     (4096 - count(*)) AS zeros
+              FROM regs)
+        SELECT CASE WHEN (0.7213/(1 + 1.079/4096)) * 4096 * 4096
+                         * 18446744073709551616.0 / T::DOUBLE <= 2.5*4096
+                         AND zeros > 0
+                    THEN 4096 * ln(4096.0 / zeros)
+                    ELSE (0.7213/(1 + 1.079/4096)) * 4096 * 4096
+                         * 18446744073709551616.0 / T::DOUBLE
+               END AS approx_distinct_texts
+        FROM t"""
+
     sql["lang_hist"] = """
         SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"""
 
@@ -1135,8 +1167,14 @@ def oracle_sql() -> dict[str, str]:
     sql["text_quality"] = f"""
         WITH {_DOCS}, {_TOKS},
         agg AS (SELECT doc_id, count(*) AS n_tokens,
-                       sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS stops
+                       sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS stops,
+                       count(DISTINCT w) AS n_uniq
                 FROM toks GROUP BY doc_id),
+        bgc AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS c
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                GROUP BY a.doc_id, a.w, b.w),
+        topbg AS (SELECT doc_id, max(c) AS topc FROM bgc GROUP BY doc_id),
         markers(mlang, w) AS (VALUES {_markers}),
         words AS (SELECT doc_id,
                          lower(unnest(regexp_extract_all(text, '[a-zA-Z]+')))
@@ -1151,9 +1189,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
                agg.n_tokens::BIGINT AS n_tokens,
                agg.stops::DOUBLE / greatest(agg.n_tokens, 1) AS stop_ratio,
+               agg.n_uniq::DOUBLE / greatest(agg.n_tokens, 1)
+                 AS distinct_ratio,
+               coalesce(t.topc, 0)::DOUBLE / greatest(agg.n_tokens - 1, 1)
+                 AS top_bigram_frac,
                coalesce(b.mlang, 'unknown') AS pred_lang
         FROM documents d
         JOIN agg USING (doc_id)
+        LEFT JOIN topbg t USING (doc_id)
         LEFT JOIN (SELECT doc_id, mlang FROM best WHERE rn = 1 AND n > 0) b
           USING (doc_id)"""
 

@@ -11,6 +11,9 @@ this is the constant-memory approximation.
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -21,12 +24,25 @@ P = 12                       # 4096 registers -> ~1.6% standard error
 M = 1 << P
 
 
-def _hashes(values: list) -> np.ndarray:
-    import polars as pl
+def _hashes(values: list, fast: bool = False) -> np.ndarray:
+    """Value -> uint64 hash. Default is the md5-prefix family
+    (``('0x'||substr(md5(v),1,16))::UBIGINT`` in DuckDB) so the whole
+    sketch — registers, integer register sum, estimate — is
+    oracle-replicable bit-for-bit. ``fast=True`` swaps in the polars/Rust
+    64-bit hash (~10x cheaper per value) when parity doesn't matter; only
+    the hash family changes, never the sketch machinery."""
     if not values:
         return np.zeros(0, dtype=np.uint64)
-    s = pl.Series([str(v) for v in values])
-    return s.hash(seed=0).to_numpy().astype(np.uint64)
+    if fast:
+        import polars as pl
+        s = pl.Series([str(v) for v in values])
+        return s.hash(seed=0).to_numpy().astype(np.uint64)
+    arr = np.asarray([str(v) for v in values], dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    hu = np.fromiter(
+        (int(hashlib.md5(v.encode("utf-8")).hexdigest()[:16], 16)
+         for v in uniq), dtype=np.uint64, count=len(uniq))
+    return hu[inv]
 
 
 def _registers(h: np.ndarray) -> np.ndarray:
@@ -51,24 +67,35 @@ def _registers(h: np.ndarray) -> np.ndarray:
 
 
 def _estimate(regs: np.ndarray) -> float:
+    """Registers -> estimate, ORDER-INDEPENDENTLY: the harmonic register
+    sum ``sum(2^-reg)`` is accumulated as the exact integer
+    ``T = sum(2^(64-reg))`` (each term a power of two, HUGEINT-sized), so
+    every float op left is a single deterministic expression DuckDB
+    replays bit-for-bit — float summation order, the thing that diverges
+    at scale, never enters."""
     alpha = 0.7213 / (1 + 1.079 / M)
-    est = alpha * M * M / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
+    counts = np.bincount(regs, minlength=1)
+    T = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    est = alpha * M * M * 2.0 ** 64 / float(T)
+    zeros = int(counts[0])
     if est <= 2.5 * M and zeros:
-        est = M * np.log(M / zeros)                       # small-range fix
+        est = M * math.log(M / zeros)                     # small-range fix
     return float(est)
 
 
-def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
-    """Approximate COUNT(DISTINCT col): per-batch register partials,
-    elementwise-max merge (partials are M bytes each — constant memory
-    regardless of input size)."""
+def hll_estimate(ds: "ray.data.Dataset", col: str,
+                 fast: bool = False) -> float:
+    """Raw HLL estimate of COUNT(DISTINCT col): per-batch register
+    partials, elementwise-max merge (partials are M bytes each — constant
+    memory regardless of input size). With the default md5 hash family the
+    returned float is bit-identical to the DuckDB replay of the sketch
+    (see the ``approx_distinct_docs`` oracle)."""
 
     def partial(t: pa.Table) -> pa.Table:
         # drop nulls: SQL COUNT(DISTINCT) excludes them, and str(None)
         # would collide with a literal 'None' value
         vals = pc.cast(t[col], pa.string()).drop_null().to_pylist()
-        regs = _registers(_hashes(vals))
+        regs = _registers(_hashes(vals, fast=fast))
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     merged = np.zeros(M, dtype=np.uint8)
@@ -78,4 +105,10 @@ def approx_distinct(ds: "ray.data.Dataset", col: str) -> int:
         for blob in b["regs"].to_pylist():
             merged = np.maximum(merged,
                                 np.frombuffer(blob, dtype=np.uint8))
-    return round(_estimate(merged))
+    return _estimate(merged)
+
+
+def approx_distinct(ds: "ray.data.Dataset", col: str,
+                    fast: bool = False) -> int:
+    """Approximate COUNT(DISTINCT col), rounded to an int."""
+    return round(hll_estimate(ds, col, fast=fast))
