@@ -689,9 +689,6 @@ def q_events_windows(sf_dir: str):
     scale — a float64 sum rounded after the fact diverges from the oracle
     once a window's accumulated error crosses half a cent."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    from kg_gen_ray.functions.windows import sliding_window
     path = f"{sf_dir}/events.parquet"
     ds = ray.data.read_parquet(path, columns=["event_type", "ts", "value"],
                                override_num_blocks=_read_blocks(path))
@@ -706,43 +703,25 @@ def q_events_windows(sf_dir: str):
 
     cents = ds.map_batches(to_cents, batch_format="pyarrow")
 
-    def add_hour(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": t["event_type"],
-            "window_start": pc.floor_temporal(t["ts"], unit="hour"),
-            "cents": t["cents"],
-        })
+    # both window families from ONE shuffle (tumbling = sliding with
+    # slide == window): the fused row-expansion + single groupby replaces
+    # two independent exchanges AND the second pass over the input
+    from kg_gen_ray.functions.windows import multi_window
+    fused = multi_window(cents,
+                         [("tumbling_1h", 3600, 3600),
+                          ("sliding_1h_30m", 3600, 1800)],
+                         value_col="cents")
 
-    tumbling = cents.map_batches(add_hour, batch_format="pyarrow") \
-        .groupby(["event_type", "window_start"]) \
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("cents", alias_name="sum_cents"))
-
-    def project_t(t: pa.Table) -> pa.Table:
+    def project(t: pa.Table) -> pa.Table:
         return pa.table({
-            "window_kind": pa.array(["tumbling_1h"] * t.num_rows,
-                                    pa.string()),
+            "window_kind": t["window_kind"],
             "event_type": t["event_type"],
             "window_start": t["window_start"],
             "n_events": pc.cast(t["n_events"], pa.int64()),
             "sum_cents": pc.cast(t["sum_cents"], pa.int64()),
         })
 
-    sliding = sliding_window(cents, window_sec=3600, slide_sec=1800,
-                             value_col="cents")
-
-    def project_s(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "window_kind": pa.array(["sliding_1h_30m"] * t.num_rows,
-                                    pa.string()),
-            "event_type": t["event_type"],
-            "window_start": t["window_start"],
-            "n_events": pc.cast(t["n_events"], pa.int64()),
-            "sum_cents": pc.cast(t["sum_value"], pa.int64()),
-        })
-
-    return tumbling.map_batches(project_t, batch_format="pyarrow").union(
-        sliding.map_batches(project_s, batch_format="pyarrow"))
+    return fused.map_batches(project, batch_format="pyarrow")
 
 
 def q_events_asof(sf_dir: str):
@@ -768,24 +747,24 @@ def q_events_asof(sf_dir: str):
         # replaces a whole Ray pre-aggregation pass over orders
         return refs.groupby(["__key", "__ts"], as_index=False).max()
 
-    def one_dir(direction: str):
-        joined = asof_join(events, orders, key_col="user_id", ts_col="ts",
-                           right_ts_col="o_orderdate",
-                           right_value_cols=["o_totalprice"],
-                           right_key_col="o_custkey",
-                           right_reduce=max_per_key_ts,
-                           direction=direction)
+    # both directions from ONE shuffle: the bucketed union/groupby runs
+    # once and each direction is an extra merge_asof over the
+    # already-sorted per-bucket frames (was: two full asof_join exchanges)
+    joined = asof_join(events, orders, key_col="user_id", ts_col="ts",
+                       right_ts_col="o_orderdate",
+                       right_value_cols=["o_totalprice"],
+                       right_key_col="o_custkey",
+                       right_reduce=max_per_key_ts,
+                       directions=("backward", "forward"))
 
-        def project(t: pa.Table, direction=direction) -> pa.Table:
-            return pa.table({
-                "event_id": pc.cast(t["l_event_id"], pa.int64()),
-                "direction": pa.array([direction] * t.num_rows, pa.string()),
-                "totalprice": pc.cast(t["r_o_totalprice"], pa.float64()),
-            })
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["l_event_id"], pa.int64()),
+            "direction": pc.cast(t["direction"], pa.string()),
+            "totalprice": pc.cast(t["r_o_totalprice"], pa.float64()),
+        })
 
-        return joined.map_batches(project, batch_format="pyarrow")
-
-    return one_dir("backward").union(one_dir("forward"))
+    return joined.map_batches(project, batch_format="pyarrow")
 
 
 def q_events_session_assign(sf_dir: str):

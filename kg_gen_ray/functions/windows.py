@@ -92,6 +92,57 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
                        Sum(value_col, alias_name="sum_value")))
 
 
+def multi_window(events: "ray.data.Dataset",
+                 specs: list, ts_col: str = "ts",
+                 key_col: str = "event_type",
+                 value_col: str = "value") -> "ray.data.Dataset":
+    """Several window families over one input in ONE shuffle.
+
+    ``specs``: list of ``(window_kind, window_sec, slide_sec)`` — a
+    tumbling window is simply ``slide_sec == window_sec`` (each row covers
+    exactly one window). One row-expansion ``map_batches`` emits every
+    (window_kind, window_start) assignment for every family, then a single
+    ``groupby(window_kind, key, window_start)`` aggregates them all —
+    n families share one all-to-all exchange (and one pass over the
+    input) instead of paying a shuffle each.
+    Output: (window_kind, key, window_start, n_events, sum_<value_col>).
+    """
+    for kind, w_sec, s_sec in specs:
+        if w_sec % s_sec != 0:
+            raise ValueError(
+                f"window_sec must be a multiple of slide_sec ({kind})")
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ts = _ts_us(t[ts_col])
+        kinds, rows, starts_all = [], [], []
+        for kind, w_sec, s_sec in specs:
+            w_us, s_us = w_sec * US, s_sec * US
+            k = w_sec // s_sec
+            last = (ts // s_us) * s_us
+            starts = last[:, None] - np.arange(k)[None, :] * s_us
+            valid = starts > (ts[:, None] - w_us)
+            ridx = np.repeat(np.arange(n), k)[valid.ravel()]
+            kinds.append(np.full(len(ridx), kind, dtype=object))
+            rows.append(ridx)
+            starts_all.append(starts.ravel()[valid.ravel()])
+        row_idx = pa.array(np.concatenate(rows) if rows else [], pa.int64())
+        return pa.table({
+            "window_kind": pa.array(
+                np.concatenate(kinds) if kinds else [], pa.string()),
+            key_col: t[key_col].combine_chunks().take(row_idx),
+            "window_start": pa.array(
+                np.concatenate(starts_all) if starts_all
+                else np.array([], dtype=np.int64)).cast(pa.timestamp("us")),
+            value_col: t[value_col].combine_chunks().take(row_idx),
+        })
+
+    return (events.map_batches(explode, batch_format="pyarrow")
+            .groupby(["window_kind", key_col, "window_start"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum(value_col, alias_name=f"sum_{value_col}")))
+
+
 def range_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
                key_col: str, ts_col: str,
                start_col: str, end_col: str,
@@ -198,7 +249,8 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               key_col: str, ts_col: str, right_ts_col: str,
               right_value_cols: list, right_key_col: str | None = None,
               right_reduce=None,
-              direction: str = "backward") -> "ray.data.Dataset":
+              direction: str = "backward",
+              directions: tuple | None = None) -> "ray.data.Dataset":
     """For each left row, attach the right row with the same key and the
     greatest ``right_ts_col`` <= left ``ts_col`` (``direction="backward"``,
     the default) or the smallest ``right_ts_col`` >= left ``ts_col``
@@ -206,14 +258,24 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     both sides tagged, group into key-hash buckets, vectorized
     ``pandas.merge_asof(by=key)`` per bucket.
 
+    ``directions`` (optional): compute SEVERAL directions from the one
+    shuffle — the sorted per-bucket frames are reused for one
+    ``merge_asof`` per direction and the output gains a ``direction``
+    column. Each extra direction is one extra vectorized pass inside the
+    already-shuffled bucket instead of a whole second all-to-all exchange
+    over both inputs.
+
     ``right_reduce`` (optional): pandas function applied to each bucket's
     reference rows (columns ``__key, __ts, r_*``) before the as-of match —
     e.g. a per-(key, ts) max to disambiguate duplicate timestamps. Doing
     this inside the bucket avoids a whole Ray pre-aggregation pass over the
     right side (and the extra execution its ``schema()`` would trigger);
     keep ``right`` a plain read so its schema comes from file metadata."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    tag_direction = directions is not None
+    dirs = tuple(directions) if tag_direction else (direction,)
+    for d in dirs:
+        if d not in ("backward", "forward"):
+            raise ValueError("direction must be 'backward' or 'forward'")
 
     # the union below needs one schema: type the left side's (all-null)
     # right-payload columns from the right schema, and vice versa for the
@@ -276,21 +338,33 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         if right_reduce is not None and len(refs):
             refs = right_reduce(refs[["__key", "__ts", *r_cols]])
         refs = refs.sort_values("__ts", kind="stable")
-        # empty `rows` (right-only bucket) keeps dtypes via the same path
-        if not len(refs):
-            out = rows[left_cols].copy()
-            for c in r_cols:
-                # typed placeholders: plain None would make an object-dtype
-                # (null-typed Arrow) column whose schema can't unify with
-                # float-typed blocks from buckets that DID have refs
-                out[c] = pd.Series(None, index=out.index,
-                                   dtype=g[c].dtype)
+
+        def one_direction(d: str) -> pd.DataFrame:
+            # empty `rows` (right-only bucket) keeps dtypes via the same
+            # path
+            if not len(refs):
+                out = rows[left_cols].copy()
+                for c in r_cols:
+                    # typed placeholders: plain None would make an
+                    # object-dtype (null-typed Arrow) column whose schema
+                    # can't unify with float-typed blocks from buckets
+                    # that DID have refs
+                    out[c] = pd.Series(None, index=out.index,
+                                       dtype=g[c].dtype)
+            else:
+                merged = pd.merge_asof(
+                    rows[["__key", "__ts", *left_cols]],
+                    refs[["__key", "__ts", *r_cols]],
+                    on="__ts", by="__key", direction=d)
+                out = merged[[*left_cols, *r_cols]]
+            if tag_direction:
+                out = out.copy()
+                out["direction"] = d
             return out
-        merged = pd.merge_asof(
-            rows[["__key", "__ts", *left_cols]],
-            refs[["__key", "__ts", *r_cols]],
-            on="__ts", by="__key", direction=direction)
-        return merged[[*left_cols, *r_cols]]
+
+        outs = [one_direction(d) for d in dirs]
+        return outs[0] if len(outs) == 1 else pd.concat(
+            outs, ignore_index=True)
 
     return lt.union(rt).groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")

@@ -57,6 +57,30 @@ def test_sliding_window_validates_slide(ray_session):
         sliding_window(_events([(0, "a", 1.0)]), 60, 45)
 
 
+def test_multi_window_matches_singles(ray_session):
+    """One-shuffle multi_window == the per-family tumbling/sliding ops."""
+    from kg_gen_ray.functions.windows import multi_window
+
+    ev = _events([(0, "a", 1.0), (29, "a", 2.0), (31, "b", 4.0),
+                  (61, "a", 8.0), (95, "b", 16.0)])
+    fused = {(r["window_kind"], r["event_type"],
+              r["window_start"].strftime("%M:%S")):
+             (r["n_events"], r["sum_value"])
+             for r in multi_window(
+                 ev, [("tumble", 60, 60), ("slide", 60, 30)]).take_all()}
+    tumble = {("tumble", r["event_type"],
+               r["window_start"].strftime("%M:%S")):
+              (r["n_events"], r["sum_value"])
+              for r in tumbling_window(ev, 60).take_all()}
+    slide = {("slide", r["event_type"],
+              r["window_start"].strftime("%M:%S")):
+             (r["n_events"], r["sum_value"])
+             for r in sliding_window(ev, 60, 30).take_all()}
+    assert fused == {**tumble, **slide}
+    with pytest.raises(ValueError, match="multiple"):
+        multi_window(ev, [("bad", 60, 45)])
+
+
 def _asof_fixture():
     left = rd.from_arrow(pa.table({
         "user_id": pa.array([1, 1, 2, 3], pa.int64()),
@@ -120,6 +144,33 @@ def test_asof_join_bad_direction():
     with pytest.raises(ValueError, match="direction"):
         asof_join(None, None, key_col="k", ts_col="t", right_ts_col="rt",
                   right_value_cols=[], direction="nearest")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(None, None, key_col="k", ts_col="t", right_ts_col="rt",
+                  right_value_cols=[], directions=("backward", "nearest"))
+
+
+def test_asof_join_multi_direction_single_shuffle(ray_session):
+    """directions=(...) computes every direction from one shuffle; the
+    tagged output must equal the union of the single-direction calls."""
+    import pandas as pd
+    left, right = _asof_fixture()
+
+    def canon(rows, d=None):
+        return sorted((r["l_event_id"],
+                       d if d is not None else r["direction"],
+                       None if pd.isna(r["r_price"]) else r["r_price"])
+                      for r in rows)
+
+    both = canon(asof_join(left, right, key_col="user_id", ts_col="ts",
+                           right_ts_col="rts", right_value_cols=["price"],
+                           directions=("backward", "forward")).take_all())
+    singles = sorted(
+        canon(asof_join(left, right, key_col="user_id", ts_col="ts",
+                        right_ts_col="rts", right_value_cols=["price"],
+                        direction=d).take_all(), d)
+        for d in ("backward", "forward"))
+    assert both == sorted(x for s in singles for x in s)
+    assert len(both) == 8   # 4 left rows x 2 directions
 
 
 def test_range_join_containment(ray_session):
