@@ -51,8 +51,13 @@ def __getattr__(name):
         "fused_text_analysis": ("kg_gen_ray.functions.fast_text",
                                 "fused_text_analysis"),
         "asof_join": ("kg_gen_ray.functions.windows", "asof_join"),
+        "multi_window": ("kg_gen_ray.functions.windows", "multi_window"),
         "range_join": ("kg_gen_ray.functions.windows", "range_join"),
         "sessionize": ("kg_gen_ray.functions.sessions", "sessionize"),
+        "hll_estimate": ("kg_gen_ray.functions.sketch", "hll_estimate"),
+        "approx_distinct": ("kg_gen_ray.functions.sketch",
+                            "approx_distinct"),
+        "heavy_hitters": ("kg_gen_ray.functions.sketch", "heavy_hitters"),
     }
     if name in _API:
         import importlib

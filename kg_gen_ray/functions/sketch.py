@@ -112,3 +112,65 @@ def approx_distinct(ds: "ray.data.Dataset", col: str,
                     fast: bool = False) -> int:
     """Approximate COUNT(DISTINCT col), rounded to an int."""
     return round(hll_estimate(ds, col, fast=fast))
+
+
+# --- Misra-Gries heavy hitters -------------------------------------------
+
+def _mg_compress(counts: dict, capacity: int) -> dict:
+    """Keep <= capacity counters: subtract the (capacity+1)-th largest
+    count from every counter and drop the non-positive ones (the batched
+    equivalent of Misra-Gries decrements). Each surviving counter
+    undercounts by at most the total subtracted so far."""
+    if len(counts) <= capacity:
+        return counts
+    cut = sorted(counts.values(), reverse=True)[capacity]
+    return {v: c - cut for v, c in counts.items() if c > cut}
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str,
+                  capacity: int = 256) -> list:
+    """Approximate most-frequent values of ``col``: (value, min_count,
+    max_count) triples, sorted by min_count descending.
+
+    The hot-key detector for the 100 TB path (what tells a pipeline which
+    keys need salting BEFORE the shuffle that would melt on them): each
+    block folds into a capacity-bounded Misra-Gries summary via one
+    vectorized ``value_counts`` + compress, the per-block summaries (each
+    <= capacity rows — sketch-sized, like the HLL register blobs) merge
+    by counter addition + re-compress, and the guarantee is the standard
+    MG one — every value with true frequency > n/capacity survives, and
+    true_count is within [min_count, max_count] = [c, c + total_error].
+    Exact top-k by count stays ``groupby(col).count()`` + sort; this is
+    the single-pass constant-memory scan."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        nonnull = pc.cast(t[col], pa.string()).drop_null()
+        vc = pc.value_counts(nonnull)
+        rows = vc.to_pylist()
+        counts = _mg_compress(
+            {r["values"]: r["counts"] for r in rows}, capacity)
+        vals = list(counts)
+        cnts = [counts[v] for v in vals]
+        if not vals:   # all-null batch, or compress dropped everything
+            vals, cnts = [""], [0]
+        return pa.table({
+            "value": pa.array(vals, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "n_rows": pa.array([len(nonnull)] + [0] * (len(vals) - 1),
+                               pa.int64()),
+        })
+
+    merged: dict = {}
+    n_total = 0
+    for b in ds.map_batches(partial,
+                            batch_format="pyarrow").iter_batches(
+                                batch_format="pyarrow"):
+        n_total += int(pc.sum(b["n_rows"]).as_py() or 0)
+        for v, c in zip(b["value"].to_pylist(), b["cnt"].to_pylist()):
+            if c > 0:
+                merged[v] = merged.get(v, 0) + c
+        merged = _mg_compress(merged, capacity)
+    # max undercount = rows seen - mass retained
+    err = n_total - sum(merged.values())
+    return sorted(((v, c, c + err) for v, c in merged.items()),
+                  key=lambda t: (-t[1], t[0]))

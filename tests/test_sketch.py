@@ -37,3 +37,53 @@ def test_duplicates_do_not_inflate(ray_session):
 def test_empty(ray_session):
     ds = rd.from_arrow(pa.table({"v": pa.array([], pa.string())}))
     assert approx_distinct(ds, "v") == 0
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    """MG guarantee: every value with true frequency > n/capacity is in
+    the summary and its true count sits inside [min_count, max_count]."""
+    from kg_gen_ray.functions.sketch import heavy_hitters
+
+    # 3 hot keys over a long uniform tail, shuffled deterministically
+    vals = (["hot_a"] * 4000 + ["hot_b"] * 2500 + ["hot_c"] * 1500
+            + [f"tail_{i % 997}" for i in range(4000)])
+    import random
+    random.Random(7).shuffle(vals)
+    truth = {"hot_a": 4000, "hot_b": 2500, "hot_c": 1500}
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())})) \
+        .repartition(8)
+
+    out = heavy_hitters(ds, "v", capacity=64)
+    got = {v: (lo, hi) for v, lo, hi in out}
+    n = len(vals)
+    for k, true_c in truth.items():
+        assert true_c > n // 64          # actually above the threshold
+        assert k in got, k
+        lo, hi = got[k]
+        assert lo <= true_c <= hi, (k, lo, true_c, hi)
+    # summary is capacity-bounded and sorted by min_count desc
+    assert len(out) <= 64
+    assert [t[1] for t in out] == sorted((t[1] for t in out), reverse=True)
+    # the heaviest key ranks first
+    assert out[0][0] == "hot_a"
+
+
+def test_heavy_hitters_exact_when_under_capacity(ray_session):
+    from kg_gen_ray.functions.sketch import heavy_hitters
+
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array(["x"] * 5 + ["y"] * 3 + ["z"] * 2, pa.string())}))
+    out = heavy_hitters(ds, "v", capacity=16)
+    # under capacity nothing is ever decremented: counts are exact
+    assert [(v, lo) for v, lo, _ in out] == [("x", 5), ("y", 3), ("z", 2)]
+    assert all(lo == hi for _, lo, hi in out)
+
+
+def test_heavy_hitters_empty_and_nulls(ray_session):
+    from kg_gen_ray.functions.sketch import heavy_hitters
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+    assert heavy_hitters(ds, "v") == []
+    ds2 = rd.from_arrow(pa.table({
+        "v": pa.array([None, "a", None, "a"], pa.string())}))
+    assert heavy_hitters(ds2, "v", capacity=4) == [("a", 2, 2)]
