@@ -23,10 +23,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-# module-level (pickle-by-value compatibility): worker-side
-# filter closures must not lazily import kg_gen_ray
-from kg_gen_ray.stages.common import in_set_mask
-
 
 def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     n = len(batch)

@@ -146,16 +146,22 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
     def partial(t: pa.Table) -> pa.Table:
         nonnull = pc.cast(t[col], pa.string()).drop_null()
         vc = pc.value_counts(nonnull)
-        rows = vc.to_pylist()
-        counts = _mg_compress(
-            {r["values"]: r["counts"] for r in rows}, capacity)
-        vals = list(counts)
-        cnts = [counts[v] for v in vals]
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        # vectorized compress: only the <= capacity survivors are ever
+        # materialized as Python objects, not the whole batch vocabulary
+        if len(cnts) > capacity:
+            cut = np.partition(cnts, -capacity - 1)[-capacity - 1]
+            keep = cnts > cut
+            vals = vc.field("values").filter(pa.array(keep)).to_pylist()
+            kept = (cnts[keep] - cut).tolist()
+        else:
+            vals = vc.field("values").to_pylist()
+            kept = cnts.tolist()
         if not vals:   # all-null batch, or compress dropped everything
-            vals, cnts = [""], [0]
+            vals, kept = [""], [0]
         return pa.table({
             "value": pa.array(vals, pa.string()),
-            "cnt": pa.array(cnts, pa.int64()),
+            "cnt": pa.array(kept, pa.int64()),
             "n_rows": pa.array([len(nonnull)] + [0] * (len(vals) - 1),
                                pa.int64()),
         })

@@ -167,3 +167,37 @@ def test_pagerank_mass_bounds(ray_session):
     base = (scale * 15 // 100) // n
     assert all(r["pr"] >= base for r in rows)
     assert sum(r["pr"] for r in rows) <= scale
+
+
+@given(st.lists(st.sampled_from([f"v{i}" for i in range(40)]),
+                max_size=300),
+       st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_guarantee(stream, capacity, n_blocks):
+    """The MG invariants the distributed heavy_hitters rests on, over the
+    pure compress/merge core under ANY block split: counters only ever
+    undercount, the undercount is bounded by the dropped mass, and every
+    value with frequency > n/capacity survives."""
+    from collections import Counter
+
+    from kg_gen_ray.functions.sketch import _mg_compress
+
+    blocks = [stream[i::n_blocks] for i in range(n_blocks)]
+    merged = {}
+    for blk in blocks:
+        part = _mg_compress(dict(Counter(blk)), capacity)
+        for v, c in part.items():
+            if c > 0:
+                merged[v] = merged.get(v, 0) + c
+        merged = _mg_compress(merged, capacity)
+
+    truth = Counter(stream)
+    n = len(stream)
+    err = n - sum(merged.values())
+    assert len(merged) <= capacity
+    for v, c in merged.items():
+        assert c <= truth[v] <= c + err, (v, c, truth[v], err)
+    for v, true_c in truth.items():
+        if true_c > n / capacity:
+            assert v in merged, (v, true_c, n, capacity)
