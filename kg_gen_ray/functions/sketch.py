@@ -114,6 +114,120 @@ def approx_distinct(ds: "ray.data.Dataset", col: str,
     return round(hll_estimate(ds, col, fast=fast))
 
 
+# --- Bloom filter ---------------------------------------------------------
+#
+# The membership sketch that turns a large-side anti/semi-join into a
+# mostly-local filter: build a bitset over the (unbroadcastable) key set,
+# ship the COMPACT bitset once via ``ray.put`` (plasma shares it per node,
+# zero-copy via np.frombuffer), and let every task split its rows into
+# "definitely not in the set" (bloom negative — the guarantee direction,
+# no false negatives) and "maybe" (true members + ~FPR of the rest). Only
+# the maybe rows pay the exchange; the exact join downstream resolves the
+# false positives, so results stay EXACT — the bloom only reduces shuffle
+# volume, never changes answers. Saturation degrades gracefully: an
+# undersized bitset raises FPR (more rows shuffled), never correctness.
+
+_BLOOM_MAX_BITS = 1 << 31          # 256 MB bitset cap (per-node one copy)
+
+
+def _splitmix64(x: np.ndarray, const: int) -> np.ndarray:
+    """Deterministic 64-bit mixer (splitmix64 finalizer) — pure numpy, so
+    integer keys never touch Python or a hash library."""
+    x = (x + np.uint64(const))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_hash_pair(col) -> tuple[np.ndarray, np.ndarray]:
+    """Key column -> two independent uint64 hash streams. Integer keys mix
+    with splitmix64 (vectorized, process-independent by construction);
+    other types go through the polars/Rust seeded hash (deterministic for
+    a fixed polars version — a no-false-negative property test pins it)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return (_splitmix64(v, 0x9E3779B97F4A7C15),
+                _splitmix64(v, 0xD1B54A32D192ED03))
+    import polars as pl
+    s = pl.from_arrow(pc.cast(col, pa.string()))
+    return (s.hash(seed=1).to_numpy().astype(np.uint64),
+            s.hash(seed=2).to_numpy().astype(np.uint64))
+
+
+class BloomFilter:
+    """Broadcast Bloom filter handle: plasma ref to the bitset + geometry.
+    Picklable into ``map_batches`` closures (the ObjectRef travels by
+    reference; the bitset itself ships once per node)."""
+
+    def __init__(self, ref, m_bits: int, n_hashes: int):
+        self.ref = ref
+        self.m_bits = m_bits            # power of two
+        self.n_hashes = n_hashes
+
+    def _probe_indices(self, col):
+        h1, h2 = _bloom_hash_pair(col)
+        h2 = h2 | np.uint64(1)          # odd stride -> full period mod 2^b
+        mask = np.uint64(self.m_bits - 1)
+        for i in range(self.n_hashes):
+            yield (h1 + np.uint64(i) * h2) & mask
+
+    def contains_mask(self, col) -> pa.Array:
+        """Vectorized membership probe: True = maybe in set (guaranteed
+        True for every inserted key), False = definitely not."""
+        import ray as _ray
+        bits = np.frombuffer(_ray.get(self.ref), dtype=np.uint8)
+        n = len(col)
+        out = np.ones(n, dtype=bool)
+        if not n:
+            return pa.array(out)
+        for idx in self._probe_indices(col):
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            shift = (idx & np.uint64(7)).astype(np.uint8)
+            out &= ((byte >> shift) & np.uint8(1)).astype(bool)
+        return pa.array(out)
+
+
+def bloom_build(ids: "ray.data.Dataset", col: str,
+                bits_per_key: int = 10, n_hashes: int = 7,
+                build_partitions: int | None = None) -> "BloomFilter":
+    """Distributed Bloom build over a key dataset: per-partition partial
+    bitsets (one vectorized pass each), OR-merged on the driver. The ids
+    are coalesced to a few partitions first so the driver receives
+    O(partitions) bitsets, not O(input blocks). At ~10 bits/key, k=7 the
+    FPR is ~0.8%; above ``_BLOOM_MAX_BITS`` keys the bitset saturates and
+    the FPR rises (still exact downstream — see module note)."""
+    ids = ids.materialize()
+    n = max(1, ids.count())
+    m = 1 << max(13, int(n * bits_per_key - 1).bit_length())
+    m = min(m, _BLOOM_MAX_BITS)
+    if build_partitions is None:
+        build_partitions = min(
+            8, max(2, int(ray.cluster_resources().get("CPU", 8)) // 4))
+    if ids.num_blocks() > build_partitions:
+        ids = ids.repartition(build_partitions)
+
+    def partial(t: pa.Table, m=m, k=n_hashes) -> pa.Table:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        if t.num_rows:
+            bf = BloomFilter(None, m, k)
+            for idx in bf._probe_indices(t[col]):
+                np.bitwise_or.at(
+                    bits, (idx >> np.uint64(3)).astype(np.int64),
+                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for b in ids.map_batches(partial,
+                             batch_format="pyarrow").iter_batches(
+                                 batch_format="pyarrow"):
+        for blob in b["bits"].to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint8)
+    return BloomFilter(ray.put(merged.tobytes()), m, n_hashes)
+
+
 # --- Misra-Gries heavy hitters -------------------------------------------
 
 def _mg_compress(counts: dict, capacity: int) -> dict:

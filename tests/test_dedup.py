@@ -104,3 +104,25 @@ def test_near_dup_canonical_end_to_end(ray_session):
         "doc_id": list(texts), "text": list(texts.values())}))
     kept = sorted(r["doc_id"] for r in near_dup_canonical(docs).take_all())
     assert kept == [0, 3, 4]   # lowest id survives the cluster
+
+
+def test_drop_ids_bloom_join_dual_exact(ray_session):
+    """The bloom-prefiltered anti-join dual (forced via broadcast_limit=0)
+    must agree exactly with the broadcast filter — false positives are
+    resolved by the join, false negatives don't exist."""
+    from kg_gen_ray.functions.dedup import drop_ids
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(500), pa.int64())}))
+    losers = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(0, 500, 3), pa.int64())}))
+
+    broadcast = sorted(r["doc_id"]
+                       for r in drop_ids(ds, losers, "doc_id").take_all())
+    bloomed = sorted(r["doc_id"] for r in drop_ids(
+        ds, losers, "doc_id", broadcast_limit=0).take_all())
+    plain = sorted(r["doc_id"] for r in drop_ids(
+        ds, losers, "doc_id", broadcast_limit=0,
+        bloom_prefilter=False).take_all())
+    expect = [i for i in range(500) if i % 3 != 0]
+    assert broadcast == bloomed == plain == expect

@@ -87,3 +87,56 @@ def test_heavy_hitters_empty_and_nulls(ray_session):
     ds2 = rd.from_arrow(pa.table({
         "v": pa.array([None, "a", None, "a"], pa.string())}))
     assert heavy_hitters(ds2, "v", capacity=4) == [("a", 2, 2)]
+
+
+# --- Bloom filter ---------------------------------------------------------
+
+def test_bloom_no_false_negatives_int(ray_session):
+    from kg_gen_ray.functions.sketch import bloom_build
+
+    members = list(range(0, 10_000, 2))          # evens are members
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(members, pa.int64())}))
+    bloom = bloom_build(ids, "doc_id")
+
+    # probe INSIDE Ray workers (map_batches) — pins cross-process hash
+    # determinism, the property the anti-join prefilter's exactness needs
+    universe = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(10_000), pa.int64())}))
+    flagged = universe.map_batches(
+        lambda t, bloom=bloom: t.filter(bloom.contains_mask(t["doc_id"])),
+        batch_format="pyarrow")
+    got = {r["doc_id"] for r in flagged.take_all()}
+    assert set(members) <= got                   # zero false negatives
+    fpr = (len(got) - len(members)) / (10_000 - len(members))
+    assert fpr < 0.05                            # ~0.8% expected at 10b/key
+
+
+def test_bloom_string_keys_no_false_negatives(ray_session):
+    from kg_gen_ray.functions.sketch import bloom_build
+
+    members = [f"url-{i}" for i in range(0, 4000, 2)]
+    ids = rd.from_arrow(pa.table({"k": pa.array(members, pa.string())}))
+    bloom = bloom_build(ids, "k")
+    probe = rd.from_arrow(pa.table({
+        "k": pa.array([f"url-{i}" for i in range(4000)], pa.string())}))
+    got = {r["k"] for r in probe.map_batches(
+        lambda t, bloom=bloom: t.filter(bloom.contains_mask(t["k"])),
+        batch_format="pyarrow").take_all()}
+    assert set(members) <= got
+
+
+def test_bloom_empty_and_saturation():
+    from kg_gen_ray.functions.sketch import BloomFilter, bloom_build
+    import ray as _ray
+
+    # empty key set -> every probe may still return False (no members)
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    bloom = bloom_build(ids, "doc_id")
+    mask = bloom.contains_mask(pa.array([1, 2, 3], pa.int64()))
+    assert mask.to_pylist() == [False, False, False]
+
+    # all-ones bitset (saturated) -> everything positive, never wrong,
+    # just no pruning — the graceful-degradation contract
+    m = 1 << 13
+    sat = BloomFilter(_ray.put(b"\xff" * (m // 8)), m, 7)
+    assert sat.contains_mask(pa.array([42], pa.int64())).to_pylist() == [True]
