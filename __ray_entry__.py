@@ -799,10 +799,30 @@ def q_events_session_assign(sf_dir: str):
 
 
 def q_hash_sample(sf_dir: str):
-    """Deterministic 50% content-hash sample of documents."""
-    from kg_gen_ray.functions.sessions import hash_sample
-    out = hash_sample(_docs(sf_dir, ["doc_id", "text"]), keep_mod=5, mod=10)
-    return out.select_columns(["doc_id"])
+    """Deterministic sampling family, one result keyed by ``method``:
+    50% content-hash sample (method='hash') UNION a per-language
+    stratified cap of 8 docs chosen by smallest content hash
+    (method='stratified') — both replayable, both SQL-mirrored."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kg_gen_ray.functions.sessions import hash_sample, stratified_sample
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def tag(method):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "method": pa.array([method] * t.num_rows, pa.string()),
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            })
+        return fn
+
+    h = hash_sample(docs, keep_mod=5, mod=10) \
+        .map_batches(tag("hash"), batch_format="pyarrow")
+    s = stratified_sample(docs, "lang", cap=8) \
+        .map_batches(tag("stratified"), batch_format="pyarrow")
+    return h.union(s)
 
 
 def q_grouped_topk(sf_dir: str):
@@ -1511,11 +1531,18 @@ def oracle_sql() -> dict[str, str]:
          AND e.ts BETWEEN s.session_start AND s.session_end"""
 
     sql["hash_sample"] = """
-        SELECT doc_id FROM documents
+        SELECT 'hash' AS method, doc_id FROM documents
         WHERE strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
               >= 0
           AND (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1)
-              % 10 < 5"""
+              % 10 < 5
+        UNION ALL
+        SELECT 'stratified' AS method, doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(text), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 8"""
 
     sql["grouped_topk"] = """
         WITH toks AS (

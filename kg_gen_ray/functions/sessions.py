@@ -179,14 +179,55 @@ def grouped_quantiles_sketch(ds: "ray.data.Dataset", group_col: str,
             .groupby(group_col).map_groups(merge, batch_format="pandas"))
 
 
+def _grouped_head(ds: "ray.data.Dataset", group_col: str, by: list,
+                  ascending: list, k: int) -> "ray.data.Dataset":
+    """Exact per-group top-k with a PER-BLOCK COMBINER: each block first
+    keeps only its own k best rows per group (top-k is a monoid — the
+    global best k of a group always survive every local cut), so the
+    groupby exchange moves O(blocks x groups x k) rows instead of the
+    whole table. The final per-group head runs on the pruned survivors."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=ascending, kind="stable") \
+                 .groupby(group_col, sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=ascending,
+                             kind="stable").head(k)
+
+    return ds.map_batches(prune, batch_format="pandas") \
+             .groupby(group_col).map_groups(final, batch_format="pandas")
+
+
 def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
                  k: int, tiebreak_col: str) -> "ray.data.Dataset":
     """Top-k rows per group by (order_col desc, tiebreak asc) — the
-    window-function ROW_NUMBER pattern as groupby().map_groups."""
+    window-function ROW_NUMBER pattern, combiner-pruned before the
+    shuffle (see :func:`_grouped_head`)."""
+    return _grouped_head(ds, group_col, [order_col, tiebreak_col],
+                         [False, True], k)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([order_col, tiebreak_col],
-                             ascending=[False, True],
-                             kind="stable").head(k)
 
-    return ds.groupby(group_col).map_groups(topk, batch_format="pandas")
+def stratified_sample(ds: "ray.data.Dataset", group_col: str, cap: int,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> "ray.data.Dataset":
+    """Deterministic stratified downsampling: at most ``cap`` rows per
+    group, chosen as the rows with the SMALLEST md5(text) hex digest
+    (ties by id). The per-domain/per-language document cap every
+    training-data pipeline needs, made replayable across engines and
+    runs — DuckDB mirrors it exactly with ``ROW_NUMBER() OVER (PARTITION
+    BY g ORDER BY md5(text), id)`` (unlike ``random_shuffle``-based
+    sampling, which is not). Same combiner-pruned exchange as
+    :func:`grouped_topk`."""
+    import hashlib
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
+              for s in pc.cast(t[text_col], pa.string()).to_pylist()]
+        return t.append_column("__h", pa.array(hs, pa.string()))
+
+    ranked = ds.map_batches(with_hash, batch_format="pyarrow")
+    out = _grouped_head(ranked, group_col, ["__h", id_col],
+                        [True, True], cap)
+    return out.map_batches(lambda t: t.drop_columns(["__h"]),
+                           batch_format="pyarrow")

@@ -134,3 +134,53 @@ def test_top_parts_by_quantity_matches_duckdb(ray_session):
           ON p.p_partkey = q.l_partkey
         ORDER BY q.qty_cents DESC, q.l_partkey LIMIT 10""").fetchall()
     assert got == want
+
+
+def test_stratified_sample_cap_and_determinism(ray_session):
+    """Per-group cap holds, selection is the smallest-md5 rows (replayable
+    — two runs agree), and the many-block plan (combiner prune + groupby)
+    matches a single-partition run exactly."""
+    import hashlib
+
+    from kg_gen_ray.functions.sessions import stratified_sample
+
+    rows = [(i, f"text number {i}", ["en", "de", "fr"][i % 3])
+            for i in range(90)]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows], pa.string()),
+                  "lang": pa.array([r[2] for r in rows], pa.string())})
+
+    def expected(cap):
+        out = {}
+        for lang in ("en", "de", "fr"):
+            grp = [(hashlib.md5(txt.encode()).hexdigest(), i)
+                   for i, txt, lg in rows if lg == lang]
+            out[lang] = sorted(i for _, i in sorted(grp)[:cap])
+        return out
+
+    for n_blocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(n_blocks)
+        got = {}
+        for r in stratified_sample(ds, "lang", cap=5).take_all():
+            got.setdefault(r["lang"], []).append(r["doc_id"])
+        assert {k: sorted(v) for k, v in got.items()} == expected(5)
+
+
+def test_grouped_topk_combiner_exact_across_blocks(ray_session):
+    """The per-block prune must never change the global per-group top-k:
+    1-block and 13-block plans agree row-for-row."""
+    n = 300
+    t = pa.table({
+        "g": pa.array([f"g{i % 5}" for i in range(n)], pa.string()),
+        "v": pa.array([(i * 37) % 101 for i in range(n)], pa.int64()),
+        "id": pa.array(range(n), pa.int64()),
+    })
+
+    def canon(ds):
+        return sorted((r["g"], r["v"], r["id"])
+                      for r in grouped_topk(ds, "g", "v", 4, "id")
+                      .take_all())
+
+    one = canon(rd.from_arrow(t))
+    many = canon(rd.from_arrow(t).repartition(13))
+    assert one == many and len(one) == 20
