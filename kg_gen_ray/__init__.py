@@ -58,6 +58,13 @@ def __getattr__(name):
         "approx_distinct": ("kg_gen_ray.functions.sketch",
                             "approx_distinct"),
         "heavy_hitters": ("kg_gen_ray.functions.sketch", "heavy_hitters"),
+        "bloom_build": ("kg_gen_ray.functions.sketch", "bloom_build"),
+        "stratified_sample": ("kg_gen_ray.functions.sessions",
+                              "stratified_sample"),
+        "grouped_topk": ("kg_gen_ray.functions.sessions", "grouped_topk"),
+        "hash_sample": ("kg_gen_ray.functions.sessions", "hash_sample"),
+        "pack_sequences": ("kg_gen_ray.functions.sessions",
+                           "pack_sequences"),
     }
     if name in _API:
         import importlib

@@ -231,3 +231,59 @@ def stratified_sample(ds: "ray.data.Dataset", group_col: str, cap: int,
                         [True, True], cap)
     return out.map_batches(lambda t: t.drop_columns(["__h"]),
                            batch_format="pyarrow")
+
+
+def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
+                   group_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text", token_col: str | None = None
+                   ) -> "ray.data.Dataset":
+    """Greedy sequence packing — the LLM-training sample-prep operator:
+    within each group (shard/language), documents in ``id_col`` order are
+    packed whole into sequences; a document joins the current sequence
+    while ``run + n_tokens <= max_tokens``, else starts the next one (an
+    oversize document gets a sequence of its own). Same packing fold as
+    the reference chunker (``/root/reference/src/kg_gen/utils/
+    chunk_text.py:38-57``), lifted from sentences-in-a-page to
+    documents-in-a-shard, and DuckDB-replayable as a recursive CTE
+    (see tests/test_sessions.py) because the fold is deterministic.
+
+    Output: ``(group_col, id_col, seq_id, n_tokens)`` with ``seq_id``
+    0-based per group. Token counts are whitespace tokens computed
+    vectorized (pass ``token_col`` to use a precomputed count instead).
+    Scale shape: the token-count map streams; the fold itself is
+    sequential PER GROUP (inherent to greedy packing), so groups are the
+    parallelism unit and one group's (id, n_tokens) pairs must fit a
+    worker — at web scale, group by SHARD, not by a global key (same
+    documented assumption as :func:`grouped_quantiles`)."""
+
+    if token_col is None:
+        def with_tokens(t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
+            n = pc.cast(pc.list_value_length(toks), pa.int64())
+            return pa.table({
+                group_col: t[group_col], id_col: t[id_col],
+                "n_tokens": n})
+        counted = ds.map_batches(with_tokens, batch_format="pyarrow")
+    else:
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({
+                group_col: t[group_col], id_col: t[id_col],
+                "n_tokens": pc.cast(t[token_col], pa.int64())})
+        counted = ds.map_batches(rename, batch_format="pyarrow")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        ns = g["n_tokens"].to_numpy()
+        seq = np.empty(len(ns), dtype=np.int64)
+        s, run = 0, 0
+        for i, n in enumerate(ns):
+            if run and run + n > max_tokens:
+                s, run = s + 1, 0
+            run += int(n)
+            seq[i] = s
+        out = g.copy()
+        out["seq_id"] = seq
+        return out[[group_col, id_col, "seq_id", "n_tokens"]]
+
+    return counted.groupby(group_col).map_groups(per_group,
+                                                 batch_format="pandas")

@@ -184,3 +184,65 @@ def test_grouped_topk_combiner_exact_across_blocks(ray_session):
     one = canon(rd.from_arrow(t))
     many = canon(rd.from_arrow(t).repartition(13))
     assert one == many and len(one) == 20
+
+
+def test_pack_sequences_matches_duckdb_recursive_fold(ray_session):
+    """Greedy packing fold vs a DuckDB recursive CTE replaying the same
+    rule (join while run + n <= max, oversize doc alone) — the kg_chunks
+    oracle technique at document granularity. Also checks the packing
+    invariants: per-sequence totals never exceed max unless the sequence
+    is a single oversize doc, and seq_ids are contiguous from 0."""
+    import duckdb
+
+    from kg_gen_ray.functions.sessions import pack_sequences
+
+    texts = []
+    for i in range(60):
+        n_words = [3, 7, 2, 25, 1, 9][i % 6]          # 25 > max_tokens=16
+        texts.append((i, " ".join(f"w{j}" for j in range(n_words)),
+                      ["en", "de"][i % 2]))
+    t = pa.table({"doc_id": pa.array([r[0] for r in texts], pa.int64()),
+                  "text": pa.array([r[1] for r in texts], pa.string()),
+                  "lang": pa.array([r[2] for r in texts], pa.string())})
+    max_tokens = 16
+
+    got = sorted(
+        (r["lang"], r["doc_id"], r["seq_id"], r["n_tokens"])
+        for r in pack_sequences(rd.from_arrow(t).repartition(5),
+                                max_tokens).take_all())
+
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    oracle = con.execute(f"""
+        WITH RECURSIVE toks AS (
+          SELECT lang, doc_id,
+                 len(string_split(text, ' '))::BIGINT AS n
+          FROM documents),
+        ord AS (
+          SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY doc_id) AS rn
+          FROM toks),
+        fold AS (
+          SELECT lang, rn, doc_id, n, 0::BIGINT AS seq_id, n AS run
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.lang, o.rn, o.doc_id, o.n,
+                 CASE WHEN f.run + o.n <= {max_tokens}
+                      THEN f.seq_id ELSE f.seq_id + 1 END,
+                 CASE WHEN f.run + o.n <= {max_tokens}
+                      THEN f.run + o.n ELSE o.n END
+          FROM fold f JOIN ord o
+            ON o.lang = f.lang AND o.rn = f.rn + 1)
+        SELECT lang, doc_id, seq_id, n AS n_tokens FROM fold
+        ORDER BY lang, doc_id""").fetchall()
+    assert got == [tuple(r) for r in oracle]
+
+    # invariants
+    totals = {}
+    for lang, _doc, seq, n in got:
+        totals.setdefault((lang, seq), []).append(n)
+    for (lang, seq), ns in totals.items():
+        assert sum(ns) <= max_tokens or len(ns) == 1
+    for lang in ("en", "de"):
+        seqs = sorted({s for lg, _d, s, _n in got if lg == lang})
+        assert seqs == list(range(len(seqs)))
