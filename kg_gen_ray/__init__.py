@@ -65,6 +65,8 @@ def __getattr__(name):
         "hash_sample": ("kg_gen_ray.functions.sessions", "hash_sample"),
         "pack_sequences": ("kg_gen_ray.functions.sessions",
                            "pack_sequences"),
+        "StreamingDedupIndex": ("kg_gen_ray.state.dedup_index",
+                                "StreamingDedupIndex"),
     }
     if name in _API:
         import importlib

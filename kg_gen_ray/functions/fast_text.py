@@ -295,6 +295,32 @@ def winnow_fingerprints(batch: pa.Table, window: int = 4) -> pa.Table:
     })
 
 
+def band_keys_from_sig(sig: pa.Table,
+                       n_hashes: int = N_HASHES) -> pa.Table:
+    """u64 signature table -> LSH band rows ``(band_key, doc_id)``:
+    band key = ``(m_lo * OA[b] + m_hi + OB[b]) mod 2^64`` — one uint64
+    column per (doc, band), no per-row Python. Shared by the batch LSH
+    pairing (:func:`minhash_lsh_pairs_fast`) and the streaming dedup
+    index (``state/dedup_index.py``), which must agree bit-for-bit so a
+    streamed increment collides with the same buckets a batch run
+    would."""
+    bands = n_hashes // 2
+    with np.errstate(over="ignore"):
+        doc = sig["doc_id"].to_numpy(zero_copy_only=False)
+        out_key, out_doc = [], []
+        for b in range(bands):
+            lo = sig[f"m{2 * b}"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            hi = sig[f"m{2 * b + 1}"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            out_key.append(lo * _OA[b] + hi + _OB[b])
+            out_doc.append(doc)
+    return pa.table({
+        "band_key": pa.array(np.concatenate(out_key), pa.uint64()),
+        "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+    })
+
+
 def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
                            signatures=minhash_signatures_fast,
                            broadcast_limit: int = 64 * 1024 * 1024):
@@ -323,22 +349,7 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
     bands = N_HASHES // 2   # 2 rows per band
 
     def band_rows(t: pa.Table) -> pa.Table:
-        sig = signatures(t)
-        n = sig.num_rows
-        with np.errstate(over="ignore"):
-            doc = sig["doc_id"].to_numpy(zero_copy_only=False)
-            out_key, out_doc = [], []
-            for b in range(bands):
-                lo = sig[f"m{2 * b}"].to_numpy(zero_copy_only=False) \
-                    .astype(np.uint64)
-                hi = sig[f"m{2 * b + 1}"].to_numpy(zero_copy_only=False) \
-                    .astype(np.uint64)
-                out_key.append(lo * _OA[b] + hi + _OB[b])
-                out_doc.append(doc)
-        return pa.table({
-            "band_key": pa.array(np.concatenate(out_key), pa.uint64()),
-            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-        })
+        return band_keys_from_sig(signatures(t))
 
     # compact_if_small: AQE-style — a small corpus's band rows collapse to
     # a few blocks so the two downstream groupbys don't pay per-block

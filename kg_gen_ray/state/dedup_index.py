@@ -1,0 +1,170 @@
+"""Streaming near-duplicate index — the shared MUTABLE index case.
+
+This is the one place the engine drops to raw Ray actors, per the
+custom-operator strategy: deduplicating a NEW crawl increment against an
+ever-growing corpus index is not expressible as a pure ``Dataset``
+transform, because the state must mutate mid-stream (a doc admitted by
+batch 1 must collide with a near-dup in batch 2 of the same run) and
+persist across pipeline runs. The batch path
+(:func:`kg_gen_ray.functions.dedup.near_dup_canonical`) remains the right
+tool for whole-corpus dedup; this index serves the incremental-ingest
+loop (the Ray-native analogue of the reference MCP memory-store's
+accumulate-then-extend flow, ``/root/reference/src/kg_gen/mcp.py``).
+
+Shape: the LSH band space is hash-partitioned over ``n_shards``
+``BandIndexShard`` actors (each a plain dict band_key -> first owner
+doc_id). A streaming ``map_batches`` stage computes the SAME u64
+signatures and band keys as the batch LSH path
+(:func:`kg_gen_ray.functions.fast_text.band_keys_from_sig` — bit-for-bit
+agreement, so streamed increments collide with exactly the buckets a
+batch run would), routes each band row to its shard, and performs an
+atomic check-and-add: the first doc to present a band key owns it, every
+later doc presenting the same key is flagged a duplicate. Actor method
+calls serialize per shard, so no two docs sharing a band key can both
+survive — regardless of batch concurrency.
+
+Semantics notes (inherent to streaming dedup, documented not hidden):
+
+* WHICH of two near-dups survives depends on arrival order; drive the
+  stream deterministically (e.g. ordered shards) for replayable runs.
+* A doc flagged dup via one band may already have registered its other
+  bands; later matches on those bands attribute to the dropped doc.
+  That is the standard transitive-closure semantics of LSH dedup — the
+  match still flags the newcomer as a duplicate, which is the contract.
+
+Scale: shard count bounds per-actor memory (keys are 8-byte band hashes
++ 8-byte owners in a dict); at 10^12 docs pin shard actors across nodes
+and raise ``n_shards`` so each holds ~10^8 keys. Calls ship O(batch)
+numpy arrays, not Python lists. ``save``/``load`` checkpoint each shard
+to its own Parquet file (the per-partition resumability pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+# module-level import (pickle-by-value compatibility): worker-side UDF
+# bodies must not lazily import kg_gen_ray
+from kg_gen_ray.functions.fast_text import (
+    band_keys_from_sig, minhash_signatures_fast)
+
+
+@ray.remote(num_cpus=0.25)
+class BandIndexShard:
+    """One shard of the band index: dict band_key -> owner doc_id.
+    ``num_cpus=0.25`` — shards are lookup tables, not compute stages;
+    four co-locate per core without starving the mapper pool."""
+
+    def __init__(self):
+        self._owners: dict[int, int] = {}
+
+    def check_add(self, keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
+        """Atomic batched check-and-add. For each (key, doc) row: return
+        the existing owner doc_id if the key is present, else -1 and
+        record ``doc`` as the key's owner. Earlier rows win within a
+        call; calls serialize on the actor."""
+        out = np.empty(len(keys), dtype=np.int64)
+        owners = self._owners
+        for i, (k, d) in enumerate(zip(keys.tolist(), docs.tolist())):
+            prev = owners.get(k)
+            if prev is None:
+                owners[k] = d
+                out[i] = -1
+            else:
+                out[i] = prev
+        return out
+
+    def n_keys(self) -> int:
+        return len(self._owners)
+
+    def snapshot(self) -> "pa.Table":
+        return pa.table({
+            "band_key": pa.array(list(self._owners.keys()), pa.uint64()),
+            "owner": pa.array(list(self._owners.values()), pa.int64()),
+        })
+
+    def restore(self, t: "pa.Table") -> int:
+        self._owners = dict(zip(
+            (int(k) for k in t["band_key"].to_pylist()),
+            t["owner"].to_pylist()))
+        return len(self._owners)
+
+
+def _route(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Band key -> shard id. The band keys are already well-mixed u64
+    hashes, so a plain modulo spreads them evenly."""
+    return (keys % np.uint64(n_shards)).astype(np.int64)
+
+
+class StreamingDedupIndex:
+    """Driver-side handle over the shard actors. Picklable into
+    ``map_batches`` closures (actor handles travel by reference)."""
+
+    def __init__(self, n_shards: int = 8, signatures=None):
+        self.n_shards = n_shards
+        self.signatures = signatures or minhash_signatures_fast
+        self.shards = [BandIndexShard.remote() for _ in range(n_shards)]
+
+    # -- streaming filter --------------------------------------------------
+
+    def filter_new(self, docs: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Keep only rows that are NOT near-duplicates of anything already
+        in the index (or earlier in this stream); admitted rows register
+        their bands as they pass. A lazy, backpressured Dataset stage —
+        the index calls happen inside the tasks, so the stream never
+        collects on the driver."""
+        shards, n_shards, signatures = \
+            self.shards, self.n_shards, self.signatures
+
+        def fn(t: pa.Table) -> pa.Table:
+            sig = signatures(t)
+            rows = band_keys_from_sig(sig)
+            keys = rows["band_key"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            row_doc = rows["doc_id"].to_numpy(zero_copy_only=False)
+            shard_of = _route(keys, n_shards)
+            owner = np.full(len(keys), -1, dtype=np.int64)
+            pending = []
+            for s in range(n_shards):
+                m = shard_of == s
+                if m.any():
+                    pending.append(
+                        (m, shards[s].check_add.remote(keys[m],
+                                                       row_doc[m])))
+            for m, fut in pending:
+                owner[m] = ray.get(fut)
+            # doc is a dup if ANY of its bands hit an existing owner
+            hit_docs = np.unique(row_doc[owner >= 0])
+            doc_ids = sig["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(doc_ids, hit_docs)
+            return t.filter(pa.array(keep))
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    # -- checkpoint --------------------------------------------------------
+
+    def n_keys(self) -> int:
+        return sum(ray.get([s.n_keys.remote() for s in self.shards]))
+
+    def save(self, path: str) -> None:
+        """One Parquet file per shard under ``path`` — the partitioned,
+        resumable checkpoint layout."""
+        import os
+        os.makedirs(path, exist_ok=True)
+        tables = ray.get([s.snapshot.remote() for s in self.shards])
+        for i, t in enumerate(tables):
+            pq.write_table(t, os.path.join(path, f"shard-{i:05d}.parquet"))
+
+    @classmethod
+    def load(cls, path: str, signatures=None) -> "StreamingDedupIndex":
+        import glob
+        import os
+        files = sorted(glob.glob(os.path.join(path, "shard-*.parquet")))
+        idx = cls(n_shards=len(files), signatures=signatures)
+        ray.get([s.restore.remote(pq.read_table(f))
+                 for s, f in zip(idx.shards, files)])
+        return idx

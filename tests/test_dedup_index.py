@@ -1,0 +1,77 @@
+"""Streaming near-dup index (actor-sharded band index): agreement with
+the batch LSH path, cross-batch mutation, and Parquet checkpointing."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.state.dedup_index import StreamingDedupIndex
+
+
+def corpus():
+    base = " ".join(f"w{i}" for i in range(40))
+    texts = {
+        0: base,                                  # cluster {0,1,2}
+        1: base + " tail",
+        2: base.replace("w39", "w999"),
+        3: " ".join(f"x{i}" for i in range(40)),  # singleton
+        4: " ".join(f"y{i}" for i in range(40)),  # singleton
+    }
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string())}))
+
+
+def test_streaming_matches_batch_first_seen(ray_session):
+    """Single ordered batch: the streamed filter must keep exactly the
+    batch path's survivors (first-seen == lowest id here)."""
+    from kg_gen_ray.functions.dedup import near_dup_canonical
+
+    docs = corpus()
+    batch_keep = sorted(r["doc_id"] for r in
+                        near_dup_canonical(docs, method="fast").take_all())
+    idx = StreamingDedupIndex(n_shards=3)
+    stream_keep = sorted(r["doc_id"] for r in
+                         idx.filter_new(docs.repartition(1)).take_all())
+    assert stream_keep == batch_keep == [0, 3, 4]
+
+
+def test_cross_batch_mutation_and_checkpoint(ray_session, tmp_path):
+    """A doc admitted in increment 1 must knock out its near-dup in
+    increment 2 — including after a save/load round-trip (the persisted
+    corpus-index contract)."""
+    base = " ".join(f"w{i}" for i in range(40))
+    inc1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10], pa.int64()),
+        "text": pa.array([base], pa.string())}))
+    inc2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([20, 21], pa.int64()),
+        "text": pa.array([base + " tail",                 # near-dup of 10
+                          " ".join(f"z{i}" for i in range(40))],
+                         pa.string())}))
+
+    idx = StreamingDedupIndex(n_shards=2)
+    assert [r["doc_id"] for r in idx.filter_new(inc1).take_all()] == [10]
+    n_before = idx.n_keys()
+    assert n_before > 0
+
+    ckpt = str(tmp_path / "band_index")
+    idx.save(ckpt)
+    idx2 = StreamingDedupIndex.load(ckpt)
+    assert idx2.n_keys() == n_before
+
+    kept = sorted(r["doc_id"] for r in idx2.filter_new(inc2).take_all())
+    assert kept == [21]
+    # the admitted doc registered its bands in the restored index
+    assert idx2.n_keys() > n_before
+
+
+def test_same_batch_first_wins(ray_session):
+    """Two exact dups inside ONE call: the earlier row owns the band,
+    the later is flagged — per-shard atomicity."""
+    base = " ".join(f"q{i}" for i in range(40))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array([base, base], pa.string())}))
+    idx = StreamingDedupIndex(n_shards=1)
+    kept = [r["doc_id"] for r in idx.filter_new(docs).take_all()]
+    assert kept == [7]
