@@ -176,9 +176,15 @@ class BloomFilter:
 
     def contains_mask(self, col) -> pa.Array:
         """Vectorized membership probe: True = maybe in set (guaranteed
-        True for every inserted key), False = definitely not."""
-        import ray as _ray
-        bits = np.frombuffer(_ray.get(self.ref), dtype=np.uint8)
+        True for every inserted key), False = definitely not. ``ref`` is
+        normally a plasma ObjectRef (zero-copy per node); raw bytes are
+        accepted too so the sketch tests pure, without a Ray session."""
+        if hasattr(self.ref, "hex") and not isinstance(self.ref, bytes):
+            import ray as _ray
+            blob = _ray.get(self.ref)
+        else:
+            blob = self.ref
+        bits = np.frombuffer(blob, dtype=np.uint8)
         n = len(col)
         out = np.ones(n, dtype=bool)
         if not n:

@@ -201,3 +201,61 @@ def test_misra_gries_guarantee(stream, capacity, n_blocks):
     for v, true_c in truth.items():
         if true_c > n / capacity:
             assert v in merged, (v, true_c, n, capacity)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=120),
+       st.integers(min_value=1, max_value=40))
+@settings(max_examples=150, deadline=None)
+def test_pack_fold_invariants(ns, max_tokens):
+    """The greedy packing fold (reference chunker rule at doc granularity,
+    mirrored by pack_sequences' per-group loop): sequence totals never
+    exceed max unless the sequence is one oversize doc; seq ids are
+    non-decreasing, start at 0, and step by at most 1; packing is maximal
+    (a doc never fits the previous sequence it was excluded from)."""
+    seq, s, run = [], 0, 0
+    for n in ns:
+        if run and run + n > max_tokens:
+            s, run = s + 1, 0
+        run += n
+        seq.append(s)
+    assert seq[0] == 0
+    totals = {}
+    for sid, n in zip(seq, ns):
+        totals.setdefault(sid, []).append(n)
+    for sid, members in totals.items():
+        # a sequence may exceed max only via ONE oversize doc; zero-token
+        # docs never trigger a break (run stays 0 — the chunker's
+        # empty-`current` rule), so they free-ride alongside it
+        assert sum(members) <= max_tokens \
+            or sum(1 for x in members if x > 0) == 1
+    for i in range(1, len(seq)):
+        assert seq[i] in (seq[i - 1], seq[i - 1] + 1)
+        if seq[i] == seq[i - 1] + 1:
+            # maximality: the doc that OPENED sequence i did not fit in
+            # i-1 (the break only fires with run > 0, so this is strict)
+            assert sum(totals[seq[i - 1]]) + ns[i] > max_tokens
+
+
+@given(st.sets(st.integers(min_value=-2**62, max_value=2**62),
+               min_size=1, max_size=400),
+       st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_bloom_bitset_never_false_negative(members, probes):
+    """Pure-bitset property (no Ray): every inserted key probes True,
+    for arbitrary int64 keys including negatives."""
+    import pyarrow as pa
+
+    from kg_gen_ray.functions.sketch import BloomFilter
+
+    m_bits = 1 << 13
+    bf = BloomFilter(None, m_bits, 7)
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    arr = pa.array(sorted(members), pa.int64())
+    for idx in bf._probe_indices(arr):
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+
+    bf.ref = bits.tobytes()   # raw-bytes ref: probes without a Ray session
+    assert all(bf.contains_mask(arr).to_pylist())
