@@ -67,6 +67,10 @@ def __getattr__(name):
                            "pack_sequences"),
         "StreamingDedupIndex": ("kg_gen_ray.state.dedup_index",
                                 "StreamingDedupIndex"),
+        "decontaminate": ("kg_gen_ray.functions.decontaminate",
+                          "decontaminate"),
+        "contaminated_ids": ("kg_gen_ray.functions.decontaminate",
+                             "contaminated_ids"),
     }
     if name in _API:
         import importlib

@@ -1,0 +1,155 @@
+"""Benchmark decontamination — drop training docs that leak eval data.
+
+The standard training-data hygiene operator (GPT-3 appendix C / Gopher
+section A.5 style): a document is CONTAMINATED if it shares any k-word
+shingle with the benchmark corpus. Distributed shape:
+
+* benchmark -> distinct k-gram hashes (tiny vs the corpus — benchmarks
+  are MBs, corpora are TBs), materialized once;
+* small benchmark (the normal case): the sorted hash array broadcasts via
+  ``ray.put`` and every doc batch checks its own k-grams with one
+  ``np.searchsorted`` — NO shuffle at all, the corpus streams;
+* oversized benchmark: a Bloom bitset ships per node, only bloom-positive
+  (doc_id, shingle) rows enter a semi-join against the benchmark hashes,
+  and the exact join clears the ~1% false positives — exact flags at
+  O(matches) exchange volume.
+
+Hashes are the engine's u64 token-hash family folded with a Horner rolling
+combine (constant odd multiplier, uint64 wraparound), shared-seed with the
+MinHash/winnowing machinery in :mod:`kg_gen_ray.functions.fast_text`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+# module-level imports (pickle-by-value compatibility): worker-side UDF
+# bodies must not lazily import kg_gen_ray
+from kg_gen_ray.functions.fast_text import _md5_u32_hashes
+
+_KC = np.uint64(0x100000001B3)          # FNV-ish odd multiplier
+
+
+def _kgram_hashes(th: np.ndarray, row_idx: np.ndarray, k: int):
+    """Token hashes -> within-row k-gram Horner hashes + their row ids.
+    Vectorized over all tokens; the only loop is over the k window
+    offsets (a small constant)."""
+    n_out = len(th) - (k - 1)
+    if n_out <= 0:
+        return (np.zeros(0, dtype=np.uint64),
+                np.zeros(0, dtype=np.int64))
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n_out, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _KC + th[j:j + n_out]
+    same = row_idx[:n_out] == row_idx[k - 1:]
+    return acc[same], row_idx[:n_out][same]
+
+
+def doc_kgram_rows(ds: "ray.data.Dataset", k: int = 8,
+                   id_col: str = "doc_id", text_col: str = "text"
+                   ) -> "ray.data.Dataset":
+    """(id, sh) exploded k-gram hash rows, fully vectorized per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "sh": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        th = _md5_u32_hashes(toks.flatten())
+        row_idx = np.repeat(np.arange(t.num_rows), lengths)
+        sh, srow = _kgram_hashes(th, row_idx, k)
+        if not len(sh):
+            return empty
+        ids = pc.cast(t[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[srow]
+        # int64 BIT-CAST of the u64 hash: Ray's groupby/aggregate path
+        # pickles uint64 >= 2^63 into object columns (the pa.uint64
+        # gotcha); every consumer (distinct, join, bloom, searchsorted)
+        # only needs a consistent view, not unsigned order
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "sh": pa.array(sh.view(np.int64), pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def contaminated_ids(docs: "ray.data.Dataset",
+                     benchmark: "ray.data.Dataset", k: int = 8,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     broadcast_limit: int = 64 * 1024 * 1024
+                     ) -> "ray.data.Dataset":
+    """doc ids sharing >= 1 k-gram with the benchmark. Size-selected
+    dual per the module docstring."""
+    from kg_gen_ray.stages.rewrite import distinct as _distinct
+
+    def bench_ids(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            id_col, pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+    bench = benchmark if id_col in benchmark.schema().names \
+        else benchmark.map_batches(bench_ids, batch_format="pyarrow")
+    bench_sh = _distinct(
+        doc_kgram_rows(bench, k, id_col, text_col)
+        .select_columns(["sh"]), ["sh"]).materialize()
+
+    doc_rows = doc_kgram_rows(docs, k, id_col, text_col)
+
+    if (bench_sh.size_bytes() or 0) <= broadcast_limit:
+        arr = np.sort(np.concatenate(
+            [b["sh"].to_numpy(zero_copy_only=False)
+             for b in bench_sh.iter_batches(batch_format="pyarrow")]
+            or [np.zeros(0, dtype=np.uint64)]))
+        ref = ray.put(arr)
+
+        def flag(t: pa.Table, ref=ref) -> pa.Table:
+            bench_sorted = ray.get(ref)
+            sh = t["sh"].to_numpy(zero_copy_only=False)
+            if not len(bench_sorted) or not len(sh):
+                return pa.table({id_col: pa.array([], pa.int64())})
+            pos = np.searchsorted(bench_sorted, sh)
+            pos[pos == len(bench_sorted)] = 0
+            hit = bench_sorted[pos] == sh
+            ids = np.unique(
+                t[id_col].to_numpy(zero_copy_only=False)[hit])
+            return pa.table({id_col: pa.array(ids, pa.int64())})
+
+        return _distinct(
+            doc_rows.map_batches(flag, batch_format="pyarrow"), [id_col])
+
+    # oversized benchmark: bloom prefilter, then exact semi-join
+    from kg_gen_ray.functions.sketch import bloom_build
+    bloom = bloom_build(bench_sh, "sh")
+    maybe = doc_rows.map_batches(
+        lambda t, bloom=bloom: t.filter(bloom.contains_mask(t["sh"])),
+        batch_format="pyarrow")
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    joined = maybe.repartition(n_parts).join(
+        bench_sh.repartition(n_parts), join_type="inner", on=("sh",),
+        num_partitions=n_parts)
+    return _distinct(joined.select_columns([id_col]), [id_col])
+
+
+def decontaminate(docs: "ray.data.Dataset",
+                  benchmark: "ray.data.Dataset", k: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  broadcast_limit: int = 64 * 1024 * 1024
+                  ) -> "ray.data.Dataset":
+    """docs minus every contaminated row (exact — see module note)."""
+    from kg_gen_ray.functions.dedup import drop_ids
+    flagged = contaminated_ids(docs, benchmark, k, id_col, text_col,
+                               broadcast_limit)
+    if id_col != "doc_id":   # drop_ids keys its loser side by "doc_id"
+        flagged = flagged.map_batches(
+            lambda t: t.rename_columns(["doc_id"]),
+            batch_format="pyarrow")
+    return drop_ids(docs, flagged, id_col, broadcast_limit)

@@ -147,8 +147,13 @@ def _bloom_hash_pair(col) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
+        if pa.types.is_unsigned_integer(col.type):
+            # uint64 keys (e.g. shingle hashes) >= 2^63 would overflow an
+            # int64 cast; go straight to the numpy uint64 view
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            v = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
         return (_splitmix64(v, 0x9E3779B97F4A7C15),
                 _splitmix64(v, 0xD1B54A32D192ED03))
     import polars as pl

@@ -1,0 +1,61 @@
+"""Benchmark decontamination: planted k-gram leaks are flagged, clean
+docs survive, sub-k overlaps don't trigger, and the bloom+semi-join dual
+agrees with the broadcast path exactly."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.functions.decontaminate import (
+    contaminated_ids, decontaminate, doc_kgram_rows)
+
+BENCH_Q = ("what is the capital of france and when was it founded "
+           "by the original settlers")
+
+
+def tables():
+    leak = "intro text " + BENCH_Q + " trailing words here"
+    sub_k = "what is the capital of france but then it diverges totally"
+    clean = " ".join(f"tok{i}" for i in range(30))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([leak, sub_k, clean], pa.string())}))
+    bench = rd.from_arrow(pa.table({
+        "text": pa.array([BENCH_Q], pa.string())}))
+    return docs, bench
+
+
+def test_planted_leak_flagged_sub_k_not(ray_session):
+    docs, bench = tables()
+    flagged = sorted(r["doc_id"] for r in
+                     contaminated_ids(docs, bench, k=8).take_all())
+    assert flagged == [0]       # 7-gram overlap (doc 1) must NOT flag
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(docs, bench, k=8).take_all())
+    assert kept == [1, 2]
+
+
+def test_bloom_semijoin_dual_matches_broadcast(ray_session):
+    docs, bench = tables()
+    bcast = sorted(r["doc_id"] for r in
+                   contaminated_ids(docs, bench, k=8).take_all())
+    dual = sorted(r["doc_id"] for r in
+                  contaminated_ids(docs, bench, k=8,
+                                   broadcast_limit=0).take_all())
+    assert bcast == dual == [0]
+
+
+def test_kgram_rows_count_and_short_rows(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 6], pa.int64()),
+        "text": pa.array(["a b c d e", "x y"], pa.string())}))
+    rows = doc_kgram_rows(ds, k=4).take_all()
+    # 5 tokens -> 2 4-grams; 2 tokens -> none
+    assert sorted(r["doc_id"] for r in rows) == [5, 5]
+    assert len({r["sh"] for r in rows}) == 2
+
+
+def test_empty_benchmark_flags_nothing(ray_session):
+    docs, _ = tables()
+    bench = rd.from_arrow(pa.table({"text": pa.array(["short one"],
+                                                     pa.string())}))
+    assert contaminated_ids(docs, bench, k=8).count() == 0
