@@ -71,6 +71,8 @@ def __getattr__(name):
                           "decontaminate"),
         "contaminated_ids": ("kg_gen_ray.functions.decontaminate",
                              "contaminated_ids"),
+        "scrub_pii": ("kg_gen_ray.functions.scrub", "scrub_pii"),
+        "scrub_report": ("kg_gen_ray.functions.scrub", "scrub_report"),
     }
     if name in _API:
         import importlib
