@@ -359,6 +359,91 @@ def run_memory_probe(store_mb: int = 256) -> dict:
     return out
 
 
+def run_hygiene() -> dict:
+    """Training-data hygiene throughput probe (NOT part of the default
+    headline, so round-over-round bench comparisons stay apples-to-
+    apples): per-stage wall + pages/sec over the cached synthetic corpus
+    for scrub_pii, decontaminate (planted leaks), stratified_sample,
+    pack_sequences, and the streaming dedup index."""
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    corpus = ensure_corpus()
+    warm_cluster(corpus)
+
+    def docs_ds():
+        pages = rd.read_parquet(corpus, columns=["url", "text", "lang"])
+
+        def to_docs(t: pa.Table, base: int = 0) -> pa.Table:
+            import polars as pl
+            h = pl.from_arrow(
+                pc.cast(t["url"], pa.string()).combine_chunks()).hash(seed=0)
+            did = (h.to_numpy().astype("int64") & ((1 << 62) - 1))
+            return pa.table({
+                "doc_id": pa.array(did, pa.int64()),
+                "text": t["text"], "lang": t["lang"]})
+
+        return pages.map_batches(to_docs, batch_format="pyarrow")
+
+    # benchmark corpus for decontamination: real phrases from the corpus
+    # itself (guaranteed hits) — 50 docs' texts
+    sample_texts = [r["text"] for r in docs_ds().take(50)]
+    bench_tbl = rd.from_arrow(pa.table({
+        "text": pa.array(sample_texts, pa.string())}))
+
+    timings: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        sec = round(time.time() - t0, 3)
+        # rows_out = rows the stage RETURNS (survivors for the filters
+        # — the templated synthetic corpus makes near-everything collide,
+        # which is exactly what stresses the drop paths)
+        timings[name] = {"sec": sec, "rows_out": int(n),
+                         "pages_per_sec": round(BENCH_PAGES / sec, 1)}
+
+    from kg_gen_ray.functions.decontaminate import decontaminate
+    from kg_gen_ray.functions.scrub import scrub_pii
+    from kg_gen_ray.functions.sessions import (
+        pack_sequences, stratified_sample)
+    from kg_gen_ray.state.dedup_index import StreamingDedupIndex
+
+    timed("scrub_pii", lambda: scrub_pii(docs_ds()).count())
+    timed("decontaminate",
+          lambda: decontaminate(docs_ds(), bench_tbl, k=8).count())
+    timed("stratified_sample",
+          lambda: stratified_sample(docs_ds(), "lang", cap=1000).count())
+    timed("pack_sequences",
+          lambda: pack_sequences(docs_ds(), max_tokens=2048).count())
+    idx = StreamingDedupIndex(n_shards=max(2, NUM_CPUS // 4))
+    timed("streaming_dedup_index",
+          lambda: idx.filter_new(docs_ds()).count())
+    from kg_gen_ray.functions.fast_text import minhash_signatures_ahash
+    idx2 = StreamingDedupIndex(n_shards=max(2, NUM_CPUS // 4),
+                               signatures=minhash_signatures_ahash)
+    timed("streaming_dedup_index_ahash",
+          lambda: idx2.filter_new(docs_ds()).count())
+    out = {
+        "metric": "hygiene_pages_per_sec",
+        "value": min(v["pages_per_sec"] for v in timings.values()),
+        "unit": "pages/sec",
+        "n_pages": BENCH_PAGES,
+        "num_cpus": NUM_CPUS,
+        "stages": timings,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling_child() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -420,6 +505,8 @@ if __name__ == "__main__":
         print(json.dumps(run_skew()))
     elif "--memory-probe" in sys.argv:
         print(json.dumps(run_memory_probe()))
+    elif "--hygiene" in sys.argv:
+        print(json.dumps(run_hygiene()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

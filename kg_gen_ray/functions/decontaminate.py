@@ -29,8 +29,10 @@ import ray
 import ray.data
 
 # module-level imports (pickle-by-value compatibility): worker-side UDF
-# bodies must not lazily import kg_gen_ray
-from kg_gen_ray.functions.fast_text import _md5_u32_hashes
+# bodies must not lazily import kg_gen_ray. Token hashes use the
+# polars/Rust family (~10x the md5 family): contamination only needs doc
+# and benchmark hashes to AGREE, not to replay in an external oracle.
+from kg_gen_ray.functions.fast_text import _token_hashes
 
 _KC = np.uint64(0x100000001B3)          # FNV-ish odd multiplier
 
@@ -66,7 +68,7 @@ def doc_kgram_rows(ds: "ray.data.Dataset", k: int = 8,
             toks = toks.combine_chunks()
         lengths = pc.list_value_length(toks) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        th = _md5_u32_hashes(toks.flatten())
+        th = _token_hashes(toks.flatten())
         row_idx = np.repeat(np.arange(t.num_rows), lengths)
         sh, srow = _kgram_hashes(th, row_idx, k)
         if not len(sh):

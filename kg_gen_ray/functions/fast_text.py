@@ -197,13 +197,8 @@ def _md5_u32_hashes(flat: pa.Array) -> np.ndarray:
     return hu[inv]
 
 
-def minhash_signatures_fast(batch: pa.Table,
-                            n_hashes: int = N_HASHES) -> pa.Table:
-    """(doc_id, m0..m{n-1}) uint64 MinHash signatures — the oracle-checkable
-    scale path (see the family comment above). This is what
-    :func:`kg_gen_ray.functions.dedup.near_dup_canonical` composes on; the
-    md5-hex-string signatures in ``dedup.minhash_signatures`` remain as the
-    reference-parity variant."""
+def _signatures_impl(batch: pa.Table, n_hashes: int,
+                     token_hash_fn) -> pa.Table:
     n = batch.num_rows
     doc_id = pc.cast(batch["doc_id"], pa.int64())
     if n == 0:
@@ -215,7 +210,7 @@ def minhash_signatures_fast(batch: pa.Table,
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-    th = _md5_u32_hashes(toks.flatten())
+    th = token_hash_fn(toks.flatten())
     row_idx = np.repeat(np.arange(n), lengths)
     mins = _minhash_core(th, row_idx, lengths, n, n_hashes,
                          _OC1, _OC2, _OA, _OB)
@@ -223,6 +218,28 @@ def minhash_signatures_fast(batch: pa.Table,
     for k in range(n_hashes):
         cols[f"m{k}"] = pa.array(mins[k], pa.uint64())
     return pa.table(cols)
+
+
+def minhash_signatures_fast(batch: pa.Table,
+                            n_hashes: int = N_HASHES) -> pa.Table:
+    """(doc_id, m0..m{n-1}) uint64 MinHash signatures — the oracle-checkable
+    scale path (see the family comment above). This is what
+    :func:`kg_gen_ray.functions.dedup.near_dup_canonical` composes on; the
+    md5-hex-string signatures in ``dedup.minhash_signatures`` remain as the
+    reference-parity variant."""
+    return _signatures_impl(batch, n_hashes, _md5_u32_hashes)
+
+
+def minhash_signatures_ahash(batch: pa.Table,
+                             n_hashes: int = N_HASHES) -> pa.Table:
+    """Maximum-throughput signature family: the polars/Rust token hash in
+    place of the md5-u32 family (~10x on the tokenize-hash stage), same
+    shingle/affine machinery. NOT DuckDB-replayable — plug into
+    ``minhash_lsh_pairs_fast(signatures=...)`` or
+    ``StreamingDedupIndex(signatures=...)`` when oracle parity doesn't
+    matter; keep BOTH sides of any comparison on one family (families
+    never collide with each other)."""
+    return _signatures_impl(batch, n_hashes, _token_hashes)
 
 
 def winnow_fingerprints(batch: pa.Table, window: int = 4) -> pa.Table:

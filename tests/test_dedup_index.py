@@ -75,3 +75,16 @@ def test_same_batch_first_wins(ray_session):
     idx = StreamingDedupIndex(n_shards=1)
     kept = [r["doc_id"] for r in idx.filter_new(docs).take_all()]
     assert kept == [7]
+
+
+def test_ahash_family_same_survivors(ray_session):
+    """The max-throughput ahash signature family plugs into the index and
+    finds the same planted structure (families are internally consistent;
+    they just don't collide with each other)."""
+    from kg_gen_ray.functions.fast_text import minhash_signatures_ahash
+
+    idx = StreamingDedupIndex(n_shards=2,
+                              signatures=minhash_signatures_ahash)
+    kept = sorted(r["doc_id"] for r in
+                  idx.filter_new(corpus().repartition(1)).take_all())
+    assert kept == [0, 3, 4]
