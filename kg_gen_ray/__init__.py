@@ -73,6 +73,8 @@ def __getattr__(name):
                              "contaminated_ids"),
         "scrub_pii": ("kg_gen_ray.functions.scrub", "scrub_pii"),
         "scrub_report": ("kg_gen_ray.functions.scrub", "scrub_report"),
+        "prepare_training_data": ("kg_gen_ray.pipelines.hygiene",
+                                  "prepare_training_data"),
     }
     if name in _API:
         import importlib

@@ -1,0 +1,123 @@
+"""End-to-end training-data hygiene pipeline.
+
+The composition a pretraining-data team actually runs over a crawl,
+assembled from the engine's operator families in the canonical order —
+each stage a streaming Ray Data transform, so the corpus flows through
+with backpressure and nothing materializes except the tiny survivor-id
+and benchmark intermediates:
+
+1. **scrub** PII (vectorized RE2 redaction — rewrite before any hashing
+   so fingerprints reflect the text that will actually ship),
+2. **decontaminate** against the eval benchmark (k-gram flags; broadcast
+   searchsorted or bloom+semi-join dual, size-selected),
+3. **near-dup dedup** (MinHash-LSH -> components -> keep-lowest; the
+   batch path — use :class:`kg_gen_ray.state.dedup_index.
+   StreamingDedupIndex` instead for incremental ingest),
+4. **stratified cap** per group (language/domain budget, deterministic
+   smallest-md5 selection),
+5. **pack** into token-budget training sequences (greedy whole-doc fold
+   per shard).
+
+Returns the packed assignment plus the per-stage row counts — the audit
+trail that belongs next to every prepared dataset.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data
+
+
+@dataclass
+class HygieneResult:
+    packed: "ray.data.Dataset"      # (group, doc_id, seq_id, n_tokens)
+    clean_docs: "ray.data.Dataset"  # scrubbed, decontaminated, deduped, capped
+    counts: dict = field(default_factory=dict)   # stage -> rows surviving
+
+
+def prepare_training_data(docs: "ray.data.Dataset",
+                          benchmark: "ray.data.Dataset | None" = None,
+                          k_contam: int = 8,
+                          group_col: str = "lang",
+                          per_group_cap: int | None = None,
+                          max_tokens: int = 2048,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          dedup_method: str = "fast",
+                          count_stages: bool = True) -> HygieneResult:
+    """Run the five-stage hygiene flow. ``benchmark=None`` skips
+    decontamination; ``per_group_cap=None`` skips the stratified cap.
+    ``count_stages=False`` skips the per-stage counts (each count
+    executes the lineage prefix once — cheap at audit time, skippable
+    when only the final dataset matters)."""
+    from kg_gen_ray.functions.decontaminate import decontaminate
+    from kg_gen_ray.functions.dedup import drop_ids, near_dup_canonical
+    from kg_gen_ray.functions.scrub import scrub_pii
+    from kg_gen_ray.functions.sessions import (
+        pack_sequences, stratified_sample)
+
+    counts: dict = {}
+
+    def note(name, ds):
+        if count_stages:
+            counts[name] = ds.count()
+        return ds
+
+    cur = note("input", docs)
+    cur = note("scrubbed", scrub_pii(cur, text_col))
+
+    if benchmark is not None:
+        cur = note("decontaminated",
+                   decontaminate(cur, benchmark, k_contam,
+                                 id_col, text_col))
+
+    survivors = near_dup_canonical(
+        cur.map_batches(lambda t, i=id_col, x=text_col:
+                        t.select([i, x]).rename_columns(["doc_id", "text"]),
+                        batch_format="pyarrow"),
+        method=dedup_method)
+    cur = note("deduped", _keep_ids(cur, survivors, id_col))
+
+    if per_group_cap is not None:
+        cur = note("capped",
+                   stratified_sample(cur, group_col, per_group_cap,
+                                     id_col, text_col))
+
+    packed = pack_sequences(cur, max_tokens, group_col, id_col, text_col)
+    return HygieneResult(packed=packed, clean_docs=cur, counts=counts)
+
+
+def _keep_ids(ds: "ray.data.Dataset", keep: "ray.data.Dataset",
+              id_col: str,
+              broadcast_limit: int = 64 * 1024 * 1024
+              ) -> "ray.data.Dataset":
+    """Semi-filter ``ds`` to the survivor id set — the positive twin of
+    :func:`kg_gen_ray.functions.dedup.drop_ids`, same size-selected
+    broadcast/join duals."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from kg_gen_ray.stages.common import in_set_mask
+
+    keep = keep.materialize()
+    if (keep.size_bytes() or 0) <= broadcast_limit:
+        ids = set()
+        for b in keep.iter_batches(batch_format="pyarrow"):
+            ids.update(b["doc_id"].to_pylist())
+        ref = _ray.put(ids)
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(in_set_mask(t[id_col], ref))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    keyed = keep.repartition(n_parts).map_batches(
+        lambda t, c=id_col: pa.table({
+            c: pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    return ds.repartition(n_parts).join(
+        keyed, join_type="inner", on=(id_col,), num_partitions=n_parts)
