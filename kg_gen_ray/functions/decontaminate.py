@@ -146,12 +146,25 @@ def decontaminate(docs: "ray.data.Dataset",
                   id_col: str = "doc_id", text_col: str = "text",
                   broadcast_limit: int = 64 * 1024 * 1024
                   ) -> "ray.data.Dataset":
-    """docs minus every contaminated row (exact — see module note)."""
-    from kg_gen_ray.functions.dedup import drop_ids
+    """docs minus every contaminated row (exact — see module note).
+
+    The anti-filter runs in two steps so the FULL-TEXT lineage executes
+    exactly once: survivor ids are derived on an id-only projection
+    (cheap to re-execute inside drop_ids' large dual), then one
+    ``keep_ids`` pass — whose bloom branch drops non-survivors without
+    re-reading anything — restricts the real rows."""
+    from kg_gen_ray.functions.dedup import drop_ids, keep_ids
     flagged = contaminated_ids(docs, benchmark, k, id_col, text_col,
                                broadcast_limit)
-    if id_col != "doc_id":   # drop_ids keys its loser side by "doc_id"
+    if id_col != "doc_id":   # drop_ids/keep_ids key their small side this way
         flagged = flagged.map_batches(
             lambda t: t.rename_columns(["doc_id"]),
             batch_format="pyarrow")
-    return drop_ids(docs, flagged, id_col, broadcast_limit)
+    ids_only = docs.map_batches(
+        lambda t, c=id_col: t.select([c]), batch_format="pyarrow")
+    survivors = drop_ids(ids_only, flagged, id_col, broadcast_limit)
+    if id_col != "doc_id":
+        survivors = survivors.map_batches(
+            lambda t: t.rename_columns(["doc_id"]),
+            batch_format="pyarrow")
+    return keep_ids(docs, survivors, id_col, broadcast_limit)

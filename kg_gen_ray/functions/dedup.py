@@ -573,3 +573,42 @@ def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
         survivors = survivors.select_columns(in_cols)
         return definite_keep.union(survivors)
     return survivors
+
+
+def keep_ids(ds: "ray.data.Dataset", keepers: "ray.data.Dataset",
+             id_col: str, broadcast_limit: int = 64 * 1024 * 1024,
+             bloom_prefilter: bool = True) -> "ray.data.Dataset":
+    """Semi-filter ``ds`` to the keeper id set — the positive twin of
+    :func:`drop_ids`, same size-selected duals. ``keepers`` must carry a
+    ``doc_id`` column. Large dual: a Bloom bitset drops definite
+    non-keepers without any exchange (no false negatives, so no keeper
+    is ever lost) and only bloom-positive rows — keepers + ~1% false
+    positives, which the inner join then removes — are shuffled. One
+    pass over ``ds`` either way."""
+    import ray as _ray
+
+    keepers = keepers.materialize()
+    if (keepers.size_bytes() or 0) <= broadcast_limit:
+        kept = set()
+        for b in keepers.iter_batches(batch_format="pyarrow"):
+            kept.update(b["doc_id"].to_pylist())
+        ref = _ray.put(kept)
+
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(in_set_mask(t[id_col], ref))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    if bloom_prefilter:
+        from kg_gen_ray.functions.sketch import bloom_build
+        bloom = bloom_build(keepers, "doc_id")
+        ds = ds.map_batches(
+            lambda t, bloom=bloom: t.filter(bloom.contains_mask(t[id_col])),
+            batch_format="pyarrow")
+    keyed = keepers.repartition(n_parts).map_batches(
+        lambda t, c=id_col: pa.table({
+            c: pc.cast(t["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    return ds.repartition(n_parts).join(
+        keyed, join_type="inner", on=(id_col,), num_partitions=n_parts)

@@ -24,14 +24,20 @@ PII_PATTERNS: list = [
      "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d\-\s()]{7,}\d", "<PHONE>"),
+    # NANP-shaped (optional 1-2 digit country code, 3-3-4 grouping) — a
+    # loose digit-run pattern redacts legitimate numeric text (year
+    # lists, score tables), which for a TRAINING corpus is worse than
+    # missing an exotic international format
+    ("phone",
+     r"(?:\+?\d{1,2}[\s.-]?)?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}\b",
+     "<PHONE>"),
 ]
 
 
 def scrub_pii(ds: "ray.data.Dataset", text_col: str = "text",
               patterns: list | None = None) -> "ray.data.Dataset":
     """Redact every pattern match in ``text_col``, in pattern order."""
-    pats = patterns or PII_PATTERNS
+    pats = PII_PATTERNS if patterns is None else patterns
 
     def fn(t: pa.Table) -> pa.Table:
         col = pc.cast(t[text_col], pa.string())
@@ -51,7 +57,7 @@ def scrub_report(ds: "ray.data.Dataset", text_col: str = "text",
     text each pattern actually saw (so overlapping patterns never
     double-count), via per-batch vectorized counts merged by addition —
     a constant-size combiner like the sketches."""
-    pats = patterns or PII_PATTERNS
+    pats = PII_PATTERNS if patterns is None else patterns
     names = [p[0] for p in pats]
 
     def partial(t: pa.Table) -> pa.Table:

@@ -52,7 +52,7 @@ def prepare_training_data(docs: "ray.data.Dataset",
     executes the lineage prefix once — cheap at audit time, skippable
     when only the final dataset matters)."""
     from kg_gen_ray.functions.decontaminate import decontaminate
-    from kg_gen_ray.functions.dedup import drop_ids, near_dup_canonical
+    from kg_gen_ray.functions.dedup import keep_ids, near_dup_canonical
     from kg_gen_ray.functions.scrub import scrub_pii
     from kg_gen_ray.functions.sessions import (
         pack_sequences, stratified_sample)
@@ -77,7 +77,7 @@ def prepare_training_data(docs: "ray.data.Dataset",
                         t.select([i, x]).rename_columns(["doc_id", "text"]),
                         batch_format="pyarrow"),
         method=dedup_method)
-    cur = note("deduped", _keep_ids(cur, survivors, id_col))
+    cur = note("deduped", keep_ids(cur, survivors, id_col))
 
     if per_group_cap is not None:
         cur = note("capped",
@@ -86,38 +86,3 @@ def prepare_training_data(docs: "ray.data.Dataset",
 
     packed = pack_sequences(cur, max_tokens, group_col, id_col, text_col)
     return HygieneResult(packed=packed, clean_docs=cur, counts=counts)
-
-
-def _keep_ids(ds: "ray.data.Dataset", keep: "ray.data.Dataset",
-              id_col: str,
-              broadcast_limit: int = 64 * 1024 * 1024
-              ) -> "ray.data.Dataset":
-    """Semi-filter ``ds`` to the survivor id set — the positive twin of
-    :func:`kg_gen_ray.functions.dedup.drop_ids`, same size-selected
-    broadcast/join duals."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    import ray as _ray
-
-    from kg_gen_ray.stages.common import in_set_mask
-
-    keep = keep.materialize()
-    if (keep.size_bytes() or 0) <= broadcast_limit:
-        ids = set()
-        for b in keep.iter_batches(batch_format="pyarrow"):
-            ids.update(b["doc_id"].to_pylist())
-        ref = _ray.put(ids)
-
-        def f(t: pa.Table) -> pa.Table:
-            return t.filter(in_set_mask(t[id_col], ref))
-
-        return ds.map_batches(f, batch_format="pyarrow")
-
-    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
-    keyed = keep.repartition(n_parts).map_batches(
-        lambda t, c=id_col: pa.table({
-            c: pc.cast(t["doc_id"], pa.int64())}),
-        batch_format="pyarrow")
-    return ds.repartition(n_parts).join(
-        keyed, join_type="inner", on=(id_col,), num_partitions=n_parts)

@@ -434,11 +434,21 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
         from kg_gen_ray.stages.common import in_set_mask
         keyed = keyed.materialize()   # consumed twice: sketch + level 1
         n_tot = keyed.count()
+        # ceil division so the undercount bound n/capacity stays strictly
+        # <= hot_threshold/2 whenever the 2^20-counter cap doesn't bind
         capacity = max(256, min(1 << 20,
-                                (2 * n_tot) // max(1, hot_threshold)))
+                                -(-2 * n_tot // max(1, hot_threshold))))
+        # when the cap DOES bind (n_tot > ~hot_threshold * 2^19), the MG
+        # bound coarsens; raising the effective threshold to 2*(n/cap)
+        # keeps the no-missed-hot-keys guarantee TRUE at the coarser
+        # granularity instead of silently broken — a key the sketch can
+        # no longer certify as below-threshold simply keeps its salt
+        # evidence bar honest. (freq > eff  =>  counter >= freq - n/cap
+        # > eff/2, so the cut below never misses it.)
+        eff_threshold = max(hot_threshold, 2 * (n_tot // capacity))
         hot = [v for v, cmin, _cmax in heavy_hitters(
             keyed.select_columns(["norm_key"]), "norm_key", capacity)
-            if cmin > hot_threshold // 2]
+            if cmin > eff_threshold // 2]
         hot_ref = ray.put(set(hot))
 
         def desalt(t: pa.Table, hot_ref=hot_ref) -> pa.Table:

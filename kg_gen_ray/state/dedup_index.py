@@ -25,8 +25,12 @@ survive — regardless of batch concurrency.
 
 Semantics notes (inherent to streaming dedup, documented not hidden):
 
-* WHICH of two near-dups survives depends on arrival order; drive the
-  stream deterministically (e.g. ordered shards) for replayable runs.
+* A doc is flagged only when a band owner has a LOWER id (see
+  ``filter_new``): with monotonically increasing ids — the normal
+  ingest pattern, new crawl ids above the indexed corpus — this is
+  exactly first-seen-wins, and concurrent races between near-dups can
+  only degrade to keeping both (a missed dedup a later batch pass can
+  catch), never to dropping every copy.
 * A doc flagged dup via one band may already have registered its other
   bands; later matches on those bands attribute to the dropped doc.
   That is the standard transitive-closure semantics of LSH dedup — the
@@ -137,8 +141,15 @@ class StreamingDedupIndex:
                                                        row_doc[m])))
             for m, fut in pending:
                 owner[m] = ray.get(fut)
-            # doc is a dup if ANY of its bands hit an existing owner
-            hit_docs = np.unique(row_doc[owner >= 0])
+            # doc is a dup ONLY if a band hit an owner with a LOWER id.
+            # The strict inequality is load-bearing: two near-dups racing
+            # in concurrent tasks can each win a band on a different
+            # shard; an unconditional any-hit rule then flags BOTH and
+            # silently loses every copy of the content. With owner < doc,
+            # the lower id is never flagged by the higher one, so a race
+            # degrades to keeping both (a missed dedup the next batch
+            # pass can still catch) — never to data loss.
+            hit_docs = np.unique(row_doc[(owner >= 0) & (owner < row_doc)])
             doc_ids = sig["doc_id"].to_numpy(zero_copy_only=False)
             keep = ~np.isin(doc_ids, hit_docs)
             return t.filter(pa.array(keep))
@@ -151,19 +162,43 @@ class StreamingDedupIndex:
         return sum(ray.get([s.n_keys.remote() for s in self.shards]))
 
     def save(self, path: str) -> None:
-        """One Parquet file per shard under ``path`` — the partitioned,
-        resumable checkpoint layout."""
+        """One Parquet file per shard under ``path`` plus a manifest —
+        the partitioned, resumable checkpoint layout. The manifest pins
+        the shard count: routing is ``key % n_shards``, so restoring
+        with a different count would silently send keys away from the
+        entries that hold them."""
+        import json
         import os
         os.makedirs(path, exist_ok=True)
         tables = ray.get([s.snapshot.remote() for s in self.shards])
         for i, t in enumerate(tables):
             pq.write_table(t, os.path.join(path, f"shard-{i:05d}.parquet"))
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump({"n_shards": self.n_shards}, f)
 
     @classmethod
     def load(cls, path: str, signatures=None) -> "StreamingDedupIndex":
+        """Restore a saved index. Raises on a missing/empty checkpoint or
+        a shard-file/manifest mismatch — a silently empty or misrouted
+        index admits every duplicate, which must never happen quietly.
+        Pass the SAME ``signatures`` family the index was built with
+        (band keys from different families never collide)."""
         import glob
+        import json
         import os
         files = sorted(glob.glob(os.path.join(path, "shard-*.parquet")))
+        if not files:
+            raise FileNotFoundError(
+                f"no band-index checkpoint at {path!r}")
+        mpath = os.path.join(path, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                expected = json.load(f)["n_shards"]
+            if expected != len(files):
+                raise ValueError(
+                    f"checkpoint at {path!r} has {len(files)} shard "
+                    f"files but the manifest says {expected} — refusing "
+                    "to restore a misrouted index")
         idx = cls(n_shards=len(files), signatures=signatures)
         ray.get([s.restore.remote(pq.read_table(f))
                  for s, f in zip(idx.shards, files)])

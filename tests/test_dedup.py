@@ -126,3 +126,22 @@ def test_drop_ids_bloom_join_dual_exact(ray_session):
         bloom_prefilter=False).take_all())
     expect = [i for i in range(500) if i % 3 != 0]
     assert broadcast == bloomed == plain == expect
+
+
+def test_keep_ids_duals_exact(ray_session):
+    """keep_ids (positive twin of drop_ids): broadcast, plain join, and
+    bloom-prefiltered join paths agree exactly."""
+    from kg_gen_ray.functions.dedup import keep_ids
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "v": pa.array([i * 2 for i in range(400)], pa.int64())}))
+    keepers = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(0, 400, 5), pa.int64())}))
+    expect = sorted(range(0, 400, 5))
+
+    for kw in ({}, {"broadcast_limit": 0},
+               {"broadcast_limit": 0, "bloom_prefilter": False}):
+        got = sorted(r["doc_id"] for r in
+                     keep_ids(ds, keepers, "doc_id", **kw).take_all())
+        assert got == expect

@@ -88,3 +88,56 @@ def test_ahash_family_same_survivors(ray_session):
     kept = sorted(r["doc_id"] for r in
                   idx.filter_new(corpus().repartition(1)).take_all())
     assert kept == [0, 3, 4]
+
+
+def test_race_cannot_drop_both_copies(ray_session):
+    """Adversarial owner pattern: doc 30 owns one shared band, doc 31
+    owns the other (the worst-case interleaving of two concurrent
+    tasks). The owner<doc rule must keep the LOWER id; an any-hit rule
+    would drop both. Simulated by pre-seeding the shards exactly as the
+    race would leave them."""
+    import ray as _ray
+    import numpy as np
+
+    from kg_gen_ray.functions.fast_text import (
+        band_keys_from_sig, minhash_signatures_fast)
+
+    base = " ".join(f"r{i}" for i in range(40))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([30, 31], pa.int64()),
+        "text": pa.array([base, base + " tail"], pa.string())}))
+
+    idx = StreamingDedupIndex(n_shards=1)
+    # seed: every band of doc 30 owned by 31 and vice versa — the state
+    # after each task won the other's race
+    t = pa.table({"doc_id": pa.array([30, 31], pa.int64()),
+                  "text": pa.array([base, base + " tail"], pa.string())})
+    rows = band_keys_from_sig(minhash_signatures_fast(t))
+    keys = rows["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    owners = rows["doc_id"].to_numpy(zero_copy_only=False)
+    flipped = np.where(owners == 30, 31, 30).astype(np.int64)
+    _ray.get(idx.shards[0].check_add.remote(keys, flipped))
+
+    kept = sorted(r["doc_id"] for r in idx.filter_new(docs).take_all())
+    assert 30 in kept          # lower id never flagged by the higher
+
+
+def test_load_refuses_missing_or_torn_checkpoint(ray_session, tmp_path):
+    import os
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        StreamingDedupIndex.load(str(tmp_path / "nope"))
+
+    base = " ".join(f"s{i}" for i in range(40))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([base], pa.string())}))
+    idx = StreamingDedupIndex(n_shards=3)
+    idx.filter_new(docs).count()
+    ckpt = str(tmp_path / "ck")
+    idx.save(ckpt)
+    os.remove(os.path.join(ckpt, "shard-00001.parquet"))
+    with pytest.raises(ValueError):
+        StreamingDedupIndex.load(ckpt)

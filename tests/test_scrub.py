@@ -60,3 +60,24 @@ def test_scrub_report_counts(ray_session):
     assert rep["ssn"] == 1
     assert rep["ipv4"] == 2
     assert rep["phone"] == 1
+
+
+def test_phone_pattern_leaves_numeric_prose_alone(ray_session):
+    """Regression: a loose digit-run pattern redacted year lists and
+    score tables; the NANP-shaped pattern must not."""
+    texts = ["scores were 2020 2021 2022 in the three seasons",
+             "pi is 3.14159 26535 okay",
+             "en 1984 y 2001 hubo elecciones"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = [r["text"] for r in scrub_pii(ds).take_all()]
+    assert sorted(out) == sorted(texts)
+
+
+def test_empty_pattern_list_means_no_scrub(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["mail a@b.com now"], pa.string())}))
+    out = scrub_pii(ds, patterns=[]).take_all()[0]["text"]
+    assert out == "mail a@b.com now"
