@@ -75,6 +75,9 @@ def __getattr__(name):
         "scrub_report": ("kg_gen_ray.functions.scrub", "scrub_report"),
         "prepare_training_data": ("kg_gen_ray.pipelines.hygiene",
                                   "prepare_training_data"),
+        "pq_train": ("kg_gen_ray.functions.pq", "pq_train"),
+        "pq_encode": ("kg_gen_ray.functions.pq", "pq_encode"),
+        "pq_topk": ("kg_gen_ray.functions.pq", "pq_topk"),
     }
     if name in _API:
         import importlib

@@ -1,0 +1,144 @@
+"""Product quantization — the memory-scale path for similarity search.
+
+At 10^12 documents a float32 embedding table (d=768 -> 3 KB/vector) is
+~3 PB; PQ compresses each vector to ``m`` uint8 codes (one per subspace,
+256 centroids each) — 8-96x smaller — and searches with asymmetric
+distance computation (ADC): the query builds an (m, 256) lookup table
+once, and a candidate's approximate dot product is ``m`` table lookups
+summed, no float decode of the corpus anywhere. The standard IVF-PQ
+recipe (Jegou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011; the FAISS default) re-expressed Ray-Data-first:
+
+* **train** on a driver-side SAMPLE (codebooks are (m, 256, d/m) — a few
+  hundred KB; FAISS likewise trains on a sample, and shipping the sample
+  beats an m*k-way distributed k-means for state this small),
+* **encode** as a streaming ``map_batches`` (one matmul per subspace per
+  batch, output a fixed-width binary column — Arrow-friendly, spillable),
+* **search** with the same partial-top-k-per-block + driver-merge shape
+  as :func:`kg_gen_ray.functions.ann.brute_force_topk` — only k rows
+  leave each block.
+
+Scores are inner products on L2-normalized inputs (= cosine); exactness
+is bounded by quantization error, so recall is tested against the exact
+path, not equality.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# module-level (pickle-by-value compatibility)
+from kg_gen_ray.functions.ann import _mat
+
+
+def _lloyd(x: np.ndarray, k: int, n_iter: int, seed: int) -> np.ndarray:
+    """Plain numpy Lloyd's over a sample -> (k, d) centroids,
+    deterministic via the seeded generator."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        # (n, k) squared distances via the expansion trick
+        d2 = ((x ** 2).sum(1)[:, None] - 2.0 * (x @ cents.T)
+              + (cents ** 2).sum(1)[None, :])
+        assign = np.argmin(d2, axis=1)
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(embeddings: "ray.data.Dataset", m: int = 4,
+             n_centroids: int = 256, sample_rows: int = 16384,
+             n_iter: int = 10, seed: int = 0,
+             col: str = "embedding") -> np.ndarray:
+    """Train per-subspace codebooks -> (m, n_centroids, d//m) float64.
+    ``d`` must divide by ``m``. The sample is the dataset's leading rows
+    (deterministic); pass a pre-shuffled/hash-sampled dataset when the
+    leading rows aren't representative."""
+    sample = _mat(pa.table({col: pa.array(
+        [r[col] for r in embeddings.limit(sample_rows).take_all()])}), col)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    sub = d // m
+    return np.stack([
+        _lloyd(sample[:, i * sub:(i + 1) * sub], n_centroids,
+               n_iter, seed + i)
+        for i in range(m)])
+
+
+def pq_encode(embeddings: "ray.data.Dataset", codebooks: np.ndarray,
+              id_col: str = "vec_id", col: str = "embedding"
+              ) -> "ray.data.Dataset":
+    """(id, codes) with ``codes`` an m-byte binary column — each byte the
+    nearest centroid of that subspace. One (n, 256) matmul per subspace
+    per batch; codebooks broadcast once via ``ray.put``."""
+    cb_ref = ray.put(codebooks)
+    m, _k, sub = codebooks.shape
+
+    def encode(t: pa.Table, cb_ref=cb_ref) -> pa.Table:
+        cb = ray.get(cb_ref)
+        x = _mat(t, col)
+        if not x.shape[0]:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.binary())})
+        codes = np.empty((x.shape[0], m), dtype=np.uint8)
+        for i in range(m):
+            xs = x[:, i * sub:(i + 1) * sub]
+            c = cb[i]
+            d2 = ((xs ** 2).sum(1)[:, None] - 2.0 * (xs @ c.T)
+                  + (c ** 2).sum(1)[None, :])
+            codes[:, i] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: pa.array(
+                t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+        })
+
+    return embeddings.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
+            query: np.ndarray, k: int = 10,
+            id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC top-k over encoded vectors: build the (m, 256) query-to-
+    centroid inner-product table once, score each batch with vectorized
+    table lookups (never decoding the corpus), keep k per block, merge on
+    the driver. Deterministic (score desc, id asc) order."""
+    m, n_cent, sub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    table = np.stack([codebooks[i] @ q[i * sub:(i + 1) * sub]
+                      for i in range(m)])          # (m, n_cent)
+    t_ref = ray.put(table)
+
+    def partial(t: pa.Table, t_ref=t_ref) -> pa.Table:
+        lut = ray.get(t_ref)
+        blobs = t["codes"].to_pylist()
+        if not blobs:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        codes = np.frombuffer(b"".join(blobs),
+                              dtype=np.uint8).reshape(len(blobs), m)
+        scores = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order].astype(np.int64)),
+            "score": pa.array(scores[order], pa.float64()),
+        })
+
+    parts = codes_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    top = heapq.nsmallest(k, parts, key=lambda r: (-r["score"], r[id_col]))
+    return pd.DataFrame({
+        id_col: pd.Series([r[id_col] for r in top], dtype="int64"),
+        "score": [r["score"] for r in top],
+    })
