@@ -432,6 +432,17 @@ def run_hygiene() -> dict:
                                signatures=minhash_signatures_ahash)
     timed("streaming_dedup_index_ahash",
           lambda: idx2.filter_new(docs_ds()).count())
+
+    # e2e composition WITHOUT the benchmark stage: the templated
+    # synthetic corpus shares k-grams with any sample of itself, so a
+    # contamination pass would empty the pipeline and make the
+    # dedup/cap/pack stages trivial — decontaminate's own row above
+    # already measures that stage at full volume
+    from kg_gen_ray.pipelines.hygiene import prepare_training_data
+    timed("hygiene_pipeline_e2e",
+          lambda: prepare_training_data(
+              docs_ds(), benchmark=None, per_group_cap=50_000,
+              max_tokens=2048, count_stages=False).packed.count())
     out = {
         "metric": "hygiene_pages_per_sec",
         "value": min(v["pages_per_sec"] for v in timings.values()),

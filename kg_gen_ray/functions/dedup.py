@@ -128,16 +128,21 @@ def band_rows(batch: pa.Table) -> pa.Table:
 
 
 def minhash_lsh_pairs(docs: "ray.data.Dataset",
-                      shuffle_partitions=None) -> "ray.data.Dataset":
+                      shuffle_partitions=None,
+                      pair_mode: str = "all") -> "ray.data.Dataset":
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Almost every bucket holds exactly one doc, so pairing work is gated by
     a *hot-bucket prefilter*: a vectorized Count aggregate finds buckets
     with >= 2 docs (a tiny set by construction), that key set is broadcast,
-    and only matching band rows reach the per-bucket pairing groupby. A
-    pathological mega-bucket means the corpus is dominated by one template
-    and should be capped upstream. Output distinct (doc_a, doc_b),
-    doc_a < doc_b.
+    and only matching band rows reach the per-bucket pairing groupby.
+    Output distinct (doc_a, doc_b), doc_a < doc_b.
+
+    ``pair_mode="chain"`` links consecutive sorted ids per bucket instead
+    of all O(b^2) combinations — identical connected components at O(b)
+    pairs, the right mode for any consumer that feeds a components pass
+    (a template-dominated corpus turns one bucket into 10^5 docs, where
+    "all" is billions of pairs; see the fast-family docstring).
     """
     import ray
     from ray.data.aggregate import Count
@@ -165,6 +170,8 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset",
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
+        if pair_mode == "chain":
+            return pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
         combos = list(itertools.combinations(ids, 2))
         return pd.DataFrame({
             "doc_a": [a for a, _ in combos],
@@ -444,11 +451,17 @@ def near_dup_canonical(docs: "ray.data.Dataset",
     unconditional O(duplicates) driver collection anywhere."""
     from kg_gen_ray.functions.fast_text import minhash_lsh_pairs_fast
 
+    # chain pairing: this consumer only needs the components, and chain
+    # pairs give identical components at O(bucket) instead of O(bucket^2)
+    # — the difference between minutes and never-finishes on a
+    # template-dominated crawl
     if method == "md5":
-        pairs = minhash_lsh_pairs(docs, shuffle_partitions)
+        pairs = minhash_lsh_pairs(docs, shuffle_partitions,
+                                  pair_mode="chain")
     else:
         pairs = minhash_lsh_pairs_fast(docs, shuffle_partitions,
-                                       broadcast_limit=broadcast_limit)
+                                       broadcast_limit=broadcast_limit,
+                                       pair_mode="chain")
     losers = pair_graph_losers(pairs, broadcast_limit,
                                max_label_iter=max_label_iter)
     return drop_ids(docs.select_columns(["doc_id"]), losers, "doc_id",

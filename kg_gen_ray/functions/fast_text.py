@@ -340,7 +340,8 @@ def band_keys_from_sig(sig: pa.Table,
 
 def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
                            signatures=minhash_signatures_fast,
-                           broadcast_limit: int = 64 * 1024 * 1024):
+                           broadcast_limit: int = 64 * 1024 * 1024,
+                           pair_mode: str = "all"):
     """LSH candidate pairs over u64 signatures (2 bands x 2 rows for the
     default 4 hashes) — distinct (doc_a, doc_b), doc_a < doc_b.
 
@@ -355,7 +356,15 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
     the cluster — and pairing runs as a per-bucket groupby.
     ``signatures`` is pluggable (default: the oracle-parity md5-u32
     family; pass a polars-ahash wrapper for maximum throughput where
-    oracle reproducibility is not needed)."""
+    oracle reproducibility is not needed).
+
+    ``pair_mode``: ``"all"`` (default) emits every in-bucket pair — the
+    oracle-comparable candidate list, O(b^2) per bucket; ``"chain"``
+    links consecutive sorted ids only — O(b) pairs with IDENTICAL
+    connected components, which is all a dedup-canonical consumer needs.
+    On a template-dominated corpus (one bucket holding 10^5 docs) "all"
+    is 5*10^9 pairs and "chain" is 10^5; use "chain" for anything that
+    feeds a components pass."""
     import ray
     from ray.data.aggregate import Count
 
@@ -388,6 +397,17 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
         d = np.concatenate(docs_np).astype(np.int64)
         order = np.lexsort((d, k))
         k, d = k[order], d[order]
+        if pair_mode == "chain":
+            # consecutive distinct ids within a bucket (sorted, so equal
+            # ids are contiguous and every distinct neighbor is adjacent)
+            # — fully vectorized, O(rows) output
+            m = (k[1:] == k[:-1]) & (d[1:] != d[:-1])
+            stacked = np.stack([d[:-1][m], d[1:][m]], axis=1)
+            uniq = np.unique(stacked, axis=0) if len(stacked) \
+                else stacked.reshape(0, 2)
+            return ray.data.from_arrow(pa.table({
+                "doc_a": pa.array(uniq[:, 0], pa.int64()),
+                "doc_b": pa.array(uniq[:, 1], pa.int64())}))
         bnd = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
         sizes = np.diff(np.concatenate([bnd, [len(k)]]))
         seen = set()
@@ -425,6 +445,8 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
         # group — without dedup the group would emit a (x, x) self-pair,
         # violating doc_a < doc_b and diverging from the driver dual
         ids = sorted(set(g["doc_id"].tolist()))
+        if pair_mode == "chain":
+            return pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
         a, b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):

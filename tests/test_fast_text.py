@@ -193,3 +193,58 @@ def test_winnow_fingerprints_brute_force_parity():
     fps0 = {r["fp"] for r in g2 if r["doc_id"] == 0}
     fps1 = {r["fp"] for r in g2 if r["doc_id"] == 1}
     assert fps0 == fps1 and fps0
+
+
+def test_chain_pairs_same_components_as_all(ray_session):
+    """pair_mode='chain' must yield the same connected components (and
+    so the same dedup survivors) as 'all', at O(b) pairs per bucket —
+    checked on both duals."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.fast_text import minhash_lsh_pairs_fast
+
+    base = " ".join(f"c{i}" for i in range(40))
+    texts = [base, base + " t1", base + " t2", base.replace("c39", "c99"),
+             " ".join(f"d{i}" for i in range(40))]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    def comps(pairs_ds):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs_ds.take_all():
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    for kw in ({}, {"broadcast_limit": 0}):
+        all_c = comps(minhash_lsh_pairs_fast(docs, pair_mode="all", **kw))
+        chain_c = comps(minhash_lsh_pairs_fast(docs, pair_mode="chain",
+                                               **kw))
+        assert all_c == chain_c
+
+
+def test_chain_pairs_linear_on_mega_bucket(ray_session):
+    """A 300-copy template bucket: 'chain' emits O(n) pairs (the 'all'
+    mode would emit ~45k from this bucket alone)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.fast_text import minhash_lsh_pairs_fast
+
+    base = " ".join(f"m{i}" for i in range(30))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "text": pa.array([base] * 300, pa.string())}))
+    n_pairs = minhash_lsh_pairs_fast(docs, pair_mode="chain").count()
+    assert n_pairs == 299
