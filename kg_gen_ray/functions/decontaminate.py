@@ -148,11 +148,14 @@ def decontaminate(docs: "ray.data.Dataset",
                   ) -> "ray.data.Dataset":
     """docs minus every contaminated row (exact — see module note).
 
-    The anti-filter runs in two steps so the FULL-TEXT lineage executes
-    exactly once: survivor ids are derived on an id-only projection
-    (cheap to re-execute inside drop_ids' large dual), then one
-    ``keep_ids`` pass — whose bloom branch drops non-survivors without
-    re-reading anything — restricts the real rows."""
+    Size-selected on the FLAGGED side: normally a benchmark leaks into
+    a tiny fraction of the corpus, so the flagged set broadcasts and
+    the anti-filter is one streaming pass with no shuffle at all. Only
+    when the flagged set outgrows the broadcast budget (a
+    benchmark-saturated corpus) does the two-step route run: survivor
+    ids derived on an id-only projection (cheap to re-execute inside
+    drop_ids' bloom dual), then one ``keep_ids`` pass over the full
+    rows — full-text lineage executes exactly once either way."""
     from kg_gen_ray.functions.dedup import drop_ids, keep_ids
     flagged = contaminated_ids(docs, benchmark, k, id_col, text_col,
                                broadcast_limit)
@@ -160,6 +163,9 @@ def decontaminate(docs: "ray.data.Dataset",
         flagged = flagged.map_batches(
             lambda t: t.rename_columns(["doc_id"]),
             batch_format="pyarrow")
+    flagged = flagged.materialize()
+    if (flagged.size_bytes() or 0) <= broadcast_limit:
+        return drop_ids(docs, flagged, id_col, broadcast_limit)
     ids_only = docs.map_batches(
         lambda t, c=id_col: t.select([c]), batch_format="pyarrow")
     survivors = drop_ids(ids_only, flagged, id_col, broadcast_limit)

@@ -429,6 +429,34 @@ def simhash_near_dups(docs: "ray.data.Dataset", max_hamming: int = 3,
     return sigs.groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+def near_dup_losers(docs: "ray.data.Dataset",
+                    shuffle_partitions=None, method: str = "fast",
+                    broadcast_limit: int = 64 * 1024 * 1024,
+                    max_label_iter: int = 20) -> "ray.data.Dataset":
+    """(doc_id) rows to DROP — the loser side of
+    :func:`near_dup_canonical`, exposed for callers anti-filtering a
+    wide table: on a healthy corpus losers are a small fraction, so
+    ``drop_ids(wide, losers)`` broadcasts and the filter is one
+    streaming pass with no shuffle (filtering by the SURVIVOR side
+    instead materializes an O(corpus) id set and forces the join dual).
+
+    Chain pairing throughout: this consumer only needs the components,
+    and chain pairs give identical components at O(bucket) instead of
+    O(bucket^2) — the difference between minutes and never-finishes on
+    a template-dominated crawl."""
+    from kg_gen_ray.functions.fast_text import minhash_lsh_pairs_fast
+
+    if method == "md5":
+        pairs = minhash_lsh_pairs(docs, shuffle_partitions,
+                                  pair_mode="chain")
+    else:
+        pairs = minhash_lsh_pairs_fast(docs, shuffle_partitions,
+                                       broadcast_limit=broadcast_limit,
+                                       pair_mode="chain")
+    return pair_graph_losers(pairs, broadcast_limit,
+                             max_label_iter=max_label_iter)
+
+
 def near_dup_canonical(docs: "ray.data.Dataset",
                        shuffle_partitions=None, method: str = "fast",
                        broadcast_limit: int = 64 * 1024 * 1024,
@@ -449,21 +477,8 @@ def near_dup_canonical(docs: "ray.data.Dataset",
     Size-selected duals at both scale-sensitive points (see
     :func:`pair_graph_losers` and :func:`drop_ids`): no O(corpus) or
     unconditional O(duplicates) driver collection anywhere."""
-    from kg_gen_ray.functions.fast_text import minhash_lsh_pairs_fast
-
-    # chain pairing: this consumer only needs the components, and chain
-    # pairs give identical components at O(bucket) instead of O(bucket^2)
-    # — the difference between minutes and never-finishes on a
-    # template-dominated crawl
-    if method == "md5":
-        pairs = minhash_lsh_pairs(docs, shuffle_partitions,
-                                  pair_mode="chain")
-    else:
-        pairs = minhash_lsh_pairs_fast(docs, shuffle_partitions,
-                                       broadcast_limit=broadcast_limit,
-                                       pair_mode="chain")
-    losers = pair_graph_losers(pairs, broadcast_limit,
-                               max_label_iter=max_label_iter)
+    losers = near_dup_losers(docs, shuffle_partitions, method,
+                             broadcast_limit, max_label_iter)
     return drop_ids(docs.select_columns(["doc_id"]), losers, "doc_id",
                     broadcast_limit)
 

@@ -64,6 +64,11 @@ def pq_train(embeddings: "ray.data.Dataset", m: int = 4,
     ``d`` must divide by ``m``. The sample is the dataset's leading rows
     (deterministic); pass a pre-shuffled/hash-sampled dataset when the
     leading rows aren't representative."""
+    if n_centroids > 256:
+        raise ValueError(
+            f"n_centroids={n_centroids} > 256: codes are uint8 (one byte "
+            "per subspace); encoding would silently wrap indices mod 256 "
+            "and corrupt every search result")
     sample = _mat(pa.table({col: pa.array(
         [r[col] for r in embeddings.limit(sample_rows).take_all()])}), col)
     n, d = sample.shape

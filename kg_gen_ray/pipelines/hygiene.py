@@ -52,7 +52,7 @@ def prepare_training_data(docs: "ray.data.Dataset",
     executes the lineage prefix once — cheap at audit time, skippable
     when only the final dataset matters)."""
     from kg_gen_ray.functions.decontaminate import decontaminate
-    from kg_gen_ray.functions.dedup import keep_ids, near_dup_canonical
+    from kg_gen_ray.functions.dedup import drop_ids, near_dup_losers
     from kg_gen_ray.functions.scrub import scrub_pii
     from kg_gen_ray.functions.sessions import (
         pack_sequences, stratified_sample)
@@ -72,12 +72,16 @@ def prepare_training_data(docs: "ray.data.Dataset",
                    decontaminate(cur, benchmark, k_contam,
                                  id_col, text_col))
 
-    survivors = near_dup_canonical(
+    # filter by the LOSER side: losers are the small set on a healthy
+    # corpus, so drop_ids broadcasts and the dedup filter is one
+    # streaming pass — no shuffle (filtering by survivors would
+    # materialize an O(corpus) id set and force the join dual)
+    losers = near_dup_losers(
         cur.map_batches(lambda t, i=id_col, x=text_col:
                         t.select([i, x]).rename_columns(["doc_id", "text"]),
                         batch_format="pyarrow"),
         method=dedup_method)
-    cur = note("deduped", keep_ids(cur, survivors, id_col))
+    cur = note("deduped", drop_ids(cur, losers, id_col))
 
     if per_group_cap is not None:
         cur = note("capped",

@@ -25,12 +25,13 @@ survive — regardless of batch concurrency.
 
 Semantics notes (inherent to streaming dedup, documented not hidden):
 
-* A doc is flagged only when a band owner has a LOWER id (see
-  ``filter_new``): with monotonically increasing ids — the normal
-  ingest pattern, new crawl ids above the indexed corpus — this is
-  exactly first-seen-wins, and concurrent races between near-dups can
-  only degrade to keeping both (a missed dedup a later batch pass can
-  catch), never to dropping every copy.
+* Keep-lowest semantics: a doc is flagged only when a band owner has a
+  LOWER id, and ownership migrates to the minimum id seen (see
+  ``check_add``) — so the rule works for hash-derived ids arriving in
+  any order, not just monotonic streams. Concurrent races between
+  near-dups can only degrade to keeping both (a missed dedup a later
+  batch pass or re-stream can catch, since the recorded owner has
+  converged to the cluster minimum), never to dropping every copy.
 * A doc flagged dup via one band may already have registered its other
   bands; later matches on those bands attribute to the dropped doc.
   That is the standard transitive-closure semantics of LSH dedup — the
@@ -67,10 +68,17 @@ class BandIndexShard:
         self._owners: dict[int, int] = {}
 
     def check_add(self, keys: np.ndarray, docs: np.ndarray) -> np.ndarray:
-        """Atomic batched check-and-add. For each (key, doc) row: return
-        the existing owner doc_id if the key is present, else -1 and
-        record ``doc`` as the key's owner. Earlier rows win within a
-        call; calls serialize on the actor."""
+        """Atomic batched check-and-add with MIN-ID ownership: for each
+        (key, doc) row return the currently recorded owner (-1 if the
+        key is new), then set the owner to min(prev, doc). The migration
+        is what keeps the index effective for ids that do NOT arrive in
+        order (hash-derived ids): without it, a high-id doc that arrives
+        first would shield its band forever — every later lower-id
+        near-dup would be admitted against the high owner and never
+        register, silently disabling dedup for that cluster. With
+        migration the recorded owner converges to the cluster minimum,
+        so future arrivals always compare against it. Calls serialize on
+        the actor."""
         out = np.empty(len(keys), dtype=np.int64)
         owners = self._owners
         for i, (k, d) in enumerate(zip(keys.tolist(), docs.tolist())):
@@ -80,6 +88,8 @@ class BandIndexShard:
                 out[i] = -1
             else:
                 out[i] = prev
+                if d < prev:
+                    owners[k] = d
         return out
 
     def n_keys(self) -> int:
@@ -125,6 +135,11 @@ class StreamingDedupIndex:
             self.shards, self.n_shards, self.signatures
 
         def fn(t: pa.Table) -> pa.Table:
+            # sort the batch by id so lower ids register their bands
+            # first WITHIN a call — in-batch dedup is then deterministic
+            # keep-lowest regardless of the input's row order
+            if "doc_id" in t.column_names:
+                t = t.sort_by([("doc_id", "ascending")])
             sig = signatures(t)
             rows = band_keys_from_sig(sig)
             keys = rows["band_key"].to_numpy(zero_copy_only=False) \
@@ -174,7 +189,9 @@ class StreamingDedupIndex:
         for i, t in enumerate(tables):
             pq.write_table(t, os.path.join(path, f"shard-{i:05d}.parquet"))
         with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump({"n_shards": self.n_shards}, f)
+            json.dump({"n_shards": self.n_shards,
+                       "signatures": getattr(self.signatures, "__name__",
+                                             str(self.signatures))}, f)
 
     @classmethod
     def load(cls, path: str, signatures=None) -> "StreamingDedupIndex":
@@ -193,12 +210,24 @@ class StreamingDedupIndex:
         mpath = os.path.join(path, "manifest.json")
         if os.path.exists(mpath):
             with open(mpath) as f:
-                expected = json.load(f)["n_shards"]
-            if expected != len(files):
+                manifest = json.load(f)
+            if manifest["n_shards"] != len(files):
                 raise ValueError(
                     f"checkpoint at {path!r} has {len(files)} shard "
-                    f"files but the manifest says {expected} — refusing "
-                    "to restore a misrouted index")
+                    f"files but the manifest says "
+                    f"{manifest['n_shards']} — refusing to restore a "
+                    "misrouted index")
+            resolved = signatures or minhash_signatures_fast
+            got_family = getattr(resolved, "__name__", str(resolved))
+            saved_family = manifest.get("signatures")
+            if saved_family is not None and saved_family != got_family:
+                raise ValueError(
+                    f"checkpoint at {path!r} was built with signature "
+                    f"family {saved_family!r} but this load would use "
+                    f"{got_family!r} — band keys from different families "
+                    "never collide, so the restored index would silently "
+                    "admit every duplicate; pass the matching "
+                    "signatures=")
         idx = cls(n_shards=len(files), signatures=signatures)
         ray.get([s.restore.remote(pq.read_table(f))
                  for s, f in zip(idx.shards, files)])

@@ -141,3 +141,50 @@ def test_load_refuses_missing_or_torn_checkpoint(ray_session, tmp_path):
     os.remove(os.path.join(ckpt, "shard-00001.parquet"))
     with pytest.raises(ValueError):
         StreamingDedupIndex.load(ckpt)
+
+
+def test_out_of_order_ids_still_dedup(ray_session):
+    """Hash-derived ids arrive in arbitrary order. Min-id ownership
+    migration must keep the index effective: a high-id doc indexed first
+    must still knock out later near-dups, AND an admitted lower-id doc
+    takes over the band so later mid-ids are caught too (the 'shield'
+    regression)."""
+    base = " ".join(f"o{i}" for i in range(40))
+    inc1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([900], pa.int64()),
+        "text": pa.array([base], pa.string())}))
+    inc2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5], pa.int64()),
+        "text": pa.array([base + " tail"], pa.string())}))
+    inc3 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([50], pa.int64()),
+        "text": pa.array([base + " other"], pa.string())}))
+
+    idx = StreamingDedupIndex(n_shards=2)
+    assert [r["doc_id"] for r in idx.filter_new(inc1).take_all()] == [900]
+    # 5 < 900: admitted (keep-lowest can't be flagged by a higher owner),
+    # and ownership migrates to 5
+    assert [r["doc_id"] for r in idx.filter_new(inc2).take_all()] == [5]
+    # 50 > 5: caught by the migrated owner — without migration the band
+    # would still say 900 and 50 would leak through
+    assert idx.filter_new(inc3).count() == 0
+
+
+def test_load_refuses_signature_family_mismatch(ray_session, tmp_path):
+    import pytest
+
+    from kg_gen_ray.functions.fast_text import minhash_signatures_ahash
+
+    base = " ".join(f"f{i}" for i in range(40))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([base], pa.string())}))
+    idx = StreamingDedupIndex(n_shards=2,
+                              signatures=minhash_signatures_ahash)
+    idx.filter_new(docs).count()
+    ckpt = str(tmp_path / "fam")
+    idx.save(ckpt)
+    with pytest.raises(ValueError):
+        StreamingDedupIndex.load(ckpt)        # default family != ahash
+    ok = StreamingDedupIndex.load(ckpt, signatures=minhash_signatures_ahash)
+    assert ok.n_keys() > 0

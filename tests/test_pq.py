@@ -63,3 +63,11 @@ def test_dim_must_divide(ray_session):
     x = clustered(d=15)
     with pytest.raises(ValueError):
         pq_train(embeddings_ds(x), m=4, sample_rows=100)
+
+
+def test_n_centroids_over_256_rejected(ray_session):
+    import pytest
+
+    x = clustered(n=100)
+    with pytest.raises(ValueError):
+        pq_train(embeddings_ds(x), m=4, n_centroids=512, sample_rows=100)
