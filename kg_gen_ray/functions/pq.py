@@ -147,3 +147,140 @@ def pq_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
         id_col: pd.Series([r[id_col] for r in top], dtype="int64"),
         "score": [r["score"] for r in top],
     })
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + residual product quantization
+# ---------------------------------------------------------------------------
+#
+# The full Jegou/FAISS composition: a coarse k-means partitions the corpus
+# into inverted lists; PQ quantizes the RESIDUAL (x - coarse centroid), which
+# carries far less variance than x itself, so the same code budget yields a
+# much finer cell grid. Search probes only the n_probe lists nearest the
+# query, and the inner product decomposes exactly:
+#
+#   q . x  =  q . c[list]  +  q . residual
+#
+# The first term is one exact scalar per probed list; the second is the same
+# (m, 256) ADC lookup table as flat PQ — and because the residual codebooks
+# are global (not per-list), ONE table serves every probed list. At 10^12
+# docs the probe filter is a partition prune (list_id as a partition column)
+# and the scan touches n_probe/n_lists of the corpus, each row scored by m
+# byte lookups.
+
+
+def _nearest_centroid(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_j ||x - c_j||^2 per row, via the expansion trick (ties ->
+    lowest centroid id, numpy argmin semantics)."""
+    d2 = ((x ** 2).sum(1)[:, None] - 2.0 * (x @ cents.T)
+          + (cents ** 2).sum(1)[None, :])
+    return np.argmin(d2, axis=1)
+
+
+def ivfpq_train(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+                m: int = 4, n_centroids: int = 256,
+                sample_rows: int = 16384, n_iter: int = 10, seed: int = 0,
+                col: str = "embedding") -> np.ndarray:
+    """Train per-subspace codebooks on coarse-assignment residuals ->
+    (m, n_centroids, d//m). ``centroids`` is the coarse quantizer (e.g.
+    :func:`kg_gen_ray.functions.ann.kmeans_centroids`); the sample is the
+    dataset's leading rows, as in :func:`pq_train`."""
+    if n_centroids > 256:
+        raise ValueError(
+            f"n_centroids={n_centroids} > 256: codes are uint8 (one byte "
+            "per subspace)")
+    cents = np.asarray(centroids, dtype=np.float64)
+    sample = _mat(pa.table({col: pa.array(
+        [r[col] for r in embeddings.limit(sample_rows).take_all()])}), col)
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    resid = sample - cents[_nearest_centroid(sample, cents)]
+    sub = d // m
+    return np.stack([
+        _lloyd(resid[:, i * sub:(i + 1) * sub], n_centroids, n_iter,
+               seed + i)
+        for i in range(m)])
+
+
+def ivfpq_encode(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+                 codebooks: np.ndarray, id_col: str = "vec_id",
+                 col: str = "embedding") -> "ray.data.Dataset":
+    """(id, list_id, codes): coarse-assign each vector, PQ-encode its
+    residual. One streaming pass; coarse centroids + codebooks broadcast
+    once together. ``list_id`` is the partition key a real deployment
+    writes the codes table partitioned by."""
+    ref = ray.put((np.asarray(centroids, dtype=np.float64), codebooks))
+    m, _k, sub = codebooks.shape
+
+    def encode(t: pa.Table, ref=ref) -> pa.Table:
+        cents, cb = ray.get(ref)
+        x = _mat(t, col)
+        if not x.shape[0]:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "list_id": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.binary())})
+        assign = _nearest_centroid(x, cents)
+        resid = x - cents[assign]
+        codes = np.empty((x.shape[0], m), dtype=np.uint8)
+        for i in range(m):
+            rs = resid[:, i * sub:(i + 1) * sub]
+            c = cb[i]
+            d2 = ((rs ** 2).sum(1)[:, None] - 2.0 * (rs @ c.T)
+                  + (c ** 2).sum(1)[None, :])
+            codes[:, i] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: pa.array(
+                t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)),
+            "list_id": pa.array(assign.astype(np.int64)),
+            "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+        })
+
+    return embeddings.map_batches(encode, batch_format="pyarrow")
+
+
+def ivfpq_topk(codes_ds: "ray.data.Dataset", centroids: np.ndarray,
+               codebooks: np.ndarray, query: np.ndarray, k: int = 10,
+               n_probe: int = 2, id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC top-k over the ``n_probe`` inverted lists nearest the query.
+
+    score = (q . c[list]) + sum_i LUT[i, code_i] — the list offset is an
+    exact scalar, the residual table is built ONCE for all probed lists.
+    Rows outside the probe set are filtered vectorized before any scoring
+    (at scale: a partition prune on ``list_id``). Deterministic
+    (score desc, id asc)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    m, n_cent, sub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    probe = np.sort(np.argsort(-(cents @ q))[:n_probe]).astype(np.int64)
+    offsets = cents @ q                                  # (n_lists,)
+    lut = np.stack([codebooks[i] @ q[i * sub:(i + 1) * sub]
+                    for i in range(m)])                  # (m, n_cent)
+    ref = ray.put((probe, offsets, lut))
+
+    def partial(t: pa.Table, ref=ref) -> pa.Table:
+        probe_ids, offs, table = ray.get(ref)
+        lists = t["list_id"].to_numpy(zero_copy_only=False)
+        sel = np.isin(lists, probe_ids)
+        if not sel.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        t = t.filter(pa.array(sel))
+        blobs = t["codes"].to_pylist()
+        codes = np.frombuffer(b"".join(blobs),
+                              dtype=np.uint8).reshape(len(blobs), m)
+        scores = (offs[t["list_id"].to_numpy(zero_copy_only=False)]
+                  + table[np.arange(m)[None, :], codes].sum(axis=1))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order].astype(np.int64)),
+            "score": pa.array(scores[order], pa.float64()),
+        })
+
+    parts = codes_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    top = heapq.nsmallest(k, parts, key=lambda r: (-r["score"], r[id_col]))
+    return pd.DataFrame({
+        id_col: pd.Series([r[id_col] for r in top], dtype="int64"),
+        "score": [r["score"] for r in top],
+    })
