@@ -1,0 +1,164 @@
+"""URL / host-level operators for web-crawl corpora.
+
+A Common-Crawl-style pages table carries structure in the ``url`` column
+that every serious training-data pipeline exploits: URL-normalized exact
+dedup (the cheapest dedup pass — it removes re-crawls of the same page
+before any content hashing), per-host document budgets (C4/RefinedWeb-style
+source balancing, so one mega-site cannot dominate the corpus), and
+host-level corpus statistics for curation review.
+
+Everything parses with Arrow RE2 kernels (``pyarrow.compute.extract_regex``
+/ ``replace_substring_regex``) — no Python touches a row, the stage streams
+like any other ``map_batches``, and DuckDB (also RE2) replays the exact
+pattern strings, so the tests pin every derived column against a SQL
+oracle (same contract as :mod:`kg_gen_ray.functions.scrub`).
+
+Scale notes: ``url_parts`` / ``with_norm_url`` are pure per-batch maps;
+``url_dedup`` is the standard combiner + hash-groupby (shuffle rows = one
+per distinct URL per batch, not per input row); ``host_stats`` pre-
+aggregates per batch before its groupby; ``per_host_cap`` reuses the
+combiner-pruned grouped-head exchange of
+:func:`kg_gen_ray.functions.sessions.stratified_sample` — a hot host is
+cut to ``cap`` rows inside every batch before the shuffle, so skew cannot
+melt a reducer.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# One RE2 pass splits scheme://hostport/path; query/fragment are excluded
+# by the [^?#] classes. Rows that are not absolute URLs surface as "".
+URL_PATTERN = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+               r"(?P<hostport>[^/?#]+)(?P<path>[^?#]*)")
+
+
+def _fill(col) -> pa.Array:
+    return pc.fill_null(col, "")
+
+
+def url_parts(ds: "ray.data.Dataset", url_col: str = "url"
+              ) -> "ray.data.Dataset":
+    """Append ``scheme``, ``host`` (lowercased, port stripped), ``path``
+    and ``tld`` (last host label) to every row. Non-URL rows get ""."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(pc.cast(t[url_col], pa.string()),
+                              pattern=URL_PATTERN)
+        host = _fill(pc.replace_substring_regex(
+            pc.utf8_lower(pc.struct_field(st, "hostport")),
+            pattern=r":\d+$", replacement=""))
+        tld = _fill(pc.struct_field(
+            pc.extract_regex(host, pattern=r"\.(?P<tld>[^.]+)$"), "tld"))
+        return (t.append_column("scheme",
+                                _fill(pc.struct_field(st, "scheme")))
+                 .append_column("host", host)
+                 .append_column("path", _fill(pc.struct_field(st, "path")))
+                 .append_column("tld", tld))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _norm_url_kernel(urls) -> pa.Array:
+    """Lower-cased scheme+host, ``www.`` and default-port stripped,
+    query/fragment dropped, trailing slash trimmed — the C4-style
+    canonical form under which re-crawls of one page collide."""
+    st = pc.extract_regex(pc.cast(urls, pa.string()), pattern=URL_PATTERN)
+    scheme = pc.utf8_lower(pc.struct_field(st, "scheme"))
+    host = pc.replace_substring_regex(
+        pc.utf8_lower(pc.struct_field(st, "hostport")),
+        pattern=r":(80|443)$", replacement="")
+    host = pc.replace_substring_regex(host, pattern=r"^www\.",
+                                      replacement="")
+    path = pc.replace_substring_regex(pc.struct_field(st, "path"),
+                                      pattern=r"/+$", replacement="")
+    # last argument is the join separator; "://" rides as a scalar element
+    return _fill(pc.binary_join_element_wise(scheme, "://", host, path, ""))
+
+
+def with_norm_url(ds: "ray.data.Dataset", url_col: str = "url",
+                  out_col: str = "norm_url") -> "ray.data.Dataset":
+    """Append the normalized-URL column."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, _norm_url_kernel(t[url_col]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def url_dedup(ds: "ray.data.Dataset", url_col: str = "url",
+              id_col: str = "doc_id",
+              shuffle_partitions=None) -> "ray.data.Dataset":
+    """Keep the min-id row per normalized URL -> (id, norm_url).
+
+    The re-crawl filter: same combiner + hash-groupby shape as
+    :func:`kg_gen_ray.functions.dedup.exact_dedup` (partial min per batch,
+    so the exchange carries one row per distinct URL per batch)."""
+    from ray.data.aggregate import Min
+
+    from kg_gen_ray.stages.common import coalesce
+
+    def local_min(t: pa.Table) -> pa.Table:
+        part = pa.table({
+            "norm_url": _norm_url_kernel(t[url_col]),
+            id_col: pc.cast(t[id_col], pa.int64()),
+        })
+        return part.group_by(["norm_url"]).aggregate([(id_col, "min")]) \
+                   .rename_columns(["norm_url", id_col])
+
+    partial = coalesce(ds.map_batches(local_min, batch_format="pyarrow"),
+                       shuffle_partitions)
+    out = partial.groupby("norm_url").aggregate(
+        Min(id_col, alias_name=id_col))
+    return out.select_columns([id_col, "norm_url"])
+
+
+def host_stats(ds: "ray.data.Dataset", url_col: str = "url",
+               text_col: str = "text",
+               shuffle_partitions=None) -> "ray.data.Dataset":
+    """Per-host (host, n_pages, n_chars) — the curation-review table.
+    Pre-aggregated inside each batch, so the groupby input is one row per
+    (batch, host)."""
+    from ray.data.aggregate import Sum
+
+    from kg_gen_ray.stages.common import coalesce
+
+    def local(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(pc.cast(t[url_col], pa.string()),
+                              pattern=URL_PATTERN)
+        host = _fill(pc.replace_substring_regex(
+            pc.utf8_lower(pc.struct_field(st, "hostport")),
+            pattern=r":\d+$", replacement=""))
+        part = pa.table({
+            "host": host,
+            "n_pages": pa.array([1] * t.num_rows, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(
+                pc.cast(t[text_col], pa.string())), pa.int64()),
+        })
+        return part.group_by(["host"]).aggregate(
+            [("n_pages", "sum"), ("n_chars", "sum")]) \
+            .rename_columns(["host", "n_pages", "n_chars"])
+
+    partial = coalesce(ds.map_batches(local, batch_format="pyarrow"),
+                       shuffle_partitions)
+    return partial.groupby("host").aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_chars", alias_name="n_chars"))
+
+
+def per_host_cap(ds: "ray.data.Dataset", cap: int, url_col: str = "url",
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> "ray.data.Dataset":
+    """At most ``cap`` documents per host, chosen deterministically
+    (smallest md5(text), ties by id) — C4/RefinedWeb-style source
+    balancing via the combiner-pruned stratified exchange."""
+    from kg_gen_ray.functions.sessions import stratified_sample
+
+    hosted = url_parts(ds, url_col)
+    out = stratified_sample(hosted, "host", cap, id_col, text_col)
+    return out.map_batches(
+        lambda t: t.drop_columns(["scheme", "host", "path", "tld"]),
+        batch_format="pyarrow")

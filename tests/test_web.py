@@ -1,0 +1,105 @@
+"""URL/host operators: parse + normalize semantics, DuckDB RE2 oracle
+agreement, dedup/cap determinism and skew-safe shapes."""
+
+import duckdb
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.functions.web import (URL_PATTERN, host_stats, per_host_cap,
+                                      url_dedup, url_parts, with_norm_url)
+
+URLS = [
+    "https://www.Example.org:443/a/b?q=1#frag",
+    "https://example.org/a/b",
+    "http://sub.site.co.uk/path/",
+    "http://sub.site.co.uk/path",
+    "https://example.org/a/b/",
+    "ftp://files.example.com/x",
+    "not a url",
+    "https://host",
+    "https://example.org:8080/a/b",
+]
+
+
+def pages():
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(URLS)), pa.int64()),
+        "url": pa.array(URLS, pa.string()),
+        "text": pa.array([f"text {i % 3}" for i in range(len(URLS))],
+                         pa.string()),
+    }))
+
+
+def test_url_parts_matches_duckdb(ray_session):
+    got = {r["doc_id"]: (r["scheme"], r["host"], r["path"], r["tld"])
+           for r in url_parts(pages()).take_all()}
+
+    con = duckdb.connect()
+    con.register("pages", pa.table({
+        "doc_id": pa.array(range(len(URLS)), pa.int64()),
+        "url": pa.array(URLS, pa.string())}))
+    pat = URL_PATTERN.replace("(?P<scheme>", "(").replace(
+        "(?P<hostport>", "(").replace("(?P<path>", "(").replace("'", "''")
+    oracle = {}
+    for doc_id, scheme, hostport, path in con.execute(f"""
+            SELECT doc_id, regexp_extract(url, '{pat}', 1),
+                   regexp_extract(url, '{pat}', 2),
+                   regexp_extract(url, '{pat}', 3) FROM pages""").fetchall():
+        host = con.execute(
+            "SELECT regexp_replace(lower(?), ':\\d+$', '')",
+            [hostport]).fetchone()[0]
+        tld = con.execute(
+            "SELECT regexp_extract(?, '\\.([^.]+)$', 1)",
+            [host]).fetchone()[0]
+        oracle[doc_id] = (scheme, host, path, tld)
+    assert got == oracle
+
+    # behavioral pins independent of the oracle
+    assert got[0] == ("https", "www.example.org", "/a/b", "org")
+    assert got[6] == ("", "", "", "")
+    assert got[7] == ("https", "host", "", "")
+
+
+def test_norm_url_collisions(ray_session):
+    got = {r["doc_id"]: r["norm_url"]
+           for r in with_norm_url(pages()).take_all()}
+    # www + :443 + query/fragment stripped == plain form
+    assert got[0] == got[1] == "https://example.org/a/b"
+    # trailing slash trimmed
+    assert got[2] == got[3] == "http://sub.site.co.uk/path"
+    assert got[4] == "https://example.org/a/b"
+    # non-default port is NOT stripped — a different origin
+    assert got[8] == "https://example.org:8080/a/b"
+    assert got[6] == ""
+
+
+def test_url_dedup_keeps_min_id(ray_session):
+    rows = {r["norm_url"]: r["doc_id"]
+            for r in url_dedup(pages().repartition(3)).take_all()}
+    assert rows["https://example.org/a/b"] == 0   # ids 0,1,4 collide
+    assert rows["http://sub.site.co.uk/path"] == 2
+    assert rows["https://example.org:8080/a/b"] == 8
+    # one survivor per distinct normalized url
+    assert len(rows) == 6
+
+
+def test_host_stats(ray_session):
+    rows = {r["host"]: (r["n_pages"], r["n_chars"])
+            for r in host_stats(pages().repartition(4)).take_all()}
+    assert rows["example.org"] == (3, 18)
+    assert rows["www.example.org"][0] == 1
+    assert rows["sub.site.co.uk"] == (2, 12)
+    assert rows[""][0] == 1                       # the non-url row
+
+
+def test_per_host_cap_and_determinism(ray_session):
+    capped = per_host_cap(pages(), cap=1)
+    ids1 = sorted(r["doc_id"] for r in capped.take_all())
+    ids2 = sorted(r["doc_id"]
+                  for r in per_host_cap(pages().repartition(5),
+                                        cap=1).take_all())
+    assert ids1 == ids2                           # layout can't matter
+    # one row per distinct host (6 hosts incl. "")
+    assert len(ids1) == 6
+    # schema round-trips: helper columns dropped
+    assert set(capped.schema().names) == {"doc_id", "url", "text"}
