@@ -468,7 +468,38 @@ def run_scaling_child() -> dict:
     return out
 
 
+def _burn(seconds: float) -> int:
+    """One process-worth of pure-Python compute (no syscalls, no shared
+    state) — the calibration workload for _hw_capacity."""
+    import time as _t
+    t0 = _t.time()
+    x = 0
+    while _t.time() - t0 < seconds:
+        x += 1
+    return x
+
+
+def _hw_capacity(procs: int, seconds: float = 2.0) -> float:
+    """Aggregate iterations/sec of ``procs`` independent burn processes.
+    Embarrassingly parallel with zero coordination, so any shortfall vs
+    procs x single-proc rate is the HOST's (SMT siblings, hypervisor
+    oversubscription, thermal limits) — the ceiling no software can beat."""
+    import multiprocessing as mp
+    with mp.get_context("spawn").Pool(procs) as p:
+        total = sum(p.map(_burn, [seconds] * procs))
+    return total / seconds
+
+
 def run_scaling() -> dict:
+    """Same job at two parallelism widths in fresh processes (the sandbox
+    stand-in for BASELINE.json's N vs 4N node criterion), PLUS a
+    hardware-capacity calibration at the same two widths. On a VM whose
+    vCPUs outnumber effective cores (SMT pairs / host oversubscription),
+    raw 8->32 efficiency is bounded by the hardware well below 1.0 even
+    for coordination-free work; normalized_efficiency divides that ceiling
+    out and is the number that transfers to real N vs 4N NODES (where 4N
+    nodes have 4N physical cores and no SMT boundary is crossed).
+    Override legs with KG_SCALE_LO / KG_SCALE_HI."""
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -476,27 +507,35 @@ def run_scaling() -> dict:
             env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("KG_SCALE_LO", "8"))
+    hi = int(os.environ.get("KG_SCALE_HI", "32"))
     # generate/cache the corpus once (children warm themselves via
     # warm_cluster, so no full warm run is needed)
     env = dict(os.environ, RAY_GRAFT_CPUS=str(hi))
     subprocess.run([sys.executable, os.path.abspath(__file__),
                     "--gen-corpus"], env=env, capture_output=True,
                    text=True, check=True)
+    cap_lo = _hw_capacity(lo)
     r_lo = one(lo)
     r_hi = one(hi)
+    cap_hi = _hw_capacity(hi)
     eff = (r_lo["total_sec"] / r_hi["total_sec"]) / (hi / lo)
+    hw_ceiling = (cap_hi / cap_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "normalized_efficiency": round(eff / hw_ceiling, 3),
+        "hw_ceiling": round(hw_ceiling, 3),
+        "cpus_lo": lo,
+        "cpus_hi": hi,
         "n_pages": BENCH_PAGES,
-        "sec_8": r_lo["total_sec"],
-        "sec_32": r_hi["total_sec"],
-        "sections_8": r_lo["sections"],
-        "sections_32": r_hi["sections"],
-        "pages_per_sec_8": r_lo["pages_per_sec"],
-        "pages_per_sec_32": r_hi["pages_per_sec"],
+        "sec_lo": r_lo["total_sec"],
+        "sec_hi": r_hi["total_sec"],
+        "sections_lo": r_lo["sections"],
+        "sections_hi": r_hi["sections"],
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
     }
 
 

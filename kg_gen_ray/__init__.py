@@ -19,7 +19,21 @@ Reference parity citations throughout the package point at files under
 Ray-Data-first, not a port.
 """
 
-from kg_gen_ray.config import ExtractorConfig, PipelineConfig  # noqa: F401
+import os as _os
+
+# Pin polars' rayon pool to one thread per process UNLESS the user chose a
+# value. Every per-batch UDF here runs inside a Ray worker whose CPU share
+# is one slot; numpy/Arrow already honor the OMP_NUM_THREADS=1 that Ray
+# propagates, but polars sizes its pool from POLARS_MAX_THREADS (else ALL
+# host cores) — so without this, N concurrent workers spawn N x cores rayon
+# threads and the oversubscription destroys scaling exactly when every CPU
+# slot is busy (measured: the polars-hash text-analysis stage scaled 1.2x
+# from 8->32 CPUs; with the pin it scales like the Arrow/numpy stages).
+# Must run before any `import polars`, which all live inside UDF bodies in
+# this package — and workers import the package before unpickling them.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
+from kg_gen_ray.config import ExtractorConfig, PipelineConfig  # noqa: F401,E402
 
 
 def __getattr__(name):

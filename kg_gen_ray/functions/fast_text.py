@@ -35,6 +35,9 @@ _B = np.array([0x165667B19E3779F9, 0x27D4EB2F165667C5,
                0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D], dtype=np.uint64)
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+# (256, 8) bit-decomposition table: _BYTE_BITS[v, j] = bit j of byte v
+_BYTE_BITS = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1) \
+    .astype(np.int64)
 
 
 def _token_hashes(flat: pa.Array) -> np.ndarray:
@@ -82,16 +85,30 @@ def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES,
         new[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
         np.add.at(n_unique, r[new], 1)
 
-    # ---- SimHash: per-row sum of (2*bit-1) per bit position of token hashes
+    # ---- SimHash: majority vote per bit position of token hashes
+    # (bit j of the result is set iff more than half the row's tokens have
+    # bit j set — the sum(2*bit-1) > 0 rule rewritten as 2*count > len).
+    # Computed via per-row BYTE-VALUE histograms: one bincount per byte
+    # position (8 passes over the token stream instead of 64) and an
+    # (n,256)x(256,8) matmul recovers the 8 per-bit counts of that byte —
+    # ~5x faster than the previous 64-x-bincount loop at web batch sizes.
+    # All temporaries stay small (the histogram is n x 256); a (T,64)
+    # unpackbits matrix would be nicer still but large fresh allocations
+    # page-fault pathologically on ballooned-memory VMs (measured 18-34s
+    # first touch for a 233 MB temp on this host).
     sim = np.zeros(n, dtype=np.uint64)
     if include_simhash and len(th):
-        acc = np.zeros((n, 64), dtype=np.int64)
-        for j in range(64):
-            bit = ((th >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
-            acc[:, j] = np.bincount(row_idx, weights=2 * bit - 1,
-                                    minlength=n).astype(np.int64)
-        sim = ((acc > 0).astype(np.uint64)
-               << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        bm = th.view(np.uint8).reshape(-1, 8)      # (T, 8) little-endian
+        base = row_idx.astype(np.int64) * 256
+        counts = np.empty((n, 64), dtype=np.int64)
+        for b in range(8):
+            hist = np.bincount(base + bm[:, b],
+                               minlength=n * 256).reshape(n, 256)
+            counts[:, 8 * b:8 * b + 8] = hist @ _BYTE_BITS
+        maj = (2 * counts) > lengths[:, None]
+        sim = (maj.astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)).sum(axis=1,
+                                                      dtype=np.uint64)
 
     # ---- MinHash over 3-gram shingle hashes
     mins = _minhash_core(th, row_idx, lengths, n, n_hashes,

@@ -116,6 +116,57 @@ def url_dedup(ds: "ray.data.Dataset", url_col: str = "url",
     return out.select_columns([id_col, "norm_url"])
 
 
+def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
+                     id_col: str = "doc_id",
+                     shuffle_partitions=None) -> "ray.data.Dataset":
+    """Ids of rows that LOSE URL dedup (every row per normalized URL
+    except the min id) -> (id,).
+
+    The loser orientation is what a filtering pipeline wants: on a
+    healthy corpus losers are the small side, so the downstream
+    ``drop_ids`` anti-join broadcasts instead of shuffling O(corpus)
+    survivor ids (the same argument as
+    :func:`kg_gen_ray.functions.dedup.near_dup_losers`). Two-level min:
+    in-batch losers are emitted directly and only per-batch minima enter
+    the exchange — one row per (batch, URL)."""
+    import numpy as np
+
+    from kg_gen_ray.stages.common import coalesce
+
+    def local(t: pa.Table) -> pa.Table:
+        urls = _norm_url_kernel(t[url_col]).to_numpy(zero_copy_only=False)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, urls))
+        first = np.ones(len(order), dtype=bool)
+        su = urls[order]
+        first[1:] = su[1:] != su[:-1]
+        keep_idx = order[first]          # per-batch min id per url
+        lose_idx = order[~first]
+        return pa.table({
+            "norm_url": pa.array(np.concatenate([su[first], su[~first]])),
+            id_col: pa.array(np.concatenate([ids[keep_idx],
+                                             ids[lose_idx]]).astype(np.int64)),
+            "is_min": pa.array(np.concatenate(
+                [np.ones(first.sum(), dtype=bool),
+                 np.zeros((~first).sum(), dtype=bool)])),
+        })
+
+    marked = ds.map_batches(local, batch_format="pyarrow")
+    local_losers = marked.filter(expr="is_min == False") \
+                         .select_columns([id_col])
+    minima = coalesce(marked.filter(expr="is_min == True"),
+                      shuffle_partitions)
+
+    def all_but_min(g):
+        import pandas as pd
+        ids = np.sort(np.asarray(g[id_col], dtype=np.int64))
+        return pd.DataFrame({id_col: pd.Series(ids[1:], dtype="int64")})
+
+    global_losers = minima.groupby("norm_url").map_groups(
+        all_but_min, batch_format="pandas")
+    return local_losers.union(global_losers)
+
+
 def host_stats(ds: "ray.data.Dataset", url_col: str = "url",
                text_col: str = "text",
                shuffle_partitions=None) -> "ray.data.Dataset":

@@ -6,6 +6,9 @@ each stage a streaming Ray Data transform, so the corpus flows through
 with backpressure and nothing materializes except the tiny survivor-id
 and benchmark intermediates:
 
+0. **URL dedup** (optional, ``url_col=``): drop re-crawls of the same
+   page by C4-normalized URL — the cheapest dedup signal, so it runs
+   before anything touches the text,
 1. **scrub** PII (vectorized RE2 redaction — rewrite before any hashing
    so fingerprints reflect the text that will actually ship),
 2. **decontaminate** against the eval benchmark (k-gram flags; broadcast
@@ -44,18 +47,22 @@ def prepare_training_data(docs: "ray.data.Dataset",
                           max_tokens: int = 2048,
                           id_col: str = "doc_id",
                           text_col: str = "text",
+                          url_col: str | None = None,
                           dedup_method: str = "fast",
                           count_stages: bool = True) -> HygieneResult:
-    """Run the five-stage hygiene flow. ``benchmark=None`` skips
-    decontamination; ``per_group_cap=None`` skips the stratified cap.
-    ``count_stages=False`` skips the per-stage counts (each count
-    executes the lineage prefix once — cheap at audit time, skippable
-    when only the final dataset matters)."""
+    """Run the hygiene flow. ``benchmark=None`` skips decontamination;
+    ``per_group_cap=None`` skips the stratified cap; ``url_col`` (when
+    set) prepends URL-normalized re-crawl dedup — the cheapest dedup
+    pass, so it runs before any content hashing. ``count_stages=False``
+    skips the per-stage counts (each count executes the lineage prefix
+    once — cheap at audit time, skippable when only the final dataset
+    matters)."""
     from kg_gen_ray.functions.decontaminate import decontaminate
     from kg_gen_ray.functions.dedup import drop_ids, near_dup_losers
     from kg_gen_ray.functions.scrub import scrub_pii
     from kg_gen_ray.functions.sessions import (
         pack_sequences, stratified_sample)
+    from kg_gen_ray.functions.web import url_dedup_losers
 
     counts: dict = {}
 
@@ -65,6 +72,11 @@ def prepare_training_data(docs: "ray.data.Dataset",
         return ds
 
     cur = note("input", docs)
+
+    if url_col is not None:
+        url_losers = url_dedup_losers(cur, url_col, id_col)
+        cur = note("url_deduped", drop_ids(cur, url_losers, id_col))
+
     cur = note("scrubbed", scrub_pii(cur, text_col))
 
     if benchmark is not None:

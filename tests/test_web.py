@@ -103,3 +103,26 @@ def test_per_host_cap_and_determinism(ray_session):
     assert len(ids1) == 6
     # schema round-trips: helper columns dropped
     assert set(capped.schema().names) == {"doc_id", "url", "text"}
+
+
+def test_url_dedup_losers_complement(ray_session):
+    """losers == all ids minus url_dedup survivors, on any layout."""
+    from kg_gen_ray.functions.web import url_dedup_losers
+
+    for parts in (1, 4):
+        ds = pages().repartition(parts)
+        survivors = {r["doc_id"] for r in url_dedup(ds).take_all()}
+        losers = {r["doc_id"] for r in url_dedup_losers(ds).take_all()}
+        assert survivors | losers == set(range(len(URLS)))
+        assert survivors & losers == set()
+
+
+def test_hygiene_url_dedup_stage(ray_session):
+    from kg_gen_ray.pipelines.hygiene import prepare_training_data
+
+    res = prepare_training_data(pages(), url_col="url",
+                                group_col="doc_id", dedup_method="fast")
+    assert res.counts["url_deduped"] == 6      # 9 rows, 3 re-crawls
+    # the re-crawl losers (1, 3, 4) are gone before content dedup
+    ids = {r["doc_id"] for r in res.clean_docs.take_all()}
+    assert ids <= {0, 2, 5, 6, 7, 8}
