@@ -147,9 +147,12 @@ def run_synth() -> dict:
     sections["kg_pipeline"] = round(time.time() - t0, 3)
 
     def as_docs(t: pa.Table) -> pa.Table:
-        ids = [int(u.rsplit("-", 1)[1]) for u in t["url"].to_pylist()]
+        # url ".../doc-<n>" -> doc_id, fully in Arrow kernels
+        tail = pc.struct_field(
+            pc.extract_regex(pc.cast(t["url"], pa.string()),
+                             pattern=r"-(?P<id>\d+)$"), "id")
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
+            "doc_id": pc.cast(tail, pa.int64()),
             "text": pc.cast(t["text"], pa.string()),
         })
 
