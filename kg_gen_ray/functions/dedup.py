@@ -568,6 +568,7 @@ def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
         return ds.map_batches(keep, batch_format="pyarrow")
 
     n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
     if bloom_prefilter:
         from kg_gen_ray.functions.sketch import bloom_build
         in_cols = list(ds.schema().names)
@@ -584,17 +585,17 @@ def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
         ds = ds.map_batches(lambda t: bloom_split(t, positive=True),
                             batch_format="pyarrow")
 
+    # left_anti join: exact set semantics (duplicate loser ids cannot
+    # multiply anything), output schema is ds's own. The loser ids are
+    # cast to ds's id dtype so crossing the size threshold never changes
+    # join-key types.
     marked = losers.repartition(n_parts).map_batches(
-        lambda t, c=id_col: pa.table({
-            c: pc.cast(t["doc_id"], pa.int64()),
-            "__drop": pa.array([1] * t.num_rows, pa.int8())}),
+        lambda t, c=id_col, ty=id_type: pa.table({
+            c: pc.cast(t["doc_id"], ty)}),
         batch_format="pyarrow")
-    joined = ds.repartition(n_parts) \
-        .join(marked, join_type="left_outer", on=(id_col,),
+    survivors = ds.repartition(n_parts) \
+        .join(marked, join_type="left_anti", on=(id_col,),
               num_partitions=n_parts)
-    survivors = joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["__drop"])).drop_columns(["__drop"]),
-        batch_format="pyarrow")
     if bloom_prefilter:
         # join outputs carry schemaless empty blocks; stamp the schema
         # engine-side before the union (verify-skill gotcha)
@@ -628,15 +629,20 @@ def keep_ids(ds: "ray.data.Dataset", keepers: "ray.data.Dataset",
         return ds.map_batches(f, batch_format="pyarrow")
 
     n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
     if bloom_prefilter:
         from kg_gen_ray.functions.sketch import bloom_build
         bloom = bloom_build(keepers, "doc_id")
         ds = ds.map_batches(
             lambda t, bloom=bloom: t.filter(bloom.contains_mask(t[id_col])),
             batch_format="pyarrow")
+    # left_semi join: exact set semantics — a duplicated keeper id cannot
+    # multiply output rows (the broadcast dual is a set; the join dual
+    # must agree). Keeper ids are cast to ds's id dtype so crossing the
+    # size threshold never changes join-key types.
     keyed = keepers.repartition(n_parts).map_batches(
-        lambda t, c=id_col: pa.table({
-            c: pc.cast(t["doc_id"], pa.int64())}),
+        lambda t, c=id_col, ty=id_type: pa.table({
+            c: pc.cast(t["doc_id"], ty)}),
         batch_format="pyarrow")
     return ds.repartition(n_parts).join(
-        keyed, join_type="inner", on=(id_col,), num_partitions=n_parts)
+        keyed, join_type="left_semi", on=(id_col,), num_partitions=n_parts)

@@ -38,6 +38,35 @@ import ray.data
 from kg_gen_ray.functions.ann import _mat
 
 
+def _nearest_centroid(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_j ||x - c_j||^2 per row, via the expansion trick (ties ->
+    lowest centroid id, numpy argmin semantics). The ONE distance kernel
+    shared by training, encoding and probe selection — assignment and
+    search must rank lists by the same metric or probing systematically
+    misses the lists that hold the true neighbors."""
+    d2 = ((x ** 2).sum(1)[:, None] - 2.0 * (x @ cents.T)
+          + (cents ** 2).sum(1)[None, :])
+    return np.argmin(d2, axis=1)
+
+
+def _codes_column(codes: np.ndarray) -> pa.Array:
+    """(n, m) uint8 -> fixed_size_binary(m) column, one buffer copy, no
+    per-row Python."""
+    n, m = codes.shape
+    return pa.Array.from_buffers(
+        pa.binary(m), n, [None, pa.py_buffer(np.ascontiguousarray(codes)
+                                             .tobytes())])
+
+
+def _codes_matrix(col: "pa.ChunkedArray | pa.Array", m: int) -> np.ndarray:
+    """fixed_size_binary(m) column -> (n, m) uint8 view, zero-copy off
+    the Arrow data buffer."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    return data[arr.offset * m:(arr.offset + len(arr)) * m] \
+        .reshape(len(arr), m)
+
+
 def _lloyd(x: np.ndarray, k: int, n_iter: int, seed: int) -> np.ndarray:
     """Plain numpy Lloyd's over a sample -> (k, d) centroids,
     deterministic via the seeded generator."""
@@ -45,10 +74,7 @@ def _lloyd(x: np.ndarray, k: int, n_iter: int, seed: int) -> np.ndarray:
     k = min(k, len(x))
     cents = x[rng.choice(len(x), size=k, replace=False)].copy()
     for _ in range(n_iter):
-        # (n, k) squared distances via the expansion trick
-        d2 = ((x ** 2).sum(1)[:, None] - 2.0 * (x @ cents.T)
-              + (cents ** 2).sum(1)[None, :])
-        assign = np.argmin(d2, axis=1)
+        assign = _nearest_centroid(x, cents)
         for j in range(len(cents)):
             members = x[assign == j]
             if len(members):
@@ -95,18 +121,15 @@ def pq_encode(embeddings: "ray.data.Dataset", codebooks: np.ndarray,
         x = _mat(t, col)
         if not x.shape[0]:
             return pa.table({id_col: pa.array([], pa.int64()),
-                             "codes": pa.array([], pa.binary())})
+                             "codes": pa.array([], pa.binary(m))})
         codes = np.empty((x.shape[0], m), dtype=np.uint8)
         for i in range(m):
-            xs = x[:, i * sub:(i + 1) * sub]
-            c = cb[i]
-            d2 = ((xs ** 2).sum(1)[:, None] - 2.0 * (xs @ c.T)
-                  + (c ** 2).sum(1)[None, :])
-            codes[:, i] = np.argmin(d2, axis=1).astype(np.uint8)
+            codes[:, i] = _nearest_centroid(
+                x[:, i * sub:(i + 1) * sub], cb[i]).astype(np.uint8)
         return pa.table({
             id_col: pa.array(
                 t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)),
-            "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+            "codes": _codes_column(codes),
         })
 
     return embeddings.map_batches(encode, batch_format="pyarrow")
@@ -127,12 +150,10 @@ def pq_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
 
     def partial(t: pa.Table, t_ref=t_ref) -> pa.Table:
         lut = ray.get(t_ref)
-        blobs = t["codes"].to_pylist()
-        if not blobs:
+        if not t.num_rows:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
-        codes = np.frombuffer(b"".join(blobs),
-                              dtype=np.uint8).reshape(len(blobs), m)
+        codes = _codes_matrix(t["codes"], m)
         scores = lut[np.arange(m)[None, :], codes].sum(axis=1)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -scores))[:k]
@@ -167,14 +188,6 @@ def pq_topk(codes_ds: "ray.data.Dataset", codebooks: np.ndarray,
 # docs the probe filter is a partition prune (list_id as a partition column)
 # and the scan touches n_probe/n_lists of the corpus, each row scored by m
 # byte lookups.
-
-
-def _nearest_centroid(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    """argmin_j ||x - c_j||^2 per row, via the expansion trick (ties ->
-    lowest centroid id, numpy argmin semantics)."""
-    d2 = ((x ** 2).sum(1)[:, None] - 2.0 * (x @ cents.T)
-          + (cents ** 2).sum(1)[None, :])
-    return np.argmin(d2, axis=1)
 
 
 def ivfpq_train(embeddings: "ray.data.Dataset", centroids: np.ndarray,
@@ -219,21 +232,18 @@ def ivfpq_encode(embeddings: "ray.data.Dataset", centroids: np.ndarray,
         if not x.shape[0]:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "list_id": pa.array([], pa.int64()),
-                             "codes": pa.array([], pa.binary())})
+                             "codes": pa.array([], pa.binary(m))})
         assign = _nearest_centroid(x, cents)
         resid = x - cents[assign]
         codes = np.empty((x.shape[0], m), dtype=np.uint8)
         for i in range(m):
-            rs = resid[:, i * sub:(i + 1) * sub]
-            c = cb[i]
-            d2 = ((rs ** 2).sum(1)[:, None] - 2.0 * (rs @ c.T)
-                  + (c ** 2).sum(1)[None, :])
-            codes[:, i] = np.argmin(d2, axis=1).astype(np.uint8)
+            codes[:, i] = _nearest_centroid(
+                resid[:, i * sub:(i + 1) * sub], cb[i]).astype(np.uint8)
         return pa.table({
             id_col: pa.array(
                 t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)),
             "list_id": pa.array(assign.astype(np.int64)),
-            "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+            "codes": _codes_column(codes),
         })
 
     return embeddings.map_batches(encode, batch_format="pyarrow")
@@ -252,7 +262,12 @@ def ivfpq_topk(codes_ds: "ray.data.Dataset", centroids: np.ndarray,
     cents = np.asarray(centroids, dtype=np.float64)
     m, n_cent, sub = codebooks.shape
     q = np.asarray(query, dtype=np.float64)
-    probe = np.sort(np.argsort(-(cents @ q))[:n_probe]).astype(np.int64)
+    # probe by the SAME metric encoding assigned with (min L2 distance,
+    # == argmin ||c||^2 - 2 q.c up to the constant ||q||^2) — ranking by
+    # raw inner product diverges when centroid norms are unequal and the
+    # probed lists then exclude the list holding the true neighbors
+    probe = np.sort(np.argsort((cents ** 2).sum(1) - 2.0 * (cents @ q))
+                    [:n_probe]).astype(np.int64)
     offsets = cents @ q                                  # (n_lists,)
     lut = np.stack([codebooks[i] @ q[i * sub:(i + 1) * sub]
                     for i in range(m)])                  # (m, n_cent)
@@ -266,9 +281,7 @@ def ivfpq_topk(codes_ds: "ray.data.Dataset", centroids: np.ndarray,
             return pa.table({id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
         t = t.filter(pa.array(sel))
-        blobs = t["codes"].to_pylist()
-        codes = np.frombuffer(b"".join(blobs),
-                              dtype=np.uint8).reshape(len(blobs), m)
+        codes = _codes_matrix(t["codes"], m)
         scores = (offs[t["list_id"].to_numpy(zero_copy_only=False)]
                   + table[np.arange(m)[None, :], codes].sum(axis=1))
         ids = t[id_col].to_numpy(zero_copy_only=False)

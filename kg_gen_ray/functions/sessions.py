@@ -97,6 +97,16 @@ def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _null_free_key(col: "pd.Series") -> "pd.Series":
+    """Null-free string surrogate of a group-key column: Ray's
+    ``map_groups`` sort-partitioning cannot order null keys across
+    blocks, so exchanges group on ``"v:"+str(key)`` (injective for
+    string/int/float keys) with null mapped to its own sentinel — the
+    null group survives, matching SQL PARTITION BY."""
+    return pd.Series(np.where(col.isna(), "\x00", "v:" + col.astype(str)),
+                     index=col.index, dtype="string")
+
+
 def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
                       value_col: str, qs: tuple = (0.5, 0.9, 0.99)
                       ) -> "ray.data.Dataset":
@@ -115,7 +125,10 @@ def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
             row[f"p{int(q * 100)}"] = [vals[idx]]
         return pd.DataFrame(row)
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    return ds.map_batches(lambda df: df.assign(__gk=_null_free_key(
+                              df[group_col])),
+                          batch_format="pandas") \
+             .groupby("__gk").map_groups(per_group, batch_format="pandas")
 
 
 def grouped_quantiles_sketch(ds: "ray.data.Dataset", group_col: str,
@@ -140,6 +153,7 @@ def grouped_quantiles_sketch(ds: "ray.data.Dataset", group_col: str,
         if t.num_rows == 0:
             return pa.table({
                 group_col: pa.array([], t.schema.field(group_col).type),
+                "__gk": pa.array([], pa.string()),
                 "__v": pa.array([], pa.float64()),
                 "__w": pa.array([], pa.float64()),
             })
@@ -147,18 +161,24 @@ def grouped_quantiles_sketch(ds: "ray.data.Dataset", group_col: str,
             group_col: t[group_col].to_pandas(),
             "v": pc.cast(t[value_col], pa.float64()).to_pandas(),
         })
-        out_g, out_v, out_w = [], [], []
-        for gkey, sub in df.groupby(group_col, sort=False):
+        out_g, out_k, out_v, out_w = [], [], [], []
+        for gkey, sub in df.groupby(group_col, sort=False, dropna=False):
+            if pd.isna(gkey):
+                gkey, skey = None, "\x00"   # NaN sentinel -> a real null
+            else:
+                skey = "v:" + str(gkey)
             vals = np.sort(sub["v"].to_numpy())
             n = len(vals)
             k = min(points_per_batch, n)
             idx = np.minimum((np.floor((np.arange(k) + 0.5) * n / k))
                              .astype(np.int64), n - 1)
             out_g.extend([gkey] * k)
+            out_k.extend([skey] * k)
             out_v.extend(vals[idx].tolist())
             out_w.extend([n / k] * k)
         return pa.table({
-            group_col: pa.array(out_g),
+            group_col: pa.array(out_g, t.schema.field(group_col).type),
+            "__gk": pa.array(out_k, pa.string()),
             "__v": pa.array(out_v, pa.float64()),
             "__w": pa.array(out_w, pa.float64()),
         })
@@ -176,7 +196,7 @@ def grouped_quantiles_sketch(ds: "ray.data.Dataset", group_col: str,
         return pd.DataFrame(row)
 
     return (ds.map_batches(compress, batch_format="pyarrow")
-            .groupby(group_col).map_groups(merge, batch_format="pandas"))
+            .groupby("__gk").map_groups(merge, batch_format="pandas"))
 
 
 def _grouped_head(ds: "ray.data.Dataset", group_col: str, by: list,
@@ -188,15 +208,23 @@ def _grouped_head(ds: "ray.data.Dataset", group_col: str, by: list,
     whole table. The final per-group head runs on the pruned survivors."""
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(by, ascending=ascending, kind="stable") \
-                 .groupby(group_col, sort=False).head(k)
+        # dropna=False: Ray's groupby (and SQL PARTITION BY) keep a null
+        # key as its own group — the combiner must not silently delete
+        # it. The exchange groups on a null-free string surrogate
+        # (``__gk``) because Ray's map_groups sort-partitioning cannot
+        # order null keys across blocks; "v:"+str(key) is injective for
+        # the string/int/float keys a corpus groups by, and the original
+        # key column rides through untouched.
+        out = df.sort_values(by, ascending=ascending, kind="stable") \
+                .groupby(group_col, sort=False, dropna=False).head(k)
+        return out.assign(__gk=_null_free_key(out[group_col]))
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=ascending,
-                             kind="stable").head(k)
+        return g.sort_values(by, ascending=ascending, kind="stable") \
+                .head(k).drop(columns="__gk")
 
     return ds.map_batches(prune, batch_format="pandas") \
-             .groupby(group_col).map_groups(final, batch_format="pandas")
+             .groupby("__gk").map_groups(final, batch_format="pandas")
 
 
 def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,
@@ -222,7 +250,11 @@ def stratified_sample(ds: "ray.data.Dataset", group_col: str, cap: int,
     import hashlib
 
     def with_hash(t: pa.Table) -> pa.Table:
+        # md5(NULL) is NULL (the DuckDB mirror's semantics); pandas
+        # na_position='last' then ranks null-text rows after every
+        # hashed row, exactly like ORDER BY md5(text) NULLS LAST
         hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
+              if s is not None else None
               for s in pc.cast(t[text_col], pa.string()).to_pylist()]
         return t.append_column("__h", pa.array(hs, pa.string()))
 

@@ -96,16 +96,25 @@ def url_dedup(ds: "ray.data.Dataset", url_col: str = "url",
 
     The re-crawl filter: same combiner + hash-groupby shape as
     :func:`kg_gen_ray.functions.dedup.exact_dedup` (partial min per batch,
-    so the exchange carries one row per distinct URL per batch)."""
+    so the exchange carries one row per distinct URL per batch).
+
+    Rows whose URL does not parse (``norm_url`` "") are NOT re-crawls of
+    one another — each survives on its own (internally keyed by a
+    per-row sentinel so the groupby cannot collapse a whole shard of
+    relative/malformed URLs into one survivor)."""
     from ray.data.aggregate import Min
 
     from kg_gen_ray.stages.common import coalesce
 
     def local_min(t: pa.Table) -> pa.Table:
-        part = pa.table({
-            "norm_url": _norm_url_kernel(t[url_col]),
-            id_col: pc.cast(t[id_col], pa.int64()),
-        })
+        norm = _norm_url_kernel(t[url_col])
+        ids = pc.cast(t[id_col], pa.int64())
+        # unparseable -> unique sentinel key "\x00<id>" (never collides
+        # with a real normalized url, which starts with a scheme letter)
+        sentinel = pc.binary_join_element_wise(
+            "\x00", pc.cast(ids, pa.string()), "")
+        keyed = pc.if_else(pc.equal(norm, ""), sentinel, norm)
+        part = pa.table({"norm_url": keyed, id_col: ids})
         return part.group_by(["norm_url"]).aggregate([(id_col, "min")]) \
                    .rename_columns(["norm_url", id_col])
 
@@ -113,14 +122,24 @@ def url_dedup(ds: "ray.data.Dataset", url_col: str = "url",
                        shuffle_partitions)
     out = partial.groupby("norm_url").aggregate(
         Min(id_col, alias_name=id_col))
-    return out.select_columns([id_col, "norm_url"])
+
+    def unsentinel(t: pa.Table) -> pa.Table:
+        norm = pc.if_else(
+            pc.starts_with(pc.cast(t["norm_url"], pa.string()), "\x00"),
+            "", pc.cast(t["norm_url"], pa.string()))
+        return pa.table({id_col: t[id_col], "norm_url": norm})
+
+    return out.select_columns([id_col, "norm_url"]) \
+              .map_batches(unsentinel, batch_format="pyarrow")
 
 
 def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
                      id_col: str = "doc_id",
                      shuffle_partitions=None) -> "ray.data.Dataset":
     """Ids of rows that LOSE URL dedup (every row per normalized URL
-    except the min id) -> (id,).
+    except the min id) -> ``(doc_id,)`` — named ``doc_id`` regardless of
+    ``id_col``, the :func:`kg_gen_ray.functions.dedup.drop_ids` loser-side
+    contract.
 
     The loser orientation is what a filtering pipeline wants: on a
     healthy corpus losers are the small side, so the downstream
@@ -128,14 +147,19 @@ def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
     survivor ids (the same argument as
     :func:`kg_gen_ray.functions.dedup.near_dup_losers`). Two-level min:
     in-batch losers are emitted directly and only per-batch minima enter
-    the exchange — one row per (batch, URL)."""
+    the exchange — one row per (batch, URL). Rows whose URL does not
+    parse are never losers (a shard of relative/malformed URLs is not a
+    set of re-crawls of one page)."""
     import numpy as np
 
     from kg_gen_ray.stages.common import coalesce
 
     def local(t: pa.Table) -> pa.Table:
-        urls = _norm_url_kernel(t[url_col]).to_numpy(zero_copy_only=False)
-        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        norm = _norm_url_kernel(t[url_col])
+        parseable = pc.not_equal(norm, "")
+        urls = norm.filter(parseable).to_numpy(zero_copy_only=False)
+        ids = pc.cast(t[id_col], pa.int64()).filter(parseable) \
+                .to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, urls))
         first = np.ones(len(order), dtype=bool)
         su = urls[order]
@@ -143,9 +167,11 @@ def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
         keep_idx = order[first]          # per-batch min id per url
         lose_idx = order[~first]
         return pa.table({
-            "norm_url": pa.array(np.concatenate([su[first], su[~first]])),
-            id_col: pa.array(np.concatenate([ids[keep_idx],
-                                             ids[lose_idx]]).astype(np.int64)),
+            "norm_url": pa.array(np.concatenate([su[first], su[~first]]),
+                                 pa.string()),
+            "doc_id": pa.array(np.concatenate([ids[keep_idx],
+                                               ids[lose_idx]])
+                               .astype(np.int64)),
             "is_min": pa.array(np.concatenate(
                 [np.ones(first.sum(), dtype=bool),
                  np.zeros((~first).sum(), dtype=bool)])),
@@ -153,14 +179,14 @@ def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
 
     marked = ds.map_batches(local, batch_format="pyarrow")
     local_losers = marked.filter(expr="is_min == False") \
-                         .select_columns([id_col])
+                         .select_columns(["doc_id"])
     minima = coalesce(marked.filter(expr="is_min == True"),
                       shuffle_partitions)
 
     def all_but_min(g):
         import pandas as pd
-        ids = np.sort(np.asarray(g[id_col], dtype=np.int64))
-        return pd.DataFrame({id_col: pd.Series(ids[1:], dtype="int64")})
+        ids = np.sort(np.asarray(g["doc_id"], dtype=np.int64))
+        return pd.DataFrame({"doc_id": pd.Series(ids[1:], dtype="int64")})
 
     global_losers = minima.groupby("norm_url").map_groups(
         all_but_min, batch_format="pandas")

@@ -84,6 +84,16 @@ def prepare_training_data(docs: "ray.data.Dataset",
                    decontaminate(cur, benchmark, k_contam,
                                  id_col, text_col))
 
+    # checkpoint the scrubbed/decontaminated corpus before the dedup
+    # fan-out: from here the lineage is consumed 2-3x (loser mining +
+    # the drop_ids pass, twice in its bloom dual) and the upstream RE2
+    # scrub / contamination passes are the most expensive maps in the
+    # flow — re-executing them per consumer would dominate the run. At
+    # cluster scale the same checkpoint is a per-partition Parquet write
+    # (pipelines/partitioned.py), which also buys resumability; in-process
+    # the object store (with spill) is the cheaper equivalent.
+    cur = cur.materialize()
+
     # filter by the LOSER side: losers are the small set on a healthy
     # corpus, so drop_ids broadcasts and the dedup filter is one
     # streaming pass — no shuffle (filtering by survivors would

@@ -145,3 +145,38 @@ def test_keep_ids_duals_exact(ray_session):
         got = sorted(r["doc_id"] for r in
                      keep_ids(ds, keepers, "doc_id", **kw).take_all())
         assert got == expect
+
+
+def test_keep_ids_duplicate_keepers_and_type_stability(ray_session):
+    """A duplicated keeper id must not multiply output rows in the join
+    dual, and crossing the size threshold must not change the id dtype
+    (set semantics on every path)."""
+    from kg_gen_ray.functions.dedup import keep_ids
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(50), pa.int32()),       # non-int64 ids
+        "v": pa.array([i * 3 for i in range(50)], pa.int64())}))
+    keepers = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 7, 7, 12, 12, 31], pa.int64())}))
+
+    for kw in ({}, {"broadcast_limit": 0},
+               {"broadcast_limit": 0, "bloom_prefilter": False}):
+        out = keep_ids(ds, keepers, "doc_id", **kw).take_all()
+        assert sorted(r["doc_id"] for r in out) == [7, 12, 31], kw
+        assert {r["v"] for r in out} == {21, 36, 93}, kw
+
+
+def test_drop_ids_non_int64_ids(ray_session):
+    """drop_ids' join dual must cast the loser side to ds's own id type,
+    not a hard int64."""
+    from kg_gen_ray.functions.dedup import drop_ids
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int32())}))
+    losers = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1, 5, 9], pa.int64())}))
+    for kw in ({}, {"broadcast_limit": 0},
+               {"broadcast_limit": 0, "bloom_prefilter": False}):
+        got = sorted(r["doc_id"] for r in
+                     drop_ids(ds, losers, "doc_id", **kw).take_all())
+        assert got == [i for i in range(40) if i not in (1, 5, 9)], kw

@@ -133,7 +133,42 @@ def test_ivfpq_probe_filters_lists(ray_session):
     assign = {r["vec_id"]: r["list_id"] for r in codes.take_all()}
 
     q = x[0]
-    probe = int(np.argmax(np.asarray(cents, dtype=np.float64) @ q))
+    c = np.asarray(cents, dtype=np.float64)
+    # the probe rule is the ENCODER's metric: nearest list by L2
+    probe = int(np.argmin(((c - q) ** 2).sum(1)))
     got = ivfpq_topk(codes, cents, cb, q, k=10, n_probe=1)
     assert len(got) > 0
     assert all(assign[v] == probe for v in got["vec_id"])
+
+
+def test_ivfpq_probe_metric_matches_assignment(ray_session):
+    """Unequal centroid norms: probing by raw inner product would pick a
+    different list than L2 assignment and recall would collapse; the probe
+    must rank lists exactly as the encoder assigned them."""
+    import numpy as np
+
+    from kg_gen_ray.functions.pq import ivfpq_encode, ivfpq_topk, ivfpq_train
+    import ray.data as rd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    # tight far cluster (large norm) + diffuse near cluster (small norm)
+    near = rng.normal(0.0, 0.35, size=(80, 8)) + np.r_[[1.0], np.zeros(7)]
+    far = rng.normal(0.0, 0.01, size=(80, 8)) + np.r_[[4.0], np.zeros(7)]
+    x = np.vstack([near, far])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(x)), pa.int64()),
+        "embedding": pa.array(x.tolist()),
+    }))
+    cents = np.vstack([near.mean(0), far.mean(0)])
+    # q sits inside the NEAR cluster but has larger inner product with the
+    # far centroid (4.0 * q[0] > ...) — IP probing would scan list 1 only
+    q = np.r_[[1.3], np.zeros(7)]
+    assert (cents @ q).argmax() == 1          # the trap the fix avoids
+    assert ((cents - q) ** 2).sum(1).argmin() == 0
+
+    cb = ivfpq_train(ds, cents, m=4, n_centroids=16, sample_rows=160)
+    codes = ivfpq_encode(ds, cents, cb).materialize()
+    got = ivfpq_topk(codes, cents, cb, q, k=5, n_probe=1)
+    assign = {r["vec_id"]: r["list_id"] for r in codes.take_all()}
+    assert all(assign[v] == 0 for v in got["vec_id"])

@@ -246,3 +246,61 @@ def test_pack_sequences_matches_duckdb_recursive_fold(ray_session):
     for lang in ("en", "de"):
         seqs = sorted({s for lg, _d, s, _n in got if lg == lang})
         assert seqs == list(range(len(seqs)))
+
+
+def test_grouped_topk_keeps_null_group(ray_session):
+    """Ray's groupby (and SQL PARTITION BY) treat a null key as its own
+    group; the pandas combiner must not silently delete those rows."""
+    from kg_gen_ray.functions.sessions import grouped_topk
+
+    t = pa.table({
+        "lang": pa.array(["en", None, "en", None, None, "de"]),
+        "score": pa.array([5, 4, 3, 2, 6, 1], pa.int64()),
+        "doc_id": pa.array(range(6), pa.int64()),
+    })
+    out = grouped_topk(rd.from_arrow(t).repartition(3), "lang", "score",
+                       k=2, tiebreak_col="doc_id").take_all()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert by_group[None] == {1, 4}          # top-2 of the null group
+    assert by_group["en"] == {0, 2}
+    assert by_group["de"] == {5}
+
+
+def test_stratified_sample_null_text_and_null_group(ray_session):
+    """md5(NULL) is NULL and ranks last (DuckDB ORDER BY ... NULLS LAST);
+    a null group key caps like any other group."""
+    from kg_gen_ray.functions.sessions import stratified_sample
+
+    t = pa.table({
+        "lang": pa.array(["en", "en", "en", None, None]),
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["aaa", None, "zzz", "mmm", None]),
+    })
+    out = stratified_sample(rd.from_arrow(t).repartition(2), "lang",
+                            cap=2, id_col="doc_id").take_all()
+    got = {r["lang"] if r["lang"] is not None else None for r in out}
+    assert got == {"en", None}
+    ids = sorted(r["doc_id"] for r in out)
+    # en keeps the two hashed rows (null-text row ranks last); the null
+    # group keeps both its rows (under cap)
+    import hashlib
+    h_aaa = hashlib.md5(b"aaa").hexdigest()
+    h_zzz = hashlib.md5(b"zzz").hexdigest()
+    keep_en = [0, 2] if h_aaa <= h_zzz else [0, 2]
+    assert ids == sorted(keep_en + [3, 4])
+
+
+def test_quantile_sketch_null_group(ray_session):
+    from kg_gen_ray.functions.sessions import grouped_quantiles_sketch
+
+    t = pa.table({
+        "g": pa.array(["a"] * 10 + [None] * 10),
+        "v": pa.array(list(range(10)) + list(range(100, 110)), pa.int64()),
+    })
+    rows = {r["g"]: r["p50"]
+            for r in grouped_quantiles_sketch(
+                rd.from_arrow(t).repartition(3), "g", "v").take_all()}
+    assert set(rows) == {"a", None}
+    assert 100 <= rows[None] <= 109

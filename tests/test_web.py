@@ -126,3 +126,41 @@ def test_hygiene_url_dedup_stage(ray_session):
     # the re-crawl losers (1, 3, 4) are gone before content dedup
     ids = {r["doc_id"] for r in res.clean_docs.take_all()}
     assert ids <= {0, 2, 5, 6, 7, 8}
+
+
+def test_unparseable_urls_never_dedup_each_other(ray_session):
+    """A shard of relative/malformed URLs is NOT a set of re-crawls: no
+    row with norm_url '' may lose URL dedup (the '' collision would
+    otherwise silently drop all-but-one of them)."""
+    from kg_gen_ray.functions.web import url_dedup_losers
+
+    bad = ["not a url", "/relative/path", "", "example.org/no-scheme",
+           "also not a url"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(bad) + 2), pa.int64()),
+        "url": pa.array(bad + ["https://a.org/x", "https://a.org/x"],
+                        pa.string()),
+        "text": pa.array(["t"] * (len(bad) + 2), pa.string()),
+    }))
+    for parts in (1, 3):
+        losers = {r["doc_id"]
+                  for r in url_dedup_losers(ds.repartition(parts)).take_all()}
+        assert losers == {6}          # only the real re-crawl loses
+        survivors = {r["doc_id"]
+                     for r in url_dedup(ds.repartition(parts)).take_all()}
+        assert survivors == {0, 1, 2, 3, 4, 5}
+
+
+def test_hygiene_url_dedup_custom_id_col(ray_session):
+    """The loser table's drop_ids contract (doc_id column) must hold for
+    any caller id_col."""
+    from kg_gen_ray.pipelines.hygiene import prepare_training_data
+
+    t = pages().map_batches(
+        lambda b: b.rename_columns(["page_id", "url", "text"]),
+        batch_format="pyarrow")
+    res = prepare_training_data(t, url_col="url", id_col="page_id",
+                                group_col="page_id", dedup_method="fast")
+    assert res.counts["url_deduped"] == 6
+    ids = {r["page_id"] for r in res.clean_docs.take_all()}
+    assert ids <= {0, 2, 5, 6, 7, 8}
