@@ -39,7 +39,7 @@ def _ts_us(arr: "pa.ChunkedArray") -> np.ndarray:
 def tumbling_window(events: "ray.data.Dataset", window_sec: int,
                     ts_col: str = "ts", key_col: str = "event_type",
                     value_col: str = "value") -> "ray.data.Dataset":
-    """(key, window_start, n_events, sum_value) — fixed windows."""
+    """(key, window_start, n_events, sum_<value_col>) — fixed windows."""
     w_us = window_sec * US
 
     def bucket(t: pa.Table) -> pa.Table:
@@ -54,14 +54,14 @@ def tumbling_window(events: "ray.data.Dataset", window_sec: int,
     return (events.map_batches(bucket, batch_format="pyarrow")
             .groupby([key_col, "window_start"])
             .aggregate(Count(alias_name="n_events"),
-                       Sum(value_col, alias_name="sum_value")))
+                       Sum(value_col, alias_name=f"sum_{value_col}")))
 
 
 def sliding_window(events: "ray.data.Dataset", window_sec: int,
                    slide_sec: int, ts_col: str = "ts",
                    key_col: str = "event_type",
                    value_col: str = "value") -> "ray.data.Dataset":
-    """(key, window_start, n_events, sum_value) over windows of
+    """(key, window_start, n_events, sum_<value_col>) over windows of
     ``window_sec`` advancing every ``slide_sec``. A row at time t belongs
     to every window with start in (t - window, t], start ≡ 0 mod slide."""
     if window_sec % slide_sec != 0:
@@ -73,23 +73,25 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
         n = t.num_rows
         ts = _ts_us(t[ts_col])
         last = (ts // s_us) * s_us                 # latest covering start
-        # starts: last, last - s, ..., last - (k-1) s ; keep start > ts - w
+        # starts: last, last - s, ..., last - (k-1) s. Every one covers
+        # the row: the smallest is last - w + s > (ts - s) - w + s =
+        # ts - w (floor property last > ts - s), so no range filter is
+        # needed — exactly k windows per row, by construction.
         starts = last[:, None] - np.arange(k)[None, :] * s_us   # (n, k)
-        valid = starts > (ts[:, None] - w_us)
-        row_idx = np.repeat(np.arange(n), k)[valid.ravel()]
-        flat = starts.ravel()[valid.ravel()]
+        row_idx = np.repeat(np.arange(n), k)
         keys = t[key_col].combine_chunks().take(pa.array(row_idx))
         vals = t[value_col].combine_chunks().take(pa.array(row_idx))
         return pa.table({
             key_col: keys,
-            "window_start": pa.array(flat).cast(pa.timestamp("us")),
+            "window_start": pa.array(starts.ravel())
+                              .cast(pa.timestamp("us")),
             value_col: vals,
         })
 
     return (events.map_batches(explode, batch_format="pyarrow")
             .groupby([key_col, "window_start"])
             .aggregate(Count(alias_name="n_events"),
-                       Sum(value_col, alias_name="sum_value")))
+                       Sum(value_col, alias_name=f"sum_{value_col}")))
 
 
 def multi_window(events: "ray.data.Dataset",
@@ -117,15 +119,17 @@ def multi_window(events: "ray.data.Dataset",
         ts = _ts_us(t[ts_col])
         kinds, rows, starts_all = [], [], []
         for kind, w_sec, s_sec in specs:
-            w_us, s_us = w_sec * US, s_sec * US
+            s_us = s_sec * US
             k = w_sec // s_sec
             last = (ts // s_us) * s_us
+            # every generated start covers the row (see sliding_window:
+            # min start = last - w + s > ts - w), so it's exactly k
+            # windows per row with no range filter
             starts = last[:, None] - np.arange(k)[None, :] * s_us
-            valid = starts > (ts[:, None] - w_us)
-            ridx = np.repeat(np.arange(n), k)[valid.ravel()]
+            ridx = np.repeat(np.arange(n), k)
             kinds.append(np.full(len(ridx), kind, dtype=object))
             rows.append(ridx)
-            starts_all.append(starts.ravel()[valid.ravel()])
+            starts_all.append(starts.ravel())
         row_idx = pa.array(np.concatenate(rows) if rows else [], pa.int64())
         return pa.table({
             "window_kind": pa.array(
@@ -333,30 +337,44 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     r_cols = [f"r_{c}" for c in right_value_cols]
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g[g["__side"] == 0].sort_values("__ts", kind="stable")
-        refs = g[g["__side"] == 1]
+        all_rows = g[g["__side"] == 0].sort_values("__ts", kind="stable")
+        # a null left ts/key can match nothing -> null payload (the
+        # operator's documented missing-match semantics); feeding it to
+        # pandas.merge_asof instead raises 'Merge keys contain null
+        # values'. Null right rows likewise match nothing: drop them.
+        unmatchable = all_rows["__ts"].isna() | all_rows["__key"].isna()
+        rows = all_rows[~unmatchable]
+        refs = g[(g["__side"] == 1) & g["__ts"].notna()
+                 & g["__key"].notna()]
         if right_reduce is not None and len(refs):
             refs = right_reduce(refs[["__key", "__ts", *r_cols]])
         refs = refs.sort_values("__ts", kind="stable")
+
+        def null_payload(sub: pd.DataFrame) -> pd.DataFrame:
+            out = sub[left_cols].copy()
+            for c in r_cols:
+                # typed placeholders: plain None would make an
+                # object-dtype (null-typed Arrow) column whose schema
+                # can't unify with float-typed blocks from buckets
+                # that DID have refs
+                out[c] = pd.Series(None, index=out.index,
+                                   dtype=g[c].dtype)
+            return out
 
         def one_direction(d: str) -> pd.DataFrame:
             # empty `rows` (right-only bucket) keeps dtypes via the same
             # path
             if not len(refs):
-                out = rows[left_cols].copy()
-                for c in r_cols:
-                    # typed placeholders: plain None would make an
-                    # object-dtype (null-typed Arrow) column whose schema
-                    # can't unify with float-typed blocks from buckets
-                    # that DID have refs
-                    out[c] = pd.Series(None, index=out.index,
-                                       dtype=g[c].dtype)
+                out = null_payload(rows)
             else:
                 merged = pd.merge_asof(
                     rows[["__key", "__ts", *left_cols]],
                     refs[["__key", "__ts", *r_cols]],
                     on="__ts", by="__key", direction=d)
                 out = merged[[*left_cols, *r_cols]]
+            if unmatchable.any():
+                out = pd.concat([out, null_payload(all_rows[unmatchable])],
+                                ignore_index=True)
             if tag_direction:
                 out = out.copy()
                 out["direction"] = d

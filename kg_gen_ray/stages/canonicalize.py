@@ -59,8 +59,13 @@ def normalize_label(s: str) -> str:
     cat/Cat/CAT/cats -> one cluster; likes/like/liking -> one cluster) while
     keeping distinct items distinct (``test_clustering.py:203-242``).
 
-    Mirrored exactly by the SQL in ``__ray_entry__.oracle_sql`` (DuckDB
-    ``lower``/``substr`` chain) — keep the two in sync.
+    Mirrored by the SQL in ``__ray_entry__.oracle_sql`` (DuckDB
+    ``lower``/``substr`` chain) **for ASCII labels** — the conformance
+    corpus. On non-ASCII input the engine is deliberately stronger than
+    the SQL mirror: NFKC folds ligatures/width variants ('ﬁle' -> 'file'),
+    casefold handles ß/Σ-style case pairs lower() misses, and strip
+    removes Unicode whitespace (NBSP) where the SQL trim only covers the
+    six ASCII whitespace chars. Keep the two in sync on the ASCII subset.
     """
     s = unicodedata.normalize("NFKC", s).casefold().strip()
     if len(s) > 3 and s.endswith("s") and not s.endswith("ss"):
@@ -172,6 +177,7 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
 
     for _ in range(max_iter):
         comp_bytes = comp.size_bytes() or 0
+        comp_r = None        # join path's shared repartitioned label table
         if comp_bytes <= broadcast_limit:
             comp_map = {}
             for b in comp.iter_batches(batch_format="pyarrow"):
@@ -206,12 +212,16 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
             candidates = candidates.union(jump_ds)
         else:
             n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
-            # normalize blocks before joining: aggregate outputs can carry
-            # schemaless EMPTY blocks (map_batches skips empties, so the
-            # rename never stamps a schema on them and the join's pyarrow
-            # finalize then can't resolve the key field); repartition
-            # merges them away
-            nbr_comp = comp.repartition(n_parts).map_batches(
+            # ONE repartition+materialize of the label table per round,
+            # shared by all four consumers below (neighbor join, pointer
+            # jump's two sides, convergence check) — each used to pay its
+            # own O(nodes) exchange of identical data. Repartition also
+            # normalizes blocks before joining: aggregate outputs can
+            # carry schemaless EMPTY blocks (map_batches skips empties,
+            # so a rename never stamps a schema on them and the join's
+            # pyarrow finalize then can't resolve the key field).
+            comp_r = comp.repartition(n_parts).materialize()
+            nbr_comp = comp_r.map_batches(
                 lambda t: t.rename_columns(["nbr", "nbr_component"]),
                 batch_format="pyarrow")
             joined = edges.join(nbr_comp, join_type="left_outer",
@@ -229,12 +239,10 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
 
             # pointer jump via label self-join: node adopts its current
             # label's label (halves the remaining hop distance)
-            lab = comp.select_columns(["node", "component"]) \
-                .repartition(n_parts).map_batches(
-                    lambda t: t.rename_columns(["component", "jump"]),
-                    batch_format="pyarrow")
-            jump_joined = comp.select_columns(["node", "component"]) \
-                .repartition(n_parts) \
+            lab = comp_r.map_batches(
+                lambda t: t.rename_columns(["component", "jump"]),
+                batch_format="pyarrow")
+            jump_joined = comp_r \
                 .join(lab, join_type="left_outer", on=("component",),
                       num_partitions=n_parts)
 
@@ -254,9 +262,12 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
             batch_format="pyarrow")
         new_comp = min_agg(candidates.union(cur), "cand").materialize()
 
-        # distributed convergence check: any changed labels?
+        # distributed convergence check: any changed labels? (reuses the
+        # join path's already-repartitioned label table when it exists)
         n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
-        old = comp.repartition(n_parts).map_batches(
+        old_src = comp_r if comp_r is not None \
+            else comp.repartition(n_parts)
+        old = old_src.map_batches(
             lambda t: t.rename_columns(["node", "old_component"]),
             batch_format="pyarrow")
         changed = new_comp.repartition(n_parts) \
@@ -307,6 +318,10 @@ def _encode_rank(member: str) -> str:
     the plain string Min of ``{len:06d}|{member}`` IS the shortest-then-
     lexicographic member, so representative choice becomes a vectorized
     Arrow Min aggregate instead of per-group Python."""
+    if len(member) > 999_999:
+        raise ValueError(
+            "label longer than 999,999 characters cannot be rank-encoded "
+            "(6-digit length field); truncate such labels upstream")
     return f"{len(member):06d}|{member}"
 
 
@@ -319,7 +334,15 @@ def _encode_rank_arr(arr: "pa.Array") -> "pa.Array":
     Python — this runs on the hot path of label propagation)."""
     import pyarrow.compute as pc
     s = pc.cast(arr, pa.string())
-    ln = pc.utf8_lpad(pc.cast(pc.utf8_length(s), pa.string()), 6, "0")
+    lens = pc.utf8_length(s)
+    if len(s) and pc.max(lens).as_py() > 999_999:
+        # utf8_lpad does NOT truncate: a 7-digit length field would sort
+        # before 6-digit ones (wrong order) and the fixed decode slice
+        # would emit a corrupted representative — fail loudly instead
+        raise ValueError(
+            "label longer than 999,999 characters cannot be rank-encoded "
+            "(6-digit length field); truncate such labels upstream")
+    ln = pc.utf8_lpad(pc.cast(lens, pa.string()), 6, "0")
     return pc.binary_join_element_wise(ln, s, "|")
 
 
@@ -466,6 +489,17 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
             for cluster in judge(members[lo:lo + max_group_size]):
                 rep = choose_representative(cluster)
                 out.extend((rep, m) for m in cluster)
+        # enforce the partition contract HERE, where a violation happens:
+        # an LLM judge that drops a member (or invents one) would
+        # otherwise silently delete/corrupt alias-map rows
+        emitted = {m for _, m in out}
+        if emitted != set(members):
+            missing = sorted(set(members) - emitted)[:3]
+            invented = sorted(emitted - set(members))[:3]
+            raise ValueError(
+                "judge violated the partition contract: the returned "
+                "clusters must cover every input member exactly "
+                f"(missing={missing!r}, invented={invented!r})")
         return out
 
     # Per-key-group Ray map_groups pays ~ms-scale per-group overhead — at
@@ -555,20 +589,47 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
             m = ray.get(ref)
             keys = zip(t["kind"].to_pylist(), t["norm_key"].to_pylist(),
                        t["l1_rep"].to_pylist())
+            reps = []
+            for k in keys:
+                try:
+                    reps.append(m[k])
+                except KeyError:
+                    raise ValueError(
+                        f"judge violated the partition contract: level-1 "
+                        f"representative {k!r} missing from the level-2 "
+                        "clustering (the judge must place every input in "
+                        "some cluster)") from None
             return pa.table({
                 "kind": t["kind"],
-                "representative": pa.array([m[k] for k in keys],
-                                           pa.string()),
+                "representative": pa.array(reps, pa.string()),
                 "member": t["member"],
             })
 
         return l1.map_batches(emit_l2, batch_format="pyarrow")
 
     n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    # left_outer + loud null check, NOT an inner join: an inner join would
+    # silently DELETE members whose l1_rep the judge dropped — the same
+    # contract violation the broadcast dual raises on must raise here too
     joined = l1.repartition(n_parts).join(
-        l2.repartition(n_parts), join_type="inner",
+        l2.repartition(n_parts), join_type="left_outer",
         on=("kind", "norm_key", "l1_rep"), num_partitions=n_parts)
-    return joined.select_columns(["kind", "representative", "member"])
+
+    def check_covered(t: pa.Table) -> pa.Table:
+        if t["representative"].null_count:
+            import pyarrow.compute as _pc
+            missing = t.filter(_pc.is_null(t["representative"]))
+            k = (missing["kind"][0].as_py(), missing["norm_key"][0].as_py(),
+                 missing["l1_rep"][0].as_py())
+            raise ValueError(
+                f"judge violated the partition contract: level-1 "
+                f"representative {k!r} missing from the level-2 "
+                "clustering (the judge must place every input in some "
+                "cluster)")
+        return t
+
+    return joined.map_batches(check_covered, batch_format="pyarrow") \
+                 .select_columns(["kind", "representative", "member"])
 
 
 def canonicalize_labels(labels: "ray.data.Dataset", kind: str,

@@ -44,7 +44,10 @@ def hash_bucket_array(key_chunked, n_buckets: int):
     import pyarrow.compute as pc
 
     if pa.types.is_integer(key_chunked.type):
-        kv = pc.cast(key_chunked, pa.int64()).to_numpy(zero_copy_only=False)
+        # null keys bucket as 0 — which bucket is irrelevant (a null key
+        # matches nothing), it just must not crash the modulo
+        kv = pc.fill_null(pc.cast(key_chunked, pa.int64()), 0) \
+               .to_numpy(zero_copy_only=False)
         return pa.array((kv & ((1 << 62) - 1)) % n_buckets, pa.int64())
     import zlib
     return pa.array([zlib.crc32(str(k).encode()) % n_buckets

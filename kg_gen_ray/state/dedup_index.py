@@ -208,26 +208,33 @@ class StreamingDedupIndex:
             raise FileNotFoundError(
                 f"no band-index checkpoint at {path!r}")
         mpath = os.path.join(path, "manifest.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                manifest = json.load(f)
-            if manifest["n_shards"] != len(files):
-                raise ValueError(
-                    f"checkpoint at {path!r} has {len(files)} shard "
-                    f"files but the manifest says "
-                    f"{manifest['n_shards']} — refusing to restore a "
-                    "misrouted index")
-            resolved = signatures or minhash_signatures_fast
-            got_family = getattr(resolved, "__name__", str(resolved))
-            saved_family = manifest.get("signatures")
-            if saved_family is not None and saved_family != got_family:
-                raise ValueError(
-                    f"checkpoint at {path!r} was built with signature "
-                    f"family {saved_family!r} but this load would use "
-                    f"{got_family!r} — band keys from different families "
-                    "never collide, so the restored index would silently "
-                    "admit every duplicate; pass the matching "
-                    "signatures=")
+        if not os.path.exists(mpath):
+            # a manifest-less dir can't be validated (shard count,
+            # signature family) — loading it anyway is exactly the
+            # silent-misroute this method promises to refuse
+            raise FileNotFoundError(
+                f"checkpoint at {path!r} has shard files but no "
+                "manifest.json — cannot verify shard count or signature "
+                "family; refusing to restore an unverifiable index")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if manifest["n_shards"] != len(files):
+            raise ValueError(
+                f"checkpoint at {path!r} has {len(files)} shard "
+                f"files but the manifest says "
+                f"{manifest['n_shards']} — refusing to restore a "
+                "misrouted index")
+        resolved = signatures or minhash_signatures_fast
+        got_family = getattr(resolved, "__name__", str(resolved))
+        saved_family = manifest.get("signatures")
+        if saved_family is not None and saved_family != got_family:
+            raise ValueError(
+                f"checkpoint at {path!r} was built with signature "
+                f"family {saved_family!r} but this load would use "
+                f"{got_family!r} — band keys from different families "
+                "never collide, so the restored index would silently "
+                "admit every duplicate; pass the matching "
+                "signatures=")
         idx = cls(n_shards=len(files), signatures=signatures)
         ray.get([s.restore.remote(pq.read_table(f))
                  for s, f in zip(idx.shards, files)])

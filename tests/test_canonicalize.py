@@ -213,3 +213,31 @@ def test_adaptive_salt_hot_key_detected_and_exact(ray_session):
     # assertion that matters here.
     assert len({amap[v] for v in variants}) == 1
     assert all(amap[c] == c for c in cold)
+
+
+def test_judge_contract_violation_is_loud(ray_session):
+    """A judge that drops a member from its returned clusters must raise
+    on BOTH size-selected duals — the join dual used to silently delete
+    the member from the alias map."""
+    import pytest
+
+    def lossy_judge(members):
+        ms = sorted(members)
+        return [ms[1:]] if len(ms) > 1 else [ms]   # drops the min member
+
+    labels = ["cat", "cats", "CAT"]
+    for kw in ({}, {"broadcast_limit": 0}):
+        with pytest.raises(Exception, match="partition contract"):
+            alias_of(labels, salt_buckets=1, judge=lossy_judge, **kw)
+
+
+def test_rank_encode_guards_huge_labels():
+    import pytest
+
+    from kg_gen_ray.stages.canonicalize import _encode_rank, _encode_rank_arr
+
+    with pytest.raises(ValueError, match="rank-encoded"):
+        _encode_rank("x" * 1_000_000)
+    with pytest.raises(ValueError, match="rank-encoded"):
+        _encode_rank_arr(pa.array(["ok", "x" * 1_000_000]))
+    assert _encode_rank("abc") == "000003|abc"

@@ -188,3 +188,23 @@ def test_load_refuses_signature_family_mismatch(ray_session, tmp_path):
         StreamingDedupIndex.load(ckpt)        # default family != ahash
     ok = StreamingDedupIndex.load(ckpt, signatures=minhash_signatures_ahash)
     assert ok.n_keys() > 0
+
+
+def test_load_refuses_manifestless_checkpoint(ray_session, tmp_path):
+    """Shard files without manifest.json cannot be validated (shard
+    count, signature family) — load must refuse, not silently restore."""
+    import os
+
+    import pytest
+
+    base = " ".join(f"s{i}" for i in range(40))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([base], pa.string())}))
+    idx = StreamingDedupIndex(n_shards=2)
+    idx.filter_new(docs).count()
+    ckpt = str(tmp_path / "ck2")
+    idx.save(ckpt)
+    os.remove(os.path.join(ckpt, "manifest.json"))
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        StreamingDedupIndex.load(ckpt)

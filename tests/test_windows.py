@@ -200,3 +200,50 @@ def test_range_join_containment(ray_session):
     assert out[13] == 0            # inclusive end: day 4 == e
     assert pd.isna(out[14])        # user 3 has no intervals
     assert len(out) == 5           # left-outer: every row survives
+
+
+def test_asof_join_null_keys_and_ts(ray_session):
+    """Null left ts/key -> null payload (missing-match semantics), never
+    a pandas merge crash; null right rows match nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([10, None, 10, 99], pa.int64()),
+        "ts": pa.array([1000000, 2000000, None, 5000000],
+                       pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([10, 10, None], pa.int64()),
+        "rts": pa.array([500000, None, 700000], pa.timestamp("us")),
+        "payload": pa.array([7.5, 8.5, 9.5], pa.float64()),
+    }))
+    rows = {r["l_event_id"]: r["r_payload"]
+            for r in asof_join(left, right, "user_id", "ts", "rts",
+                               ["payload"]).take_all()}
+    import pandas as pd
+    assert rows[1] == 7.5            # normal backward match
+    assert pd.isna(rows[2])          # null key -> no match
+    assert pd.isna(rows[3])          # null ts -> no match
+    assert pd.isna(rows[4])          # no ref for key 99
+
+
+def test_window_ops_custom_value_col_naming(ray_session):
+    """All three window operators name the sum column sum_<value_col> —
+    drop-in equivalence must hold off the default column name too."""
+    from kg_gen_ray.functions.windows import multi_window
+
+    ev = _events([(0, "a", 1.0), (29, "a", 2.0), (61, "b", 4.0)]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["ts", "event_type", "tokens"]), batch_format="pyarrow")
+    for op_rows in (
+            tumbling_window(ev, 60, value_col="tokens").take_all(),
+            sliding_window(ev, 60, 30, value_col="tokens").take_all(),
+            multi_window(ev, [("tumble", 60, 60)],
+                         value_col="tokens").take_all()):
+        assert all("sum_tokens" in r for r in op_rows)
+    got = {(r["event_type"], r["window_start"].strftime("%M:%S")):
+           r["sum_tokens"]
+           for r in tumbling_window(ev, 60, value_col="tokens").take_all()}
+    assert got[("a", "00:00")] == 3.0 and got[("b", "01:00")] == 4.0
