@@ -169,7 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops: text analysis
         "text_tokens": q_text_tokens,                  # whitespace + regex tokenizers
         "text_quality": q_text_quality,                # quality scores + lang-id
-        "doc_fingerprint": q_doc_fingerprint,
+        "paragraph_dedup": q_paragraph_dedup,          # CCNet boilerplate pass
         "lang_hist": q_lang_hist,
         "top_bigrams": q_top_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -411,10 +411,27 @@ def q_text_quality(sf_dir: str):
         QualityLang, batch_format="pyarrow", concurrency=(2, 16))
 
 
-def q_doc_fingerprint(sf_dir: str):
-    from kg_gen_ray.functions.text_analysis import fingerprint
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fingerprint, batch_format="pyarrow")
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level dedup: corpus-wide first-occurrence
+    dedup of paragraphs, documents rebuilt from their survivors (docs
+    left empty drop). The synthetic documents carry no blank-line
+    structure, so paragraphs are derived deterministically by treating
+    the frequent token ' table ' as the separator — the oracle derives
+    them with the identical replace(). (Replaces the standalone
+    doc_fingerprint query: its md5-fp map is already oracle-covered
+    inside dedup_exact.)"""
+    from kg_gen_ray.functions.paragraphs import paragraph_dedup
+
+    def as_paras(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.replace_substring(
+                pc.cast(t["text"], pa.string()), " table ", "\n\n"),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        as_paras, batch_format="pyarrow")
+    return paragraph_dedup(docs)
 
 
 def q_lang_hist(sf_dir: str):
@@ -1120,8 +1137,26 @@ def oracle_sql() -> dict[str, str]:
                  AS n_re_tokens
         FROM ws JOIN documents d USING (doc_id)"""
 
-    sql["doc_fingerprint"] = """
-        SELECT doc_id, md5(text) AS fp FROM documents"""
+    sql["paragraph_dedup"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   replace(text, ' table ', chr(10)||chr(10)) AS text
+            FROM documents
+        ), split AS (
+            SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps
+            FROM d
+        ), paras AS (
+            SELECT doc_id, unnest(ps) AS para,
+                   generate_subscripts(ps, 1) AS i FROM split
+        ), ranked AS (
+            SELECT doc_id, para, i,
+                   ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, i) AS rn
+            FROM paras
+        )
+        SELECT doc_id,
+               string_agg(para, chr(10)||chr(10) ORDER BY i) AS text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id"""
 
     # HLL replay: md5-u64 value hash, register = (idx = h >> 52,
     # rank = leading zeros of the 12-bit-padded remainder + 1 via bin()),

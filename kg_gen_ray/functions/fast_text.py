@@ -48,13 +48,34 @@ def _token_hashes(flat: pa.Array) -> np.ndarray:
     return s.hash(seed=0).to_numpy().astype(np.uint64)
 
 
+# Internal slice width for the fused pass: per-slice transients (token-
+# hash arrays, lexsort buffers, the (slice, 256) SimHash histograms) stay
+# a few MB — L2/L3-resident — instead of scaling with the block size.
+# With full ~12.5k-row blocks the ~100 MB-per-worker allocation churn
+# page-faults pathologically on ballooned-memory VMs and saturates
+# memory bandwidth at high worker counts (measured 32-CPU wall 11-20s ->
+# ~7s at 400k pages from this slicing alone); slices are zero-copy.
+_FUSE_SLICE = 512
+
+
 def fused_text_analysis(batch: pa.Table, n_hashes: int = N_HASHES,
                         include_simhash: bool = True,
                         include_stats: bool = True) -> pa.Table:
     """(doc_id, text) -> (doc_id[, n_tokens, n_unique_tokens][, simhash],
     m0..m{n-1}). The include_* flags let single-purpose callers (e.g. the
     LSH band path, which only needs MinHash) skip the other sections'
-    compute."""
+    compute. Internally processes ``_FUSE_SLICE``-row zero-copy slices so
+    transient allocations stay cache-sized for any incoming block size."""
+    if batch.num_rows > _FUSE_SLICE:
+        return pa.concat_tables([
+            _fused_slice(batch.slice(lo, _FUSE_SLICE), n_hashes,
+                         include_simhash, include_stats)
+            for lo in range(0, batch.num_rows, _FUSE_SLICE)])
+    return _fused_slice(batch, n_hashes, include_simhash, include_stats)
+
+
+def _fused_slice(batch: pa.Table, n_hashes: int,
+                 include_simhash: bool, include_stats: bool) -> pa.Table:
     n = batch.num_rows
     doc_id = pc.cast(batch["doc_id"], pa.int64())
     if n == 0:
@@ -203,19 +224,47 @@ _OB = np.array([0x165667B1, 0xD3A2646D, 0xFD7046C5, 0xB55A4F09],
                dtype=np.uint64)
 
 
+# per-process token->hash memo: md5 runs once per distinct token per
+# WORKER (not per batch/slice) — on templated web corpora the shared
+# vocabulary dominates the token stream, so this converts the md5 family's
+# main cost into a dict lookup. Bounded: reset when it outgrows the cap
+# (vocabularies that large no longer fit cache anyway).
+_MD5_MEMO: dict = {}
+_MD5_MEMO_CAP = 1 << 20
+
+
 def _md5_u32_hashes(flat: pa.Array) -> np.ndarray:
     if len(flat) == 0:
         return np.zeros(0, dtype=np.uint64)
     toks = np.asarray(flat.to_pylist(), dtype=object)
     uniq, inv = np.unique(toks, return_inverse=True)
+    if len(_MD5_MEMO) > _MD5_MEMO_CAP:
+        _MD5_MEMO.clear()
+    memo = _MD5_MEMO
     hu = np.fromiter(
-        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+        (memo.get(t) if t in memo else memo.setdefault(
+            t, int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16))
          for t in uniq), dtype=np.uint64, count=len(uniq))
     return hu[inv]
 
 
+def _sliced(fn, batch: pa.Table, *args) -> pa.Table:
+    """Run a per-row-independent table UDF over ``_FUSE_SLICE``-row
+    zero-copy slices (see the allocation note at ``_FUSE_SLICE``)."""
+    if batch.num_rows > _FUSE_SLICE:
+        return pa.concat_tables([
+            fn(batch.slice(lo, _FUSE_SLICE), *args)
+            for lo in range(0, batch.num_rows, _FUSE_SLICE)])
+    return fn(batch, *args)
+
+
 def _signatures_impl(batch: pa.Table, n_hashes: int,
                      token_hash_fn) -> pa.Table:
+    return _sliced(_signatures_slice, batch, n_hashes, token_hash_fn)
+
+
+def _signatures_slice(batch: pa.Table, n_hashes: int,
+                      token_hash_fn) -> pa.Table:
     n = batch.num_rows
     doc_id = pc.cast(batch["doc_id"], pa.int64())
     if n == 0:
@@ -271,6 +320,10 @@ def winnow_fingerprints(batch: pa.Table, window: int = 4) -> pa.Table:
     ``np.minimum`` passes (window is a small constant); dedup per doc via
     the same sorted-boundary trick as the token stats. Rows with fewer
     shingles than ``window`` contribute the min of what they have."""
+    return _sliced(_winnow_slice, batch, window)
+
+
+def _winnow_slice(batch: pa.Table, window: int) -> pa.Table:
     n = batch.num_rows
     doc_id = pc.cast(batch["doc_id"], pa.int64())
     empty = pa.table({"doc_id": pa.array([], pa.int64()),

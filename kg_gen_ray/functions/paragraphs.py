@@ -1,0 +1,231 @@
+"""Paragraph-level exact dedup — the CCNet pass.
+
+Web crawls repeat BOILERPLATE, not just whole pages: navigation blocks,
+cookie banners, license footers appear verbatim across millions of
+otherwise-distinct documents. CCNet (Wenzek et al., "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data", LREC 2020)
+deduplicates at PARAGRAPH granularity for exactly this reason; document-
+level dedup (exact or near) cannot remove a footer shared by distinct
+pages. The reference engine has no equivalent (its dedup is label-level,
+SURVEY.md §2.7) — this is one of the training-data operators the brief
+adds beyond it.
+
+Semantics (deterministic, DuckDB-replayable): split ``text`` on
+``"\\n\\n"``; across the whole corpus, for every distinct paragraph keep
+only its first occurrence (min ``(doc_id, paragraph_index)``); reassemble
+each document from its surviving paragraphs in original order; documents
+with no surviving paragraph are dropped. The SQL mirror is
+string_split + ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY
+doc_id, i) + string_agg (see ``__ray_entry__.oracle_sql['paragraph_dedup']``).
+
+Distributed shape (two passes over the corpus, one narrow exchange):
+
+1. **Loser mining** — explode to (fp, enc) where ``enc`` packs
+   (doc_id, para_idx) into one int64 and ``fp`` is md5(paragraph); a
+   per-batch combiner keeps only each fp's in-batch minimum (in-batch
+   duplicate occurrences are emitted as losers directly, never shuffled),
+   and one hash-bucketed groupby picks the global winner per fp. The
+   exchange carries one row per (batch, distinct paragraph) — never the
+   paragraph text.
+2. **Rebuild** — a streaming ``map_batches`` re-splits each document,
+   drops its losing paragraphs, and joins the survivors back with
+   ``"\\n\\n"`` entirely inside the batch (vectorized: Arrow ListArray
+   offsets + ``binary_join``). Duals for the loser membership: the loser
+   enc-set broadcasts via ``ray.put`` as a sorted numpy array
+   (``searchsorted`` membership) while it fits ``broadcast_limit``; above
+   it, the rebuild switches to an exploded left_anti join + bucketed
+   regroup — exact at any loser volume, at the price of shuffling the
+   paragraph text once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+# enc = doc_id * 2^20 + para_idx: loud bounds, no silent wraparound
+_IDX_BITS = 20
+_MAX_IDX = (1 << _IDX_BITS) - 1
+_MAX_DOC = (1 << (62 - _IDX_BITS)) - 1
+_SEP = "\n\n"
+
+
+def _explode(t: pa.Table, text_col: str, id_col: str):
+    """Batch -> (doc_ids, para_idx, paras, enc, list_lengths) numpy/Arrow
+    views, fully vectorized. Null texts contribute no paragraphs (the SQL
+    mirror's lateral range over a NULL list emits no rows)."""
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    if len(ids) and (ids.max() > _MAX_DOC or ids.min() < 0):
+        raise ValueError(f"doc ids must be in [0, {_MAX_DOC}] to pack "
+                         "(doc_id, para_idx) into one int64 key")
+    lists = pc.split_pattern(pc.cast(t[text_col], pa.string()), _SEP)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)  # null text -> 0
+    if len(lens) and lens.max() > _MAX_IDX + 1:
+        raise ValueError(f"document with more than {_MAX_IDX + 1} "
+                         "paragraphs cannot be packed; raise _IDX_BITS")
+    paras = lists.flatten()
+    doc_rep = np.repeat(ids, lens)
+    # per-list 0-based positions: global arange minus each list's offset
+    offsets = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    idx = np.arange(int(lens.sum()), dtype=np.int64) \
+        - np.repeat(offsets, lens)
+    enc = doc_rep * (_MAX_IDX + 1) + idx
+    return ids, lens, paras, doc_rep, idx, enc
+
+
+def _md5_arr(paras: pa.Array) -> np.ndarray:
+    # md5 is the oracle-parity family (mirrors DuckDB md5()), same choice
+    # as text_analysis.fingerprint
+    return np.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                     for s in paras.to_pylist()], dtype=object)
+
+
+def paragraph_losers(docs: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id",
+                     shuffle_partitions=None) -> "ray.data.Dataset":
+    """(enc,) int64 keys of every paragraph occurrence that LOSES the
+    first-occurrence rule — the small side on a healthy corpus (only
+    repeated boilerplate pays). Two-level min, same shape as
+    ``web.url_dedup_losers``: in-batch losers never enter the exchange."""
+    from kg_gen_ray.stages.common import (coalesce, default_buckets,
+                                          hash_bucket_array)
+
+    def local(t: pa.Table) -> pa.Table:
+        _ids, _lens, paras, _doc, _idx, enc = _explode(t, text_col, id_col)
+        fps = _md5_arr(paras)
+        order = np.lexsort((enc, fps))
+        first = np.ones(len(order), dtype=bool)
+        sf = fps[order]
+        first[1:] = sf[1:] != sf[:-1]
+        return pa.table({
+            "fp": pa.array(np.concatenate([sf[first], sf[~first]]),
+                           pa.string()),
+            "enc": pa.array(np.concatenate([enc[order][first],
+                                            enc[order][~first]]),
+                            pa.int64()),
+            "is_min": pa.array(np.concatenate(
+                [np.ones(int(first.sum()), dtype=bool),
+                 np.zeros(int((~first).sum()), dtype=bool)])),
+        })
+
+    marked = docs.map_batches(local, batch_format="pyarrow")
+    local_losers = marked.filter(expr="is_min == False") \
+                         .select_columns(["enc"])
+    minima = coalesce(marked.filter(expr="is_min == True"),
+                      shuffle_partitions)
+
+    # bucket-hash the fp key so one Ray group holds many fp-groups and the
+    # per-fp min runs in pandas' C groupby (per-key map_groups would pay
+    # ms-scale overhead per distinct paragraph)
+    n_buckets = default_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", hash_bucket_array(t["fp"], n_buckets))
+
+    def all_but_min(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: the union with local_losers' Arrow blocks must not
+        # mix block types
+        keep = g.sort_values("enc", kind="stable") \
+                .groupby("fp", sort=False).cumcount() > 0
+        return pa.table({"enc": pa.array(
+            g.loc[keep, "enc"].to_numpy(dtype=np.int64), pa.int64())})
+
+    global_losers = minima.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(all_but_min, batch_format="pandas")
+    return local_losers.union(global_losers)
+
+
+def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    broadcast_limit: int = 64 * 1024 * 1024,
+                    shuffle_partitions=None) -> "ray.data.Dataset":
+    """(doc_id, text) with corpus-wide duplicate paragraphs removed
+    (first occurrence wins); documents left empty are dropped."""
+    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+
+    losers = paragraph_losers(docs, text_col, id_col,
+                              shuffle_partitions).materialize()
+
+    def rebuild(t: pa.Table, keep_mask_fn) -> pa.Table:
+        ids, lens, paras, doc_rep, _idx, enc = _explode(t, text_col, id_col)
+        keep = keep_mask_fn(enc)
+        # survivors per document -> new list offsets -> vectorized join
+        pos = np.repeat(np.arange(len(ids)), lens)[keep]
+        counts = np.bincount(pos, minlength=len(ids))
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        kept = paras.filter(pa.array(keep))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), kept), _SEP)
+        nonempty = counts > 0
+        return pa.table({
+            id_col: pa.array(ids[nonempty], pa.int64()),
+            text_col: joined.filter(pa.array(nonempty)),
+        })
+
+    if (losers.size_bytes() or 0) <= broadcast_limit:
+        encs = []
+        for b in losers.iter_batches(batch_format="pyarrow"):
+            encs.append(b["enc"].to_numpy(zero_copy_only=False))
+        loser_sorted = np.sort(np.concatenate(encs)) if encs \
+            else np.array([], dtype=np.int64)
+        ref = ray.put(loser_sorted)
+
+        def keep_mask(enc, ref=ref):
+            ls = ray.get(ref)
+            pos = np.searchsorted(ls, enc)
+            pos = np.minimum(pos, max(0, len(ls) - 1))
+            return (ls[pos] != enc) if len(ls) else \
+                np.ones(len(enc), dtype=bool)
+
+        return docs.map_batches(
+            lambda t: rebuild(t, keep_mask), batch_format="pyarrow")
+
+    # join dual (boilerplate-heavy corpus: the loser set itself is too big
+    # to ship): explode WITH text, left_anti join away the losers, regroup
+    # by doc in hash buckets, join paragraphs back in order
+    import ray as _ray
+    n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+
+    def explode_rows(t: pa.Table) -> pa.Table:
+        _ids, _lens, paras, doc_rep, idx, enc = _explode(t, text_col, id_col)
+        return pa.table({
+            "enc": pa.array(enc, pa.int64()),
+            id_col: pa.array(doc_rep, pa.int64()),
+            "__pidx": pa.array(idx, pa.int64()),
+            "__para": paras,
+        })
+
+    exploded = docs.map_batches(explode_rows, batch_format="pyarrow")
+    survivors = exploded.repartition(n_parts).join(
+        losers.repartition(n_parts), join_type="left_anti", on=("enc",),
+        num_partitions=n_parts)
+
+    n_buckets = default_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", hash_bucket_array(t[id_col], n_buckets))
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "__pidx"], kind="stable")
+        out = g.groupby(id_col, sort=False)["__para"] \
+               .agg(lambda ps: _SEP.join(ps)).reset_index()
+        out.columns = [id_col, text_col]
+        return out
+
+    # stamp schema on post-join blocks before the groupby (empty-block
+    # gotcha), then one bucketed exchange rebuilds the documents
+    return survivors.select_columns(["enc", id_col, "__pidx", "__para"]) \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(regroup, batch_format="pandas")

@@ -1,0 +1,85 @@
+"""Paragraph-level dedup (the CCNet pass): oracle agreement, dual
+agreement, layout invariance, edge cases."""
+
+import duckdb
+import pyarrow as pa
+
+import ray.data as rd
+
+from kg_gen_ray.functions.paragraphs import paragraph_dedup, paragraph_losers
+
+DOCS = pa.table({
+    "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+    "text": pa.array([
+        "intro A\n\nfooter X\n\nbody A",
+        "intro B\n\nfooter X",            # loses footer X to doc 0
+        "footer X",                       # loses everything -> dropped
+        None,                             # null text -> dropped
+        "",                               # one empty paragraph (kept: first "")
+        "solo\n\n\n\nsolo",               # in-doc dup + one empty paragraph
+    ]),
+})
+
+
+def oracle(docs: pa.Table):
+    con = duckdb.connect()
+    con.register("documents", docs)
+    return dict(con.execute("""
+        WITH split AS (
+            SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps
+            FROM documents
+        ), paras AS (
+            SELECT doc_id, unnest(ps) AS para,
+                   generate_subscripts(ps, 1) AS i FROM split
+        ), ranked AS (
+            SELECT doc_id, para, i,
+                   ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, i) AS rn
+            FROM paras
+        )
+        SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY i)
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    """).fetchall())
+
+
+def test_matches_oracle_both_duals_any_layout(ray_session):
+    want = oracle(DOCS)
+    for parts in (1, 4):
+        ds = rd.from_arrow(DOCS).repartition(parts)
+        for kw in ({}, {"broadcast_limit": 0}):
+            got = {r["doc_id"]: r["text"]
+                   for r in paragraph_dedup(ds, **kw).take_all()}
+            assert got == want, (parts, kw)
+
+
+def test_edge_semantics(ray_session):
+    got = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(rd.from_arrow(DOCS)).take_all()}
+    assert got[0] == "intro A\n\nfooter X\n\nbody A"   # first occurrence
+    assert got[1] == "intro B"                         # footer removed
+    assert 2 not in got                                # fully-duplicate doc
+    assert 3 not in got                                # null text
+    assert got[4] == ""                                # first empty paragraph
+    # doc 5: 'solo' kept once; its empty paragraphs lost to doc 4's
+    assert got[5] == "solo"
+
+
+def test_losers_complement(ray_session):
+    """every paragraph occurrence is either a winner or a loser."""
+    ds = rd.from_arrow(DOCS).repartition(3)
+    losers = {r["enc"] for r in paragraph_losers(ds).take_all()}
+    # doc1 footer X (idx 1), doc2 footer X (idx 0); doc5 splits to
+    # ['solo', '', 'solo'] -> idx 1 ('' loses to doc4) and idx 2 lose
+    k = 1 << 20
+    assert losers == {1 * k + 1, 2 * k + 0, 5 * k + 1, 5 * k + 2}
+
+
+def test_doc_id_bounds_guard(ray_session):
+    import pytest
+
+    bad = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1 << 50], pa.int64()),
+        "text": pa.array(["x"], pa.string()),
+    }))
+    with pytest.raises(Exception, match="pack"):
+        paragraph_dedup(bad).take_all()
