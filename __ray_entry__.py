@@ -170,7 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens": q_text_tokens,                  # whitespace + regex tokenizers
         "text_quality": q_text_quality,                # quality scores + lang-id
         "paragraph_dedup": q_paragraph_dedup,          # CCNet boilerplate pass
-        "lang_hist": q_lang_hist,
+        "lm_score": q_lm_score,                        # CCNet perplexity filter
         "top_bigrams": q_top_bigrams,
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct_docs": q_approx_distinct,     # HLL estimate (oracle-exact)
@@ -434,11 +434,15 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(docs)
 
 
-def q_lang_hist(sf_dir: str):
-    from ray.data.aggregate import Count
-    ds = _docs(sf_dir, ["lang"])
-    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
-    return out
+def q_lm_score(sf_dir: str):
+    """Corpus-trained bigram-LM quality score per document in integer
+    micro-nats (the CCNet perplexity filter, self-trained). Replaces the
+    lang_hist query: its one-column groupby-count shape is already
+    oracle-covered by pricing_summary/revenue_by_region, and the
+    language histogram itself is derivable from text_quality's
+    oracle-checked pred_lang column."""
+    from kg_gen_ray.functions.lm import lm_score
+    return lm_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_top_bigrams(sf_dir: str):
@@ -1188,8 +1192,32 @@ def oracle_sql() -> dict[str, str]:
                END AS approx_distinct_texts
         FROM t"""
 
-    sql["lang_hist"] = """
-        SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"""
+    sql["lm_score"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), t AS (
+            SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+            FROM toks
+        ), bi AS (
+            SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ), c2 AS (
+            SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w AS w1, count(*) AS c1 FROM t GROUP BY 1
+        ), v AS (
+            SELECT count(DISTINCT w) AS v FROM t
+        ), s AS (
+            SELECT bi.doc_id,
+                   CAST(floor(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1000000)
+                        AS BIGINT) AS s
+            FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        )
+        SELECT d.doc_id,
+               COALESCE(sum(s.s), 0)::BIGINT AS lm_score_micro,
+               count(s.s)::BIGINT AS n_bigrams
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        GROUP BY d.doc_id"""
 
     # text_quality carries the merged lang-id column: marker-word voting
     # with the LangId actor's exact tiebreak (strictly more hits wins, ties

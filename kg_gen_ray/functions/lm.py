@@ -1,0 +1,253 @@
+"""Corpus-trained bigram LM quality scoring — the CCNet perplexity filter.
+
+CCNet's quality stage scores every document with a language-model
+log-likelihood and keeps the head of the distribution (Wenzek et al.,
+LREC 2020 — there a KenLM 5-gram; the filtering mechanics are identical).
+This module is that stage with the engine's own corpus-trained bigram
+model: no external model file, fully deterministic, DuckDB-replayable.
+
+Model: add-one-smoothed bigram LM over whitespace tokens.
+
+    p(w2 | w1) = (C2(w1, w2) + 1) / (C1(w1) + V)
+
+with C2/C1 corpus bigram/unigram occurrence counts and V the vocabulary
+size. A document's score is the sum of its bigrams' log-probs — higher
+(closer to 0) = more typical text; boilerplate scores high, keyboard
+mash scores low.
+
+**Oracle-exact arithmetic.** Float SUMs are order-dependent, so the
+per-bigram log-prob is quantized FIRST: ``floor(ln(p) * 1e6)`` as int64
+micro-nats (floor, not round — SQL round() is half-away-from-zero while
+Python's is banker's), and the per-doc aggregate is an integer sum,
+exact under any execution order. ``ln`` and the division hit the same
+libm doubles in numpy/DuckDB on one host, so the quantized value is
+identical on both sides.
+
+Distributed shape: two vocabulary-sized count exchanges (per-batch Arrow
+``group_by`` combiner -> one global groupby each), then one streaming
+scoring pass. The per-bigram score table rides a size-selected dual:
+``ray.put`` dict + per-batch unique-bigram lookup while it fits the
+broadcast budget, hash join on (w1, w2) + integer groupby-sum above it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_SCALE = 1_000_000
+
+
+def _tokens(batch: pa.Table, text_col: str):
+    toks = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+    return toks.flatten(), lens
+
+
+def _bigrams(flat, lens):
+    """(w1_idx, w2_idx) positions of within-row consecutive token pairs
+    plus each pair's row id — the k=2 sibling of fast_text._shingle_rows."""
+    row_idx = np.repeat(np.arange(len(lens)), lens)
+    if len(row_idx) < 2:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    same = row_idx[:-1] == row_idx[1:]
+    pos = np.flatnonzero(same)
+    return pos, row_idx[pos]
+
+
+def lm_counts(docs: "ray.data.Dataset", text_col: str = "text",
+              shuffle_partitions=None):
+    """-> (bigram_counts(w1, w2, c2), unigram_counts(w1, c1), V) — the
+    trained model, materialized (vocabulary-sized, reused per query)."""
+    from kg_gen_ray.stages.common import coalesce
+
+    def local2(t: pa.Table) -> pa.Table:
+        flat, lens = _tokens(t, text_col)
+        pos, _rows = _bigrams(flat, lens)
+        part = pa.table({
+            "w1": flat.take(pa.array(pos)),
+            "w2": flat.take(pa.array(pos + 1)),
+        })
+        out = part.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return out.rename_columns(["w1", "w2", "c2"])
+
+    def local1(t: pa.Table) -> pa.Table:
+        flat, _lens = _tokens(t, text_col)
+        out = pa.table({"w1": flat}).group_by(["w1"]) \
+                .aggregate([([], "count_all")])
+        return out.rename_columns(["w1", "c1"])
+
+    from ray.data.aggregate import Sum
+    bi = coalesce(docs.map_batches(local2, batch_format="pyarrow"),
+                  shuffle_partitions) \
+        .groupby(["w1", "w2"]).aggregate(Sum("c2", alias_name="c2")) \
+        .materialize()
+    uni = coalesce(docs.map_batches(local1, batch_format="pyarrow"),
+                   shuffle_partitions) \
+        .groupby("w1").aggregate(Sum("c1", alias_name="c1")) \
+        .materialize()
+    v = uni.count()
+    return bi, uni, v
+
+
+def _score_micro(c2: np.ndarray, c1: np.ndarray, v: int) -> np.ndarray:
+    """floor(ln((c2+1)/(c1+V)) * 1e6) per element — quantized BEFORE any
+    sum so the aggregate is integer-exact; math.log == DuckDB ln (same
+    libm, same doubles)."""
+    return np.array([math.floor(math.log((a + 1.0) / (b + v)) * _SCALE)
+                     for a, b in zip(c2.tolist(), c1.tolist())],
+                    dtype=np.int64)
+
+
+def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
+             id_col: str = "doc_id", model=None,
+             broadcast_limit: int = 64 * 1024 * 1024,
+             shuffle_partitions=None) -> "ray.data.Dataset":
+    """(doc_id, lm_score_micro, n_bigrams) — per-document bigram LM
+    log-likelihood in integer micro-nats. ``model`` (optional) is a
+    pre-trained ``lm_counts`` result, so one trained model can score many
+    datasets (the CCNet deployment shape: train on a clean reference
+    corpus, score the crawl)."""
+    bi, uni, v = model if model is not None else lm_counts(
+        docs, text_col, shuffle_partitions)
+
+    # per-bigram score table: ln() runs once per DISTINCT bigram
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    scored = bi.repartition(n_parts).join(
+        uni.repartition(n_parts), join_type="inner", on=("w1",),
+        num_partitions=n_parts)
+
+    def add_score(t: pa.Table, v=v) -> pa.Table:
+        s = _score_micro(
+            pc.cast(t["c2"], pa.int64()).to_numpy(zero_copy_only=False),
+            pc.cast(t["c1"], pa.int64()).to_numpy(zero_copy_only=False), v)
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "s": pa.array(s, pa.int64())})
+
+    table = scored.map_batches(add_score,
+                               batch_format="pyarrow").materialize()
+
+    # unseen-bigram backoff (a frozen model scoring NEW text — the CCNet
+    # deployment shape): add-one gives p = 1/(C1(w1)+V), and an unseen
+    # w1 has C1 = 0. Both duals below implement it identically.
+    def _backoff(c1: int, v=v) -> int:
+        return math.floor(math.log(1.0 / (c1 + v)) * _SCALE)
+
+    if (table.size_bytes() or 0) <= broadcast_limit:
+        m = {}
+        for b in table.iter_batches(batch_format="pyarrow"):
+            m.update(zip((w1 + "\x1f" + w2 for w1, w2 in
+                          zip(b["w1"].to_pylist(), b["w2"].to_pylist())),
+                         b["s"].to_pylist()))
+        m1 = {}
+        for b in uni.iter_batches(batch_format="pyarrow"):
+            m1.update(zip(b["w1"].to_pylist(), b["c1"].to_pylist()))
+        ref = ray.put((m, m1))
+
+        def score_batch(t: pa.Table, ref=ref) -> pa.Table:
+            mm, mm1 = ray.get(ref)
+            flat, lens = _tokens(t, text_col)
+            pos, rows = _bigrams(flat, lens)
+            w1 = np.asarray(flat.take(pa.array(pos)), dtype=object)
+            w2 = np.asarray(flat.take(pa.array(pos + 1)), dtype=object)
+            # lookup per UNIQUE bigram (vocab-sized), broadcast back
+            # \x1f separator: numpy U-dtype strips NULs, and tokens are
+            # whitespace-split so \x1f cannot occur inside one
+            pair = np.char.add(np.char.add(w1.astype(str), "\x1f"),
+                               w2.astype(str)) if len(w1) else \
+                np.zeros(0, dtype=object)
+            uniq, inv = np.unique(pair, return_inverse=True)
+            su = np.fromiter(
+                (mm[p] if p in mm
+                 else _backoff(mm1.get(p.split("\x1f", 1)[0], 0))
+                 for p in uniq),
+                dtype=np.int64, count=len(uniq))
+            s = su[inv] if len(uniq) else np.zeros(0, dtype=np.int64)
+            n = t.num_rows
+            total = np.zeros(n, dtype=np.int64)
+            cnt = np.zeros(n, dtype=np.int64)
+            np.add.at(total, rows, s)
+            np.add.at(cnt, rows, 1)
+            return pa.table({
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "lm_score_micro": pa.array(total, pa.int64()),
+                "n_bigrams": pa.array(cnt, pa.int64()),
+            })
+
+        return docs.map_batches(score_batch, batch_format="pyarrow")
+
+    # join dual: explode (doc_id, w1, w2), join the score table, integer
+    # groupby-sum — exact at any vocabulary size
+    from ray.data.aggregate import Count, Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, lens = _tokens(t, text_col)
+        pos, rows = _bigrams(flat, lens)
+        ids = pc.cast(t[id_col], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[rows], pa.int64()),
+            "w1": flat.take(pa.array(pos)),
+            "w2": flat.take(pa.array(pos + 1)),
+        })
+
+    joined = docs.map_batches(explode, batch_format="pyarrow") \
+        .repartition(n_parts) \
+        .join(table.repartition(n_parts), join_type="left_outer",
+              on=("w1", "w2"), num_partitions=n_parts)
+    # unseen bigrams (null s): attach c1 and back off — normalize between
+    # the chained joins (schemaless-empty-block gotcha)
+    with_c1 = joined.select_columns([id_col, "w1", "s"]) \
+        .repartition(n_parts) \
+        .join(uni.repartition(n_parts), join_type="left_outer",
+              on=("w1",), num_partitions=n_parts)
+
+    def fill_backoff(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        c1 = pc.fill_null(pc.cast(t["c1"], pa.int64()), 0) \
+               .to_numpy(zero_copy_only=False)
+        miss = np.isnan(s.astype(np.float64)) if s.dtype != np.int64 \
+            else np.zeros(len(s), dtype=bool)
+        if miss.any():
+            # libm log per UNIQUE c1 value (few distinct small ints)
+            uniq, inv = np.unique(c1[miss], return_inverse=True)
+            bo = np.fromiter((_backoff(int(u)) for u in uniq),
+                             dtype=np.int64, count=len(uniq))
+            s = s.copy()
+            s[miss] = bo[inv]
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "s": pa.array(s.astype(np.int64), pa.int64()),
+        })
+
+    agg = with_c1.map_batches(fill_backoff, batch_format="pyarrow") \
+        .repartition(n_parts) \
+        .groupby(id_col).aggregate(
+            Sum("s", alias_name="lm_score_micro"),
+            Count(alias_name="n_bigrams"))
+    # docs with <2 tokens have no bigram rows: union their zero rows back
+    scored_ids = agg
+
+    def zeros_for_short(t: pa.Table) -> pa.Table:
+        _flat, lens = _tokens(t, text_col)
+        short = lens < 2
+        ids = pc.cast(t[id_col], pa.int64()) \
+                .to_numpy(zero_copy_only=False)[short]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "lm_score_micro": pa.array(np.zeros(len(ids), np.int64())),
+            "n_bigrams": pa.array(np.zeros(len(ids), np.int64())),
+        })
+
+    shorts = docs.map_batches(zeros_for_short, batch_format="pyarrow")
+    return scored_ids.select_columns(
+        [id_col, "lm_score_micro", "n_bigrams"]).union(shorts)

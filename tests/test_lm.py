@@ -1,0 +1,93 @@
+"""Bigram LM quality scoring (CCNet perplexity filter): oracle-exact
+integer micro-nats, dual agreement, pre-trained-model reuse."""
+
+import duckdb
+import pyarrow as pa
+
+import ray.data as rd
+
+from kg_gen_ray.functions.lm import lm_counts, lm_score
+
+DOCS = pa.table({
+    "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    "text": pa.array([
+        "the cat sat on the mat",
+        "the cat sat",          # typical -> higher score than doc 2
+        "zz qq",                # keyboard mash -> rare bigram
+        "one",                  # single token: no bigrams
+        None,                   # null text: no bigrams
+    ]),
+})
+
+ORACLE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+t AS (SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+      FROM toks),
+bi AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w AS w1, count(*) AS c1 FROM t GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM t),
+s AS (SELECT bi.doc_id,
+             CAST(floor(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1000000)
+                  AS BIGINT) AS s
+      FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT d.doc_id, COALESCE(sum(s.s), 0)::BIGINT AS lm_score_micro,
+       count(s.s)::BIGINT AS n_bigrams
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def oracle(docs: pa.Table):
+    con = duckdb.connect()
+    con.register("documents", docs)
+    return {r[0]: (r[1], r[2]) for r in con.execute(ORACLE_SQL).fetchall()}
+
+
+def test_matches_oracle_both_duals_any_layout(ray_session):
+    want = oracle(DOCS)
+    for parts in (1, 3):
+        ds = rd.from_arrow(DOCS).repartition(parts)
+        for kw in ({}, {"broadcast_limit": 0}):
+            got = {r["doc_id"]: (r["lm_score_micro"], r["n_bigrams"])
+                   for r in lm_score(ds, **kw).take_all()}
+            assert got == want, (parts, kw)
+
+
+def test_score_orders_quality(ray_session):
+    got = {r["doc_id"]: r["lm_score_micro"] / max(r["n_bigrams"], 1)
+           for r in lm_score(rd.from_arrow(DOCS)).take_all()}
+    # per-bigram average: typical text beats the rare-bigram doc
+    assert got[1] > got[2]
+    assert got[3] == 0 and got[4] == 0
+
+
+def test_pretrained_model_scores_other_corpus(ray_session):
+    """CCNet deployment shape: train on a reference corpus, score new
+    docs with the FROZEN model (scores reflect the reference counts)."""
+    ref = rd.from_arrow(DOCS)
+    model = lm_counts(ref)
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101, 102], pa.int64()),
+        "text": pa.array(["the cat sat", "the cat sat",
+                          "totally unseen words here"]),
+    }))
+    got = {}
+    for kw in ({}, {"broadcast_limit": 0}):
+        got[str(kw)] = {r["doc_id"]: (r["lm_score_micro"], r["n_bigrams"])
+                        for r in lm_score(new, model=model,
+                                          **kw).take_all()}
+    # both duals agree, including the unseen-bigram backoff
+    assert got["{}"] == got["{'broadcast_limit': 0}"]
+    scores = got["{}"]
+    # identical docs -> identical frozen-model scores
+    assert scores[100] == scores[101]
+    base = {r["doc_id"]: r["lm_score_micro"]
+            for r in lm_score(ref).take_all()}
+    assert scores[100][0] == base[1]   # same text, same model, same score
+    # unseen text: every bigram backs off to 1/(0+V); finite, very low
+    import math
+    v = model[2]
+    expect = 3 * math.floor(math.log(1.0 / v) * 1_000_000)
+    assert scores[102] == (expect, 3)
