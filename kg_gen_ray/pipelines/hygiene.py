@@ -49,14 +49,22 @@ def prepare_training_data(docs: "ray.data.Dataset",
                           text_col: str = "text",
                           url_col: str | None = None,
                           dedup_method: str = "fast",
+                          dedup_paragraphs: bool = False,
+                          min_lm_score_micro: int | None = None,
                           count_stages: bool = True) -> HygieneResult:
     """Run the hygiene flow. ``benchmark=None`` skips decontamination;
     ``per_group_cap=None`` skips the stratified cap; ``url_col`` (when
     set) prepends URL-normalized re-crawl dedup — the cheapest dedup
-    pass, so it runs before any content hashing. ``count_stages=False``
-    skips the per-stage counts (each count executes the lineage prefix
-    once — cheap at audit time, skippable when only the final dataset
-    matters)."""
+    pass, so it runs before any content hashing.
+    ``dedup_paragraphs=True`` inserts the CCNet boilerplate pass
+    (corpus-wide paragraph-level dedup, documents rebuilt) between the
+    scrub and document-level dedup. ``min_lm_score_micro`` (when set)
+    appends the CCNet perplexity filter: the bigram LM trains on the
+    already-cleaned corpus and documents whose PER-BIGRAM average score
+    in micro-nats falls below the threshold are dropped.
+    ``count_stages=False`` skips the per-stage counts (each count
+    executes the lineage prefix once — cheap at audit time, skippable
+    when only the final dataset matters)."""
     from kg_gen_ray.functions.decontaminate import decontaminate
     from kg_gen_ray.functions.dedup import drop_ids, near_dup_losers
     from kg_gen_ray.functions.scrub import scrub_pii
@@ -78,6 +86,38 @@ def prepare_training_data(docs: "ray.data.Dataset",
         cur = note("url_deduped", drop_ids(cur, url_losers, id_col))
 
     cur = note("scrubbed", scrub_pii(cur, text_col))
+
+    if dedup_paragraphs:
+        from kg_gen_ray.functions.paragraphs import paragraph_dedup
+
+        # the CCNet boilerplate pass REWRITES text, so it must run
+        # before any content fingerprinting; paragraph_dedup returns
+        # only (id, text) — re-attach the other columns by id
+        deduped = paragraph_dedup(
+            cur.map_batches(lambda t, i=id_col, x=text_col:
+                            t.select([i, x])
+                             .rename_columns(["doc_id", "text"]),
+                            batch_format="pyarrow"))
+        other_cols = [c for c in docs.schema().names
+                      if c not in (id_col, text_col)]
+        if other_cols:
+            n_parts = max(2, int(ray.cluster_resources()
+                                 .get("CPU", 8)))
+            rest = cur.map_batches(
+                lambda t, keep=[id_col] + other_cols: t.select(keep),
+                batch_format="pyarrow")
+            cur = deduped.map_batches(
+                lambda t, i=id_col, x=text_col:
+                t.rename_columns([i, x]), batch_format="pyarrow") \
+                .repartition(n_parts) \
+                .join(rest.repartition(n_parts), join_type="inner",
+                      on=(id_col,), num_partitions=n_parts) \
+                .select_columns([id_col, text_col] + other_cols)
+        else:
+            cur = deduped.map_batches(
+                lambda t, i=id_col, x=text_col:
+                t.rename_columns([i, x]), batch_format="pyarrow")
+        cur = note("paragraph_deduped", cur.materialize())
 
     if benchmark is not None:
         cur = note("decontaminated",
@@ -104,6 +144,32 @@ def prepare_training_data(docs: "ray.data.Dataset",
                         batch_format="pyarrow"),
         method=dedup_method)
     cur = note("deduped", drop_ids(cur, losers, id_col))
+
+    if min_lm_score_micro is not None:
+        from kg_gen_ray.functions.dedup import keep_ids
+        from kg_gen_ray.functions.lm import lm_score
+
+        # CCNet perplexity filter: train the bigram LM on the deduped
+        # corpus, keep documents whose average per-bigram score clears
+        # the threshold (0-bigram docs score 0 and always pass)
+        scores = lm_score(
+            cur.map_batches(lambda t, i=id_col, x=text_col:
+                            t.select([i, x])
+                             .rename_columns(["doc_id", "text"]),
+                            batch_format="pyarrow"))
+
+        def passing(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            avg = pc.divide(
+                pc.cast(t["lm_score_micro"], pa.float64()),
+                pc.cast(pc.max_element_wise(t["n_bigrams"], 1),
+                        pa.float64()))
+            return pa.table({"doc_id": t.filter(
+                pc.greater_equal(avg, min_lm_score_micro))["doc_id"]})
+
+        keepers = scores.map_batches(passing, batch_format="pyarrow")
+        cur = note("lm_filtered", keep_ids(cur, keepers, id_col))
 
     if per_group_cap is not None:
         cur = note("capped",

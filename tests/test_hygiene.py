@@ -59,3 +59,61 @@ def test_optional_stages_skip(ray_session):
     assert "decontaminated" not in res.counts
     assert "capped" not in res.counts
     assert res.counts["deduped"] == 5           # only the near-dup drops
+
+
+def test_paragraph_and_lm_stages(ray_session):
+    """The CCNet pair inside the composition: paragraph dedup rewrites
+    boilerplate away before content hashing, and the LM filter drops the
+    lowest-quality tail; the audit counts expose both cuts."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.pipelines.hygiene import prepare_training_data
+
+    import random
+
+    footer = "all rights reserved forever and ever"
+    rng = random.Random(7)
+    vocab = [f"w{j}" for j in range(200)]
+    bodies = [" ".join(rng.sample(vocab, 12)) for _ in range(6)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([b + "\n\n" + footer for b in bodies]),
+        "lang": pa.array(["en"] * 6),
+    }))
+    res = prepare_training_data(docs, dedup_paragraphs=True,
+                                min_lm_score_micro=None,
+                                dedup_method="fast")
+    rows = {r["doc_id"]: r["text"] for r in res.clean_docs.take_all()}
+    assert res.counts["paragraph_deduped"] == 6
+    assert rows[0].endswith(footer)          # first keeps the footer
+    for i in range(1, 6):
+        assert i in rows and footer not in rows[i]
+    # schema survives the id-join re-attach
+    assert set(res.clean_docs.schema().names) == {"doc_id", "text", "lang"}
+
+    # LM filter: typical docs share a common phrase (high-count bigrams)
+    # plus distinct filler (so near-dup cannot collapse them); the
+    # keyboard-mash doc has only once-seen bigrams. Threshold is
+    # self-calibrated from the scores the frozen pipeline would see.
+    from kg_gen_ray.functions.lm import lm_score
+
+    phrase = "the quick brown fox jumps over the lazy sleeping dog"
+    texts = [phrase + " " + " ".join(rng.sample(vocab, 20))
+             for _ in range(7)] + ["zq1 xv2 jk3 qz4 vx5 kj6 zq7 pm8"]
+    docs2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 8),
+    }))
+    avgs = {r["doc_id"]: r["lm_score_micro"] / max(r["n_bigrams"], 1)
+            for r in lm_score(docs2).take_all()}
+    mash = avgs[7]
+    typical_min = min(avgs[i] for i in range(7))
+    assert mash < typical_min          # separation exists
+    thresh = int((mash + typical_min) / 2)
+    res2 = prepare_training_data(docs2, min_lm_score_micro=thresh,
+                                 dedup_method="fast")
+    kept = {r["doc_id"] for r in res2.clean_docs.take_all()}
+    assert 7 not in kept and kept == set(range(7))
+    assert res2.counts["lm_filtered"] == 7
