@@ -107,6 +107,7 @@ def components_table(triples: "ray.data.Dataset",
 def pagerank(triples: "ray.data.Dataset", n_iter: int = 5,
              scale: int = 10 ** 12,
              broadcast_limit: int = 64 * 1024 * 1024,
+             driver_limit: int = 8 * 1024 * 1024,
              shuffle_partitions=None) -> "ray.data.Dataset":
     """Deterministic integer PageRank over the distinct (subj -> obj)
     edge graph -> (entity, pr) with pr in 1/``scale`` units.
@@ -159,6 +160,37 @@ def pagerank(triples: "ray.data.Dataset", n_iter: int = 5,
     # join cannot key on; engine-side Project + repartition stamps them
     edges_od = edges_od.select_columns(["u", "v", "od"]) \
         .repartition(n_parts).materialize()
+
+    # tiniest dual: a node-scale graph that fits the driver runs the
+    # IDENTICAL integer recurrence in numpy — same floor divisions, same
+    # associative int64 sums, so the result is bit-equal to the
+    # distributed path (pinned by test_pagerank_duals_agree) with zero
+    # per-iteration Ray overhead. Crawl-scale graphs skip past this.
+    if (edges_od.size_bytes() or 0) <= driver_limit:
+        import numpy as np
+        names = []
+        for b in nodes.iter_batches(batch_format="pyarrow"):
+            names.extend(b["entity"].to_pylist())
+        names = sorted(names)
+        idx = {e: i for i, e in enumerate(names)}
+        us, vs, ods = [], [], []
+        for b in edges_od.iter_batches(batch_format="pyarrow"):
+            us.extend(b["u"].to_pylist())
+            vs.extend(b["v"].to_pylist())
+            ods.extend(b["od"].to_pylist())
+        ui = np.array([idx[u] for u in us], dtype=np.int64)
+        vi = np.array([idx[v] for v in vs], dtype=np.int64)
+        od = np.array(ods, dtype=np.int64)
+        ranks = np.full(len(names), scale // n_nodes, dtype=np.int64)
+        for _ in range(n_iter):
+            c = (ranks[ui] * 85 // 100) // od
+            nxt = np.zeros(len(names), dtype=np.int64)
+            np.add.at(nxt, vi, c)
+            ranks = nxt + base
+        return ray.data.from_arrow(pa.table({
+            "entity": pa.array(names, pa.string()),
+            "pr": pa.array(ranks, pa.int64()),
+        }))
 
     pr = nodes.map_batches(
         lambda t: pa.table({"entity": t["entity"],

@@ -139,11 +139,15 @@ def test_label_propagation_distributed(ray_session):
         "a": pa.array(["n1", "n2", "n5", "n7"], pa.string()),
         "b": pa.array(["n2", "n3", "n6", "n7"], pa.string()),
     }))
-    comp = {r["node"]: r["component"]
-            for r in label_propagation(edges).take_all()}
-    assert comp["n1"] == comp["n2"] == comp["n3"] == "n1"
-    assert comp["n5"] == comp["n6"] == "n5"
-    assert comp["n7"] == "n7"
+    # driver union-find dual (default) and the distributed path
+    # (driver_limit=0) must agree exactly
+    for dl in (8 * 1024 * 1024, 0):
+        comp = {r["node"]: r["component"]
+                for r in label_propagation(edges,
+                                           driver_limit=dl).take_all()}
+        assert comp["n1"] == comp["n2"] == comp["n3"] == "n1"
+        assert comp["n5"] == comp["n6"] == "n5"
+        assert comp["n7"] == "n7"
 
 
 def test_label_propagation_long_chain_pointer_jumping(ray_session):
@@ -160,7 +164,8 @@ def test_label_propagation_long_chain_pointer_jumping(ray_session):
     for limit in (128 * 1024 * 1024, 0):   # broadcast dual, join dual
         comp = {r["node"]: r["component"]
                 for r in label_propagation(
-                    edges, broadcast_limit=limit).take_all()}
+                    edges, broadcast_limit=limit,
+                    driver_limit=0).take_all()}   # force distributed
         assert set(comp.values()) == {"n000"}
         assert len(comp) == 60
 

@@ -164,3 +164,23 @@ def test_pagerank_deterministic_integer(ray_session):
     assert pr["d"] == (10 ** 12 * 15 // 100) // 4
     # repeated runs are bit-identical (order-independent integer sums)
     assert pr == {r["entity"]: r["pr"] for r in pagerank(t).take_all()}
+
+
+def test_pagerank_duals_agree(ray_session):
+    """Driver numpy dual == distributed path, bit-exact (integer
+    arithmetic makes the recurrence order-free)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.stages.viz import pagerank
+
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array(["a", "a", "b", "c", "d", "e"], pa.string()),
+        "pred": pa.array(["r"] * 6, pa.string()),
+        "obj": pa.array(["b", "c", "c", "a", "a", "e"], pa.string()),
+    }))
+    fast = {r["entity"]: r["pr"] for r in pagerank(triples).take_all()}
+    slow = {r["entity"]: r["pr"]
+            for r in pagerank(triples, driver_limit=0).take_all()}
+    assert fast == slow
+    assert len(fast) == 5 and all(v > 0 for v in fast.values())
