@@ -141,6 +141,33 @@ def cmd_export_json(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """Training-data hygiene flow over a documents/pages parquet: scrub ->
+    (paragraph dedup) -> (decontaminate) -> near-dup dedup -> (LM filter)
+    -> (cap) -> pack; writes clean docs + packed assignment, prints the
+    per-stage audit counts."""
+    ray = _init_ray()
+    import ray.data as rd
+
+    from kg_gen_ray.pipelines.hygiene import prepare_training_data
+
+    docs = rd.read_parquet(_input_files(args.input))
+    benchmark = rd.read_parquet(_input_files(args.benchmark)) \
+        if args.benchmark else None
+    res = prepare_training_data(
+        docs, benchmark=benchmark, group_col=args.group_col,
+        per_group_cap=args.per_group_cap, max_tokens=args.max_tokens,
+        id_col=args.id_col, text_col=args.text_col,
+        url_col=args.url_col, dedup_method=args.dedup_method,
+        dedup_paragraphs=args.dedup_paragraphs,
+        min_lm_score_micro=args.min_lm_score_micro)
+    res.clean_docs.write_parquet(os.path.join(args.out, "clean_docs"))
+    res.packed.write_parquet(os.path.join(args.out, "packed"))
+    print(json.dumps({"out": args.out, "counts": res.counts}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_visualize(args) -> int:
     ray = _init_ray()
     import ray.data as rd
@@ -198,6 +225,27 @@ def main(argv=None) -> int:
     v.add_argument("--graph", required=True)
     v.add_argument("--out", required=True)
     v.set_defaults(fn=cmd_visualize)
+
+    pr = sub.add_parser(
+        "prepare", help="training-data hygiene: scrub/dedup/filter/pack")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--benchmark", default=None,
+                    help="eval-benchmark parquet for decontamination")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--group-col", default="lang")
+    pr.add_argument("--url-col", default=None,
+                    help="enable URL re-crawl dedup on this column")
+    pr.add_argument("--per-group-cap", type=int, default=None)
+    pr.add_argument("--max-tokens", type=int, default=2048)
+    pr.add_argument("--dedup-method", choices=["fast", "md5"],
+                    default="fast")
+    pr.add_argument("--dedup-paragraphs", action="store_true",
+                    help="CCNet paragraph-level boilerplate dedup")
+    pr.add_argument("--min-lm-score-micro", type=int, default=None,
+                    help="bigram-LM per-bigram avg threshold (micro-nats)")
+    pr.set_defaults(fn=cmd_prepare)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -56,3 +56,36 @@ def test_cli_resumable_build(pages_dir, tmp_path, capsys, ray_session):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["summary"]["completed_partitions"] == 2
     assert not summary["summary"]["interrupted"]
+
+
+def test_cli_prepare(tmp_path, capsys, ray_session):
+    """prepare: documents parquet -> clean_docs + packed + audit counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{j}" for j in range(150)]
+    footer = "shared legal footer words"
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([" ".join(rng.sample(vocab, 15)) + "\n\n" + footer
+                          for _ in range(20)]),
+        "lang": pa.array(["en"] * 20),
+    }), os.path.join(d, "part-0.parquet"))
+
+    out = str(tmp_path / "prep")
+    assert main(["prepare", "--input", d, "--out", out,
+                 "--dedup-paragraphs", "--per-group-cap", "10"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["counts"]["input"] == 20
+    assert res["counts"]["paragraph_deduped"] == 20
+    assert res["counts"]["capped"] == 10
+    import ray.data as rd
+    clean = rd.read_parquet(os.path.join(out, "clean_docs"))
+    texts = [r["text"] for r in clean.take_all()]
+    # the shared footer survives in exactly one document
+    assert sum(footer in t for t in texts) <= 1
+    assert os.path.isdir(os.path.join(out, "packed"))
