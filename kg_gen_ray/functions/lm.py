@@ -143,10 +143,13 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
         return math.floor(math.log(1.0 / (c1 + v)) * _SCALE)
 
     if (table.size_bytes() or 0) <= broadcast_limit:
+        # keys are (w1, w2) TUPLES of exact Python strings: any
+        # separator-joined or numpy-U encoding of the pair is lossy on
+        # raw crawl text (U-dtype strips trailing NULs; a separator char
+        # can occur inside a token), which would silently mis-score
         m = {}
         for b in table.iter_batches(batch_format="pyarrow"):
-            m.update(zip((w1 + "\x1f" + w2 for w1, w2 in
-                          zip(b["w1"].to_pylist(), b["w2"].to_pylist())),
+            m.update(zip(zip(b["w1"].to_pylist(), b["w2"].to_pylist()),
                          b["s"].to_pylist()))
         m1 = {}
         for b in uni.iter_batches(batch_format="pyarrow"):
@@ -157,21 +160,19 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
             mm, mm1 = ray.get(ref)
             flat, lens = _tokens(t, text_col)
             pos, rows = _bigrams(flat, lens)
-            w1 = np.asarray(flat.take(pa.array(pos)), dtype=object)
-            w2 = np.asarray(flat.take(pa.array(pos + 1)), dtype=object)
-            # lookup per UNIQUE bigram (vocab-sized), broadcast back
-            # \x1f separator: numpy U-dtype strips NULs, and tokens are
-            # whitespace-split so \x1f cannot occur inside one
-            pair = np.char.add(np.char.add(w1.astype(str), "\x1f"),
-                               w2.astype(str)) if len(w1) else \
-                np.zeros(0, dtype=object)
-            uniq, inv = np.unique(pair, return_inverse=True)
-            su = np.fromiter(
-                (mm[p] if p in mm
-                 else _backoff(mm1.get(p.split("\x1f", 1)[0], 0))
-                 for p in uniq),
-                dtype=np.int64, count=len(uniq))
-            s = su[inv] if len(uniq) else np.zeros(0, dtype=np.int64)
+            w1l = flat.take(pa.array(pos)).to_pylist()
+            w2l = flat.take(pa.array(pos + 1)).to_pylist()
+            # per-batch memo keeps dict probes ~one per distinct bigram
+            s = np.empty(len(w1l), dtype=np.int64)
+            cache: dict = {}
+            for i, key in enumerate(zip(w1l, w2l)):
+                v = cache.get(key)
+                if v is None:
+                    v = mm.get(key)
+                    if v is None:
+                        v = _backoff(mm1.get(key[0], 0))
+                    cache[key] = v
+                s[i] = v
             n = t.num_rows
             total = np.zeros(n, dtype=np.int64)
             cnt = np.zeros(n, dtype=np.int64)

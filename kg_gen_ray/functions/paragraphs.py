@@ -118,7 +118,12 @@ def paragraph_losers(docs: "ray.data.Dataset", text_col: str = "text",
                  np.zeros(int((~first).sum()), dtype=bool)])),
         })
 
-    marked = docs.map_batches(local, batch_format="pyarrow")
+    # materialize before branching: the two filters below are separate
+    # lineage consumers, and without the checkpoint the corpus-wide
+    # explode + per-paragraph md5 kernel would execute twice. The marked
+    # table is fp+enc+flag (~48 B/paragraph — smaller than the text it
+    # summarizes) and spills if it must.
+    marked = docs.map_batches(local, batch_format="pyarrow").materialize()
     local_losers = marked.filter(expr="is_min == False") \
                          .select_columns(["enc"])
     minima = coalesce(marked.filter(expr="is_min == True"),

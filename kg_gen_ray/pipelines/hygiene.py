@@ -149,6 +149,11 @@ def prepare_training_data(docs: "ray.data.Dataset",
         from kg_gen_ray.functions.dedup import keep_ids
         from kg_gen_ray.functions.lm import lm_score
 
+        # checkpoint before the LM stage: training (two count passes),
+        # scoring, the keep_ids pass and the audit count would otherwise
+        # each re-execute the whole scrub/dedup lineage
+        cur = cur.materialize()
+
         # CCNet perplexity filter: train the bigram LM on the deduped
         # corpus, keep documents whose average per-bigram score clears
         # the threshold (0-bigram docs score 0 and always pass)

@@ -91,3 +91,23 @@ def test_pretrained_model_scores_other_corpus(ray_session):
     v = model[2]
     expect = 3 * math.floor(math.log(1.0 / v) * 1_000_000)
     assert scores[102] == (expect, 3)
+
+
+def test_control_char_tokens_dual_agreement(ray_session):
+    """Raw crawl text contains control characters; bigram keys must be
+    exact (w1, w2) pairs — a separator-joined or numpy-U encoding
+    collides on \\x1f and strips trailing NULs (reproduced divergence
+    before the tuple-key fix)."""
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a\x1fb c", "a b\x1fc", "a q a r a s",
+                          "a\x00 b"]),
+    })
+    ds = rd.from_arrow(docs).repartition(2)
+    got = {}
+    for kw in ({}, {"broadcast_limit": 0}):
+        got[str(kw)] = {r["doc_id"]: (r["lm_score_micro"], r["n_bigrams"])
+                        for r in lm_score(ds, **kw).take_all()}
+    assert got["{}"] == got["{'broadcast_limit': 0}"]
+    # the \x1f docs are distinct bigrams, never merged
+    assert got["{}"][0] != got["{}"][2]
