@@ -120,40 +120,33 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
     bi, uni, v = model if model is not None else lm_counts(
         docs, text_col, shuffle_partitions)
 
-    # per-bigram score table: ln() runs once per DISTINCT bigram
-    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
-    scored = bi.repartition(n_parts).join(
-        uni.repartition(n_parts), join_type="inner", on=("w1",),
-        num_partitions=n_parts)
-
-    def add_score(t: pa.Table, v=v) -> pa.Table:
-        s = _score_micro(
-            pc.cast(t["c2"], pa.int64()).to_numpy(zero_copy_only=False),
-            pc.cast(t["c1"], pa.int64()).to_numpy(zero_copy_only=False), v)
-        return pa.table({"w1": t["w1"], "w2": t["w2"],
-                         "s": pa.array(s, pa.int64())})
-
-    table = scored.map_batches(add_score,
-                               batch_format="pyarrow").materialize()
-
     # unseen-bigram backoff (a frozen model scoring NEW text — the CCNet
     # deployment shape): add-one gives p = 1/(C1(w1)+V), and an unseen
     # w1 has C1 = 0. Both duals below implement it identically.
     def _backoff(c1: int, v=v) -> int:
         return math.floor(math.log(1.0 / (c1 + v)) * _SCALE)
 
-    if (table.size_bytes() or 0) <= broadcast_limit:
-        # keys are (w1, w2) TUPLES of exact Python strings: any
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    if (bi.size_bytes() or 0) <= broadcast_limit:
+        # small model -> the per-bigram score table is built DRIVER-side
+        # (the bigram and unigram tables are vocabulary-scale and already
+        # materialized; a distributed join of a few-thousand-row table
+        # pays seconds of 32-partition aggregator startup for microseconds
+        # of work). Keys are (w1, w2) TUPLES of exact Python strings: any
         # separator-joined or numpy-U encoding of the pair is lossy on
         # raw crawl text (U-dtype strips trailing NULs; a separator char
-        # can occur inside a token), which would silently mis-score
-        m = {}
-        for b in table.iter_batches(batch_format="pyarrow"):
-            m.update(zip(zip(b["w1"].to_pylist(), b["w2"].to_pylist()),
-                         b["s"].to_pylist()))
+        # can occur inside a token), which would silently mis-score.
         m1 = {}
         for b in uni.iter_batches(batch_format="pyarrow"):
             m1.update(zip(b["w1"].to_pylist(), b["c1"].to_pylist()))
+        m = {}
+        for b in bi.iter_batches(batch_format="pyarrow"):
+            for w1, w2, c2 in zip(b["w1"].to_pylist(),
+                                  b["w2"].to_pylist(),
+                                  b["c2"].to_pylist()):
+                m[(w1, w2)] = math.floor(
+                    math.log((c2 + 1.0) / (m1[w1] + v)) * _SCALE)
         ref = ray.put((m, m1))
 
         def score_batch(t: pa.Table, ref=ref) -> pa.Table:
@@ -186,9 +179,24 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
 
         return docs.map_batches(score_batch, batch_format="pyarrow")
 
-    # join dual: explode (doc_id, w1, w2), join the score table, integer
+    # join dual: build the per-bigram score table distributed (ln() once
+    # per DISTINCT bigram), explode (doc_id, w1, w2), join, integer
     # groupby-sum — exact at any vocabulary size
     from ray.data.aggregate import Count, Sum
+
+    scored = bi.repartition(n_parts).join(
+        uni.repartition(n_parts), join_type="inner", on=("w1",),
+        num_partitions=n_parts)
+
+    def add_score(t: pa.Table, v=v) -> pa.Table:
+        s = _score_micro(
+            pc.cast(t["c2"], pa.int64()).to_numpy(zero_copy_only=False),
+            pc.cast(t["c1"], pa.int64()).to_numpy(zero_copy_only=False), v)
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "s": pa.array(s, pa.int64())})
+
+    table = scored.map_batches(add_score,
+                               batch_format="pyarrow").materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         flat, lens = _tokens(t, text_col)
