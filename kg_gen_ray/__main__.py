@@ -159,6 +159,7 @@ def cmd_prepare(args) -> int:
         per_group_cap=args.per_group_cap, max_tokens=args.max_tokens,
         id_col=args.id_col, text_col=args.text_col,
         url_col=args.url_col, dedup_method=args.dedup_method,
+        c4_rules=args.c4_rules,
         dedup_paragraphs=args.dedup_paragraphs,
         min_lm_score_micro=args.min_lm_score_micro)
     res.clean_docs.write_parquet(os.path.join(args.out, "clean_docs"))
@@ -241,6 +242,9 @@ def main(argv=None) -> int:
     pr.add_argument("--max-tokens", type=int, default=2048)
     pr.add_argument("--dedup-method", choices=["fast", "md5"],
                     default="fast")
+    pr.add_argument("--c4-rules", action="store_true",
+                    help="C4 line filter (terminal punct / min words / "
+                         "javascript lines; lorem-ipsum + brace pages)")
     pr.add_argument("--dedup-paragraphs", action="store_true",
                     help="CCNet paragraph-level boilerplate dedup")
     pr.add_argument("--min-lm-score-micro", type=int, default=None,

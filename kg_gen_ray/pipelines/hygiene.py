@@ -49,6 +49,7 @@ def prepare_training_data(docs: "ray.data.Dataset",
                           text_col: str = "text",
                           url_col: str | None = None,
                           dedup_method: str = "fast",
+                          c4_rules: bool = False,
                           dedup_paragraphs: bool = False,
                           min_lm_score_micro: int | None = None,
                           count_stages: bool = True) -> HygieneResult:
@@ -56,9 +57,12 @@ def prepare_training_data(docs: "ray.data.Dataset",
     ``per_group_cap=None`` skips the stratified cap; ``url_col`` (when
     set) prepends URL-normalized re-crawl dedup — the cheapest dedup
     pass, so it runs before any content hashing.
-    ``dedup_paragraphs=True`` inserts the CCNet boilerplate pass
-    (corpus-wide paragraph-level dedup, documents rebuilt) between the
-    scrub and document-level dedup. ``min_lm_score_micro`` (when set)
+    ``c4_rules=True`` runs the C4 line filter first (terminal
+    punctuation / min words / javascript lines; lorem-ipsum and
+    curly-brace pages dropped) — the cheapest content cut, a pure
+    streaming map. ``dedup_paragraphs=True`` inserts the CCNet
+    boilerplate pass (corpus-wide paragraph-level dedup, documents
+    rebuilt) between the scrub and document-level dedup. ``min_lm_score_micro`` (when set)
     appends the CCNet perplexity filter: the bigram LM trains on the
     already-cleaned corpus and documents whose PER-BIGRAM average score
     in micro-nats falls below the threshold are dropped.
@@ -80,10 +84,36 @@ def prepare_training_data(docs: "ray.data.Dataset",
         return ds
 
     cur = note("input", docs)
+    other_cols = [c for c in docs.schema().names
+                  if c not in (id_col, text_col)]
+
+    def reattach(rewritten, source):
+        """A text-REWRITING stage returns only (id, text); join the
+        remaining columns back by id (inner: the stage may drop docs)."""
+        if not other_cols:
+            return rewritten
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        rest = source.map_batches(
+            lambda t, keep=[id_col] + other_cols: t.select(keep),
+            batch_format="pyarrow")
+        return rewritten.repartition(n_parts) \
+            .join(rest.repartition(n_parts), join_type="inner",
+                  on=(id_col,), num_partitions=n_parts) \
+            .select_columns([id_col, text_col] + other_cols)
 
     if url_col is not None:
         url_losers = url_dedup_losers(cur, url_col, id_col)
         cur = note("url_deduped", drop_ids(cur, url_losers, id_col))
+
+    if c4_rules:
+        from kg_gen_ray.functions.line_filter import c4_clean
+
+        # cheapest content cut first: pure per-batch line rules, no
+        # shuffle; pages and lines failing the C4 rules never reach the
+        # scrub/hash stages
+        cur = note("c4_cleaned",
+                   reattach(c4_clean(cur, text_col, id_col), cur)
+                   .materialize())
 
     cur = note("scrubbed", scrub_pii(cur, text_col))
 
@@ -91,33 +121,11 @@ def prepare_training_data(docs: "ray.data.Dataset",
         from kg_gen_ray.functions.paragraphs import paragraph_dedup
 
         # the CCNet boilerplate pass REWRITES text, so it must run
-        # before any content fingerprinting; paragraph_dedup returns
-        # only (id, text) — re-attach the other columns by id
-        deduped = paragraph_dedup(
-            cur.map_batches(lambda t, i=id_col, x=text_col:
-                            t.select([i, x])
-                             .rename_columns(["doc_id", "text"]),
-                            batch_format="pyarrow"))
-        other_cols = [c for c in docs.schema().names
-                      if c not in (id_col, text_col)]
-        if other_cols:
-            n_parts = max(2, int(ray.cluster_resources()
-                                 .get("CPU", 8)))
-            rest = cur.map_batches(
-                lambda t, keep=[id_col] + other_cols: t.select(keep),
-                batch_format="pyarrow")
-            cur = deduped.map_batches(
-                lambda t, i=id_col, x=text_col:
-                t.rename_columns([i, x]), batch_format="pyarrow") \
-                .repartition(n_parts) \
-                .join(rest.repartition(n_parts), join_type="inner",
-                      on=(id_col,), num_partitions=n_parts) \
-                .select_columns([id_col, text_col] + other_cols)
-        else:
-            cur = deduped.map_batches(
-                lambda t, i=id_col, x=text_col:
-                t.rename_columns([i, x]), batch_format="pyarrow")
-        cur = note("paragraph_deduped", cur.materialize())
+        # before any content fingerprinting (it reads/emits the caller's
+        # own column names — no rename map that empty blocks could skip)
+        deduped = paragraph_dedup(cur, text_col=text_col, id_col=id_col)
+        cur = note("paragraph_deduped",
+                   reattach(deduped, cur).materialize())
 
     if benchmark is not None:
         cur = note("decontaminated",

@@ -117,3 +117,28 @@ def test_paragraph_and_lm_stages(ray_session):
     kept = {r["doc_id"] for r in res2.clean_docs.take_all()}
     assert 7 not in kept and kept == set(range(7))
     assert res2.counts["lm_filtered"] == 7
+
+
+def test_c4_stage_in_composition(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.pipelines.hygiene import prepare_training_data
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array([
+            "Good first line stays here.\nGood second line stays put.\n"
+            "Good third line stays around.",
+            "no punctuation so it dies\nshort.\nalso nothing survives",
+            "Lorem ipsum makes this page vanish.\nEven good lines go.\n"
+            "All three of them do.",
+        ]),
+        "lang": pa.array(["en"] * 3),
+    }))
+    res = prepare_training_data(docs, c4_rules=True, dedup_method="fast")
+    rows = {r["doc_id"]: r["text"] for r in res.clean_docs.take_all()}
+    assert set(rows) == {0}
+    assert len(rows[0].split("\n")) == 3
+    assert res.counts["c4_cleaned"] == 1
+    assert set(res.clean_docs.schema().names) == {"doc_id", "text", "lang"}
