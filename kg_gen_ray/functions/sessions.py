@@ -97,14 +97,27 @@ def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def _null_free_key(col: "pd.Series") -> "pd.Series":
-    """Null-free string surrogate of a group-key column: Ray's
-    ``map_groups`` sort-partitioning cannot order null keys across
-    blocks, so exchanges group on ``"v:"+str(key)`` (injective for
-    string/int/float keys) with null mapped to its own sentinel — the
-    null group survives, matching SQL PARTITION BY."""
-    return pd.Series(np.where(col.isna(), "\x00", "v:" + col.astype(str)),
-                     index=col.index, dtype="string")
+def _arrow_group_key(col) -> pa.Array:
+    """Null-free string surrogate of a group-key column, computed on the
+    ARROW values: Ray's ``map_groups`` sort-partitioning cannot order null
+    keys across blocks, so exchanges group on ``"v:" + cast(key, string)``
+    with null mapped to the disjoint sentinel ``"n"`` — the null group
+    survives, matching SQL PARTITION BY.
+
+    Arrow-side on purpose: a pandas-side ``str()`` rendering is
+    dtype-UNSTABLE for integer keys — an int64 batch containing a null is
+    promoted to float64 by the Arrow->pandas conversion, so key 10 renders
+    ``'v:10.0'`` there but ``'v:10'`` in null-free batches, splitting one
+    group across two surrogates. ``pc.cast`` renders a value identically
+    regardless of what else the batch contains. The prefixes are disjoint
+    (``'v:'`` vs ``'n'``) so no genuine key (e.g. the literal string
+    ``'\\x00'``) can collide with the null sentinel."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.cast(col, pa.string())
+    tagged = pc.binary_join_element_wise(
+        pa.scalar("v:", pa.string()), s, pa.scalar("", pa.string()))
+    return pc.coalesce(tagged, pa.scalar("n", pa.string()))
 
 
 def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
@@ -116,19 +129,22 @@ def grouped_quantiles(ds: "ray.data.Dataset", group_col: str,
     (for corpus-wide quantiles at extreme cardinality, switch to a
     t-digest/Greenwald-Khanna sketch combiner)."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g[value_col].to_numpy())
+    def per_group(t: pa.Table) -> pa.Table:
+        # arrow in, arrow out: a pandas round-trip would promote an
+        # int64-with-null group column to float64 and emit mixed-dtype
+        # blocks (the null group float, the rest int)
+        vals = np.sort(t[value_col].to_numpy(zero_copy_only=False))
         n = len(vals)
-        row = {group_col: [g[group_col].iloc[0]]}
+        cols = {group_col: t[group_col].slice(0, 1)}
         for q in qs:
             idx = max(0, int(np.ceil(q * n)) - 1)
-            row[f"p{int(q * 100)}"] = [vals[idx]]
-        return pd.DataFrame(row)
+            cols[f"p{int(q * 100)}"] = pa.array([vals[idx]])
+        return pa.table(cols)
 
-    return ds.map_batches(lambda df: df.assign(__gk=_null_free_key(
-                              df[group_col])),
-                          batch_format="pandas") \
-             .groupby("__gk").map_groups(per_group, batch_format="pandas")
+    return ds.map_batches(lambda t: t.append_column(
+                              "__gk", _arrow_group_key(t[group_col])),
+                          batch_format="pyarrow") \
+             .groupby("__gk").map_groups(per_group, batch_format="pyarrow")
 
 
 def grouped_quantiles_sketch(ds: "ray.data.Dataset", group_col: str,
@@ -157,46 +173,56 @@ def grouped_quantiles_sketch(ds: "ray.data.Dataset", group_col: str,
                 "__v": pa.array([], pa.float64()),
                 "__w": pa.array([], pa.float64()),
             })
+        # group on the Arrow-side surrogate (stable rendering; see
+        # _arrow_group_key) and carry group VALUES by row index back into
+        # the original Arrow column — a pandas round-trip of an int64
+        # key column with nulls would promote to float64 and emit a
+        # wrongly-typed (and wrongly-rendered) group column
+        gk = _arrow_group_key(t[group_col])
         df = pd.DataFrame({
-            group_col: t[group_col].to_pandas(),
+            "__i": np.arange(t.num_rows, dtype=np.int64),
+            "__gk": gk.to_pandas(),
             "v": pc.cast(t[value_col], pa.float64()).to_pandas(),
         })
-        out_g, out_k, out_v, out_w = [], [], [], []
-        for gkey, sub in df.groupby(group_col, sort=False, dropna=False):
-            if pd.isna(gkey):
-                gkey, skey = None, "\x00"   # NaN sentinel -> a real null
-            else:
-                skey = "v:" + str(gkey)
+        out_i, out_k, out_v, out_w = [], [], [], []
+        for skey, sub in df.groupby("__gk", sort=False):
             vals = np.sort(sub["v"].to_numpy())
             n = len(vals)
             k = min(points_per_batch, n)
             idx = np.minimum((np.floor((np.arange(k) + 0.5) * n / k))
                              .astype(np.int64), n - 1)
-            out_g.extend([gkey] * k)
+            out_i.extend([int(sub["__i"].iloc[0])] * k)
             out_k.extend([skey] * k)
             out_v.extend(vals[idx].tolist())
             out_w.extend([n / k] * k)
+        gvals = t[group_col].take(pa.array(out_i, pa.int64()))
+        if isinstance(gvals, pa.ChunkedArray):
+            gvals = gvals.combine_chunks()
         return pa.table({
-            group_col: pa.array(out_g, t.schema.field(group_col).type),
+            group_col: gvals,
             "__gk": pa.array(out_k, pa.string()),
             "__v": pa.array(out_v, pa.float64()),
             "__w": pa.array(out_w, pa.float64()),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["__v"].to_numpy(), kind="stable")
-        v = g["__v"].to_numpy()[order]
-        w = g["__w"].to_numpy()[order]
-        cum = np.cumsum(w)
+    def merge(t: pa.Table) -> pa.Table:
+        # arrow in, arrow out (dtype-exact group column; see per_group in
+        # grouped_quantiles)
+        vs = t["__v"].to_numpy(zero_copy_only=False)
+        ws = t["__w"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vs, kind="stable")
+        v = vs[order]
+        cum = np.cumsum(ws[order])
         total = cum[-1]
-        row = {group_col: [g[group_col].iloc[0]]}
+        cols = {group_col: t[group_col].slice(0, 1)}
         for q in qs:
             i = int(np.searchsorted(cum, q * total, side="left"))
-            row[f"p{int(q * 100)}"] = [v[min(i, len(v) - 1)]]
-        return pd.DataFrame(row)
+            cols[f"p{int(q * 100)}"] = pa.array([v[min(i, len(v) - 1)]],
+                                                pa.float64())
+        return pa.table(cols)
 
     return (ds.map_batches(compress, batch_format="pyarrow")
-            .groupby("__gk").map_groups(merge, batch_format="pandas"))
+            .groupby("__gk").map_groups(merge, batch_format="pyarrow"))
 
 
 def _grouped_head(ds: "ray.data.Dataset", group_col: str, by: list,
@@ -207,24 +233,46 @@ def _grouped_head(ds: "ray.data.Dataset", group_col: str, by: list,
     groupby exchange moves O(blocks x groups x k) rows instead of the
     whole table. The final per-group head runs on the pruned survivors."""
 
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: Ray's groupby (and SQL PARTITION BY) keep a null
-        # key as its own group — the combiner must not silently delete
-        # it. The exchange groups on a null-free string surrogate
-        # (``__gk``) because Ray's map_groups sort-partitioning cannot
-        # order null keys across blocks; "v:"+str(key) is injective for
-        # the string/int/float keys a corpus groups by, and the original
-        # key column rides through untouched.
-        out = df.sort_values(by, ascending=ascending, kind="stable") \
-                .groupby(group_col, sort=False, dropna=False).head(k)
-        return out.assign(__gk=_null_free_key(out[group_col]))
+    # arrow sort keys; Arrow's null_placement default ("at end") matches
+    # the pandas na_position='last' semantics this operator documents
+    order_keys = [(c, "ascending" if a else "descending")
+                  for c, a in zip(by, ascending)]
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=ascending, kind="stable") \
-                .head(k).drop(columns="__gk")
+    def add_gk(t: pa.Table) -> pa.Table:
+        # the exchange groups on a null-free string surrogate (``__gk``)
+        # because Ray's map_groups sort-partitioning cannot order null
+        # keys across blocks; computed Arrow-side so the rendering of a
+        # key never depends on whether THIS batch happens to contain a
+        # null (see _arrow_group_key). A null key keeps its own group —
+        # SQL PARTITION BY semantics — via the disjoint 'n' sentinel.
+        return t.append_column("__gk", _arrow_group_key(t[group_col]))
 
-    return ds.map_batches(prune, batch_format="pandas") \
-             .groupby("__gk").map_groups(final, batch_format="pandas")
+    def prune(t: pa.Table) -> pa.Table:
+        # fully Arrow (no pandas round-trip): a pandas conversion would
+        # promote int64-with-null columns to float64 and the combiner
+        # would emit mixed-dtype blocks. Sort by (__gk, order cols), then
+        # keep each group run's first k rows with one vectorized
+        # run-position mask.
+        if t.num_rows == 0:
+            return t
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("__gk", "ascending")] + order_keys))
+        gk = t["__gk"].to_numpy(zero_copy_only=False)
+        n = len(gk)
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = gk[1:] != gk[:-1]
+        start_idx = np.flatnonzero(starts)
+        run_len = np.diff(np.append(start_idx, n))
+        pos = np.arange(n) - np.repeat(start_idx, run_len)
+        return t.filter(pa.array(pos < k))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=order_keys))
+        return t.slice(0, min(k, t.num_rows)).drop_columns(["__gk"])
+
+    return ds.map_batches(add_gk, batch_format="pyarrow") \
+             .map_batches(prune, batch_format="pyarrow") \
+             .groupby("__gk").map_groups(final, batch_format="pyarrow")
 
 
 def grouped_topk(ds: "ray.data.Dataset", group_col: str, order_col: str,

@@ -304,3 +304,61 @@ def test_quantile_sketch_null_group(ray_session):
                 rd.from_arrow(t).repartition(3), "g", "v").take_all()}
     assert set(rows) == {"a", None}
     assert 100 <= rows[None] <= 109
+
+
+def test_grouped_ops_int64_keys_partial_nulls(ray_session):
+    """Regression (ADVICE r3): the group-key surrogate must render an
+    int64 key identically whether or not its batch contains a null —
+    pandas promotes int64-with-null to float64, so a pandas-side str()
+    once split key 10 into 'v:10' and 'v:10.0' across partitions."""
+    from kg_gen_ray.functions.sessions import (grouped_quantiles,
+                                               grouped_quantiles_sketch,
+                                               grouped_topk)
+
+    # partition 1: key 10 with a null neighbor; partition 2: key 10 only
+    t1 = pa.table({
+        "g": pa.array([10, None, 10], pa.int64()),
+        "v": pa.array([1, 50, 2], pa.int64()),
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+    })
+    t2 = pa.table({
+        "g": pa.array([10, 10, 7], pa.int64()),
+        "v": pa.array([9, 8, 3], pa.int64()),
+        "doc_id": pa.array([3, 4, 5], pa.int64()),
+    })
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+
+    top = grouped_topk(ds, "g", "v", k=2, tiebreak_col="doc_id").take_all()
+    by_group = {}
+    for r in top:
+        by_group.setdefault(r["g"], set()).add(r["doc_id"])
+    # ONE group for key 10 spanning both partitions -> global top-2
+    assert by_group[10] == {3, 4}
+    assert by_group[7] == {5}
+    assert by_group[None] == {1}
+
+    q = grouped_quantiles(ds, "g", "v").take_all()
+    assert sorted((r["g"] is None, r["g"]) for r in q) == \
+        [(False, 7), (False, 10), (True, None)]
+    p50 = {r["g"]: r["p50"] for r in q}
+    assert p50[10] == 2      # ceil(0.5*4)-1 = index 1 of [1,2,8,9]
+
+    qs = grouped_quantiles_sketch(ds, "g", "v").take_all()
+    assert sorted((r["g"] is None, r["g"]) for r in qs) == \
+        [(False, 7), (False, 10), (True, None)]
+
+
+def test_grouped_topk_nul_string_key_not_null(ray_session):
+    """A genuine '\\x00' string key must stay distinct from the null
+    group (disjoint surrogate prefixes)."""
+    from kg_gen_ray.functions.sessions import grouped_topk
+
+    t = pa.table({
+        "g": pa.array(["\x00", None, "\x00", None], pa.string()),
+        "v": pa.array([4, 3, 2, 1], pa.int64()),
+        "doc_id": pa.array(range(4), pa.int64()),
+    })
+    out = grouped_topk(rd.from_arrow(t).repartition(2), "g", "v",
+                       k=1, tiebreak_col="doc_id").take_all()
+    by_group = {r["g"]: r["doc_id"] for r in out}
+    assert by_group == {"\x00": 0, None: 1}
