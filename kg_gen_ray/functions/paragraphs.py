@@ -83,11 +83,40 @@ def _explode(t: pa.Table, text_col: str, id_col: str):
     return ids, lens, paras, doc_rep, idx, enc
 
 
+# per-worker md5 memo: boilerplate paragraphs repeat ACROSS batches (a
+# crawl's footer appears once per page), so each worker process hashes a
+# distinct paragraph once for its lifetime. Bounded by entry count and
+# per-entry length so a pathological corpus of huge unique paragraphs
+# cannot grow worker heap.
+_MD5_CACHE: dict = {}
+_MD5_CACHE_MAX = 1 << 18
+_MD5_CACHE_MAX_LEN = 4096
+
+
 def _md5_arr(paras: pa.Array) -> np.ndarray:
-    # md5 is the oracle-parity family (mirrors DuckDB md5()), same choice
-    # as text_analysis.fingerprint
-    return np.array([hashlib.md5(s.encode("utf-8")).hexdigest()
-                     for s in paras.to_pylist()], dtype=object)
+    """md5 hex per paragraph occurrence, hashed once per DISTINCT value:
+    dictionary-encode the batch (boilerplate repeats in-batch), then
+    consult the per-worker memo (it repeats across batches too) — the
+    same memoization the fast MinHash family applies to token hashes
+    (``fast_text.py``). md5 is the oracle-parity family (mirrors DuckDB
+    ``md5()``), same choice as ``text_analysis.fingerprint``."""
+    if isinstance(paras, pa.ChunkedArray):
+        paras = paras.combine_chunks()
+    d = paras.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    out_u = np.empty(len(uniq), dtype=object)
+    cache = _MD5_CACHE
+    for i, s in enumerate(uniq):
+        h = cache.get(s)
+        if h is None:
+            h = hashlib.md5(s.encode("utf-8")).hexdigest()
+            if len(s) <= _MD5_CACHE_MAX_LEN and len(cache) < _MD5_CACHE_MAX:
+                cache[s] = h
+        out_u[i] = h
+    if not len(out_u):
+        return np.array([], dtype=object)
+    idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return out_u[idx]
 
 
 def paragraph_losers(docs: "ray.data.Dataset", text_col: str = "text",
