@@ -536,6 +536,32 @@ def pair_graph_losers(pairs: "ray.data.Dataset",
     return comp.map_batches(losers_only, batch_format="pyarrow")
 
 
+def _with_null_key_sentinel(ds: "ray.data.Dataset",
+                            schema: pa.Schema) -> "ray.data.Dataset":
+    """Union one all-null sentinel row (flagged ``__s``) into a join's
+    probe side. Ray's hash join cannot finalize an ALL-EMPTY side (its
+    empty partitions carry no schema to key on) — and a Bloom prefilter
+    can legitimately leave zero rows. A NULL join key never matches (SQL
+    semantics, verified for Ray's pyarrow join), so the sentinel is
+    dropped by a semi join and flag-filtered after an anti join."""
+    import ray.data as _rd
+    cols = {f.name: pa.nulls(1, f.type) for f in schema}
+    cols["__s"] = pa.array([True])
+    sentinel = _rd.from_arrow(pa.table(cols))
+    tagged = ds.map_batches(
+        lambda t: t.append_column(
+            "__s", pa.array(np.zeros(t.num_rows, dtype=bool))),
+        batch_format="pyarrow")
+    return tagged.union(sentinel)
+
+
+def _strip_sentinel(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["__s"], False))
+                   .drop_columns(["__s"]),
+        batch_format="pyarrow")
+
+
 def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
              id_col: str, broadcast_limit: int = 64 * 1024 * 1024,
              bloom_prefilter: bool = True) -> "ray.data.Dataset":
@@ -556,6 +582,10 @@ def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
     import ray as _ray
 
     losers = losers.materialize()
+    if losers.count() == 0:
+        # nothing to drop — and an all-empty join side would carry
+        # schemaless blocks the hash join cannot key on
+        return ds
     if (losers.size_bytes() or 0) <= broadcast_limit:
         dropped = set()
         for b in losers.iter_batches(batch_format="pyarrow"):
@@ -568,10 +598,11 @@ def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
         return ds.map_batches(keep, batch_format="pyarrow")
 
     n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    arrow_schema = pa.schema(zip(ds.schema().names, ds.schema().types))
+    id_type = arrow_schema.field(id_col).type
     if bloom_prefilter:
         from kg_gen_ray.functions.sketch import bloom_build
-        in_cols = list(ds.schema().names)
+        in_cols = list(arrow_schema.names)
         bloom = bloom_build(losers, "doc_id")
 
         def bloom_split(t: pa.Table, positive: bool,
@@ -588,14 +619,16 @@ def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
     # left_anti join: exact set semantics (duplicate loser ids cannot
     # multiply anything), output schema is ds's own. The loser ids are
     # cast to ds's id dtype so crossing the size threshold never changes
-    # join-key types.
+    # join-key types. The probe side carries a null-key sentinel (the
+    # bloom-positive subset can be empty; see _with_null_key_sentinel).
     marked = losers.repartition(n_parts).map_batches(
         lambda t, c=id_col, ty=id_type: pa.table({
             c: pc.cast(t["doc_id"], ty)}),
         batch_format="pyarrow")
-    survivors = ds.repartition(n_parts) \
+    survivors = _strip_sentinel(
+        _with_null_key_sentinel(ds, arrow_schema).repartition(n_parts)
         .join(marked, join_type="left_anti", on=(id_col,),
-              num_partitions=n_parts)
+              num_partitions=n_parts))
     if bloom_prefilter:
         # join outputs carry schemaless empty blocks; stamp the schema
         # engine-side before the union (verify-skill gotcha)
@@ -617,6 +650,12 @@ def keep_ids(ds: "ray.data.Dataset", keepers: "ray.data.Dataset",
     import ray as _ray
 
     keepers = keepers.materialize()
+    if keepers.count() == 0:
+        # nothing survives — emit a typed empty result (an all-empty
+        # join side would carry schemaless blocks the hash join cannot
+        # key on)
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow")
     if (keepers.size_bytes() or 0) <= broadcast_limit:
         kept = set()
         for b in keepers.iter_batches(batch_format="pyarrow"):
@@ -629,7 +668,8 @@ def keep_ids(ds: "ray.data.Dataset", keepers: "ray.data.Dataset",
         return ds.map_batches(f, batch_format="pyarrow")
 
     n_parts = max(2, int(_ray.cluster_resources().get("CPU", 8)))
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    arrow_schema = pa.schema(zip(ds.schema().names, ds.schema().types))
+    id_type = arrow_schema.field(id_col).type
     if bloom_prefilter:
         from kg_gen_ray.functions.sketch import bloom_build
         bloom = bloom_build(keepers, "doc_id")
@@ -639,10 +679,15 @@ def keep_ids(ds: "ray.data.Dataset", keepers: "ray.data.Dataset",
     # left_semi join: exact set semantics — a duplicated keeper id cannot
     # multiply output rows (the broadcast dual is a set; the join dual
     # must agree). Keeper ids are cast to ds's id dtype so crossing the
-    # size threshold never changes join-key types.
+    # size threshold never changes join-key types. The probe side carries
+    # a null-key sentinel (the bloom-positive subset can be empty; see
+    # _with_null_key_sentinel) — the semi join drops it itself (a null
+    # key matches nothing) and _strip_sentinel drops the flag column.
     keyed = keepers.repartition(n_parts).map_batches(
         lambda t, c=id_col, ty=id_type: pa.table({
             c: pc.cast(t["doc_id"], ty)}),
         batch_format="pyarrow")
-    return ds.repartition(n_parts).join(
-        keyed, join_type="left_semi", on=(id_col,), num_partitions=n_parts)
+    return _strip_sentinel(
+        _with_null_key_sentinel(ds, arrow_schema).repartition(n_parts)
+        .join(keyed, join_type="left_semi", on=(id_col,),
+              num_partitions=n_parts))

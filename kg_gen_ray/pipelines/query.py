@@ -29,39 +29,73 @@ from kg_gen_ray.stages.common import in_set_mask
 
 
 def neighborhood(triples: "ray.data.Dataset", seeds: set,
-                 depth: int = 2) -> "ray.data.Dataset":
+                 depth: int = 2,
+                 broadcast_limit: int = 64 * 1024 * 1024
+                 ) -> "ray.data.Dataset":
     """All triples reachable from ``seeds`` within ``depth`` hops
-    (both directions, like the reference's neighbors+predecessors walk)."""
-    frontier = set(seeds)
-    seen_triples = None
+    (both directions, like the reference's neighbors+predecessors walk).
+
+    The frontier stays a DATASET end to end — nothing frontier-sized ever
+    reaches the driver (a hub entity's 2-hop frontier on a crawl-scale
+    graph is O(graph); the earlier ``take_all()``-per-hop version was a
+    driver scale-killer). Per hop, the triples table is semi-filtered
+    against the frontier with a size-selected dual: a broadcast
+    membership set + one OR-mask pass while the frontier fits
+    ``broadcast_limit``, else a Bloom-prefiltered ``left_semi`` join per
+    endpoint (:func:`kg_gen_ray.functions.dedup.keep_ids`). Because the
+    frontier only grows, hop k's touching-set contains hop k-1's, so the
+    final hop IS the full neighborhood — only it is returned, and it is
+    never collected here. Callers pass a materialized ``triples`` (the
+    lineage is consumed once per hop per direction)."""
+    from kg_gen_ray.functions.dedup import keep_ids
+    from kg_gen_ray.stages.rewrite import distinct
+
+    frontier = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(seeds), pa.string())}))
+    hop = None
     for _ in range(depth):
-        ref = ray.put(frontier)
-
-        def touching(t: pa.Table, ref=ref) -> pa.Table:
-            mask = pc.or_(in_set_mask(t["subj"], ref),
-                          in_set_mask(t["obj"], ref))
-            return t.filter(mask)
-
-        hop = triples.map_batches(touching, batch_format="pyarrow")
-        hop_rows = hop.take_all()
-        new_frontier = set()
-        for r in hop_rows:
-            new_frontier.add(r["subj"])
-            new_frontier.add(r["obj"])
-        if seen_triples is None:
-            seen_triples = {(r["subj"], r["pred"], r["obj"]) for r in hop_rows}
-        else:
-            seen_triples |= {(r["subj"], r["pred"], r["obj"]) for r in hop_rows}
-        if new_frontier <= frontier:
+        frontier = frontier.materialize()
+        if frontier.count() == 0:
+            # dead frontier (seeds touch nothing): a further hop cannot
+            # add triples, and an all-empty frontier dataset carries
+            # schemaless blocks that a hash join cannot key on
             break
-        frontier |= new_frontier
+        if (frontier.size_bytes() or 0) <= broadcast_limit:
+            # one pass, one OR mask: the serving-sized common case
+            ents = set()
+            for b in frontier.iter_batches(batch_format="pyarrow"):
+                ents.update(b["doc_id"].to_pylist())
+            ref = ray.put(ents)
 
-    rows = sorted(seen_triples or set())
-    return ray.data.from_arrow(pa.table({
-        "subj": pa.array([r[0] for r in rows], pa.string()),
-        "pred": pa.array([r[1] for r in rows], pa.string()),
-        "obj": pa.array([r[2] for r in rows], pa.string()),
-    }))
+            def touching(t: pa.Table, ref=ref) -> pa.Table:
+                mask = pc.or_(in_set_mask(t["subj"], ref),
+                              in_set_mask(t["obj"], ref))
+                return t.filter(mask)
+
+            hop = triples.map_batches(touching, batch_format="pyarrow")
+        else:
+            # scale dual: subj-side semi-filter ∪ obj-side semi-filter
+            # (a triple touching both appears twice; distinct removes it)
+            hop = distinct(
+                keep_ids(triples, frontier, "subj", broadcast_limit)
+                .union(keep_ids(triples, frontier, "obj", broadcast_limit)),
+                ["subj", "pred", "obj"])
+        # checkpoint: the hop feeds both the next frontier and (on the
+        # last iteration) the returned neighborhood
+        hop = hop.materialize()
+        def endpoint(col):
+            return hop.map_batches(
+                lambda t, c=col: pa.table({"doc_id": t[c]}),
+                batch_format="pyarrow")
+
+        frontier = distinct(endpoint("subj").union(endpoint("obj")),
+                            ["doc_id"])
+    if hop is None:
+        return ray.data.from_arrow(pa.table({
+            "subj": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "obj": pa.array([], pa.string())}))
+    return distinct(hop, ["subj", "pred", "obj"])
 
 
 def context_sentences(triples: "ray.data.Dataset", seeds: set,

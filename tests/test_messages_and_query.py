@@ -80,3 +80,22 @@ def test_relevant_nodes(ray_session):
     out = relevant_nodes(triples, "alpha", k=2)
     assert len(out) == 2
     assert out[0] == "alpha"   # identical label embeds identically -> top hit
+
+
+def test_neighborhood_join_dual_equals_broadcast(ray_session):
+    """broadcast_limit=0 forces the Bloom + left_semi join frontier dual;
+    it must agree with the broadcast path exactly, including triples
+    matched on BOTH endpoints (deduped) and seeds with no triples."""
+    from kg_gen_ray.pipelines.query import neighborhood
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array(["a", "b", "c", "x", "b"], pa.string()),
+        "pred": pa.array(["r1", "r2", "r3", "r4", "r5"], pa.string()),
+        "obj": pa.array(["b", "c", "d", "y", "a"], pa.string()),
+    })).materialize()
+    for seeds in ({"a"}, {"a", "zzz-no-such-entity"}, {"zzz"}):
+        want = sorted((r["subj"], r["pred"], r["obj"]) for r in
+                      neighborhood(triples, seeds, depth=2).take_all())
+        got = sorted((r["subj"], r["pred"], r["obj"]) for r in
+                     neighborhood(triples, seeds, depth=2,
+                                  broadcast_limit=0).take_all())
+        assert got == want
