@@ -318,16 +318,35 @@ def q_kg_pagerank(sf_dir: str):
     integer arithmetic makes the distributed sums order-independent, so
     the result is value-exact against the serial SQL oracle."""
     from kg_gen_ray.stages.viz import pagerank
-    return pagerank(_distinct_triples(sf_dir), n_iter=5)
+    # limits=0 force the fully distributed recurrence: the per-iteration
+    # rank-onto-edges shuffle join instead of the broadcast dict, and no
+    # driver-side numpy shortcut — the crawl-scale path, same oracle
+    return pagerank(_distinct_triples(sf_dir), n_iter=5,
+                    broadcast_limit=0, driver_limit=0)
 
 
 def q_kg_semantic_alias(sf_dir: str):
-    """A5/X6 scale path: embed -> k-means partition -> per-cluster
-    retrieve-and-judge dedup (rows-only: iterative, not SQL-expressible)."""
+    """A5/X6 scale path: embed (actor pool) -> k-means partition ->
+    per-cluster retrieve-and-judge dedup.
+
+    Oracle-checkable at driver scale by a PROVABLE reduction: with the
+    deterministic norm-equality judge, when a cluster's judged chunk is
+    fully covered by retrieval (``retrieval_k`` >= chunk size - 1, forced
+    here with retrieval_k=128 >= the corpus's distinct-label count), the
+    sequential loop takes members in (len, lex) order, merges exactly each
+    member's whole normalization-key family, and elects the family's
+    (len, lex)-min member as representative — i.e. the output equals the
+    normalize_label alias map, which IS SQL (the same _NORM CTE as
+    kg_alias_map). At sf scale the distinct entity labels (<128) form one
+    k-means cell, so the whole judged pipeline (embed, rank fusion, judge
+    loop, map_groups) executes and is hash-checked; the kmeans-partitioned
+    multi-cell regime (where retrieval truncation makes output depend on
+    embedding locality, the documented trade) stays pytest-covered in
+    tests/test_semantic_dedup.py."""
     from kg_gen_ray.pipelines.kg_pipeline import entity_labels
     from kg_gen_ray.stages.semantic_dedup import semantic_canonicalize
     labels = entity_labels(_distinct_triples(sf_dir))
-    return semantic_canonicalize(labels)
+    return semantic_canonicalize(labels, retrieval_k=128)
 
 
 def q_kg_incremental(sf_dir: str):
@@ -347,7 +366,12 @@ def q_kg_incremental(sf_dir: str):
 
     half1 = pages.map_batches(split(True), batch_format="pyarrow")
     half2 = pages.map_batches(split(False), batch_format="pyarrow")
-    cfg = _bigram_config()
+    # broadcast_alias_limit=0 forces the rewrite onto its shuffle-join
+    # dual (rewrite_stage_join) — this driver row exercises the scale-side
+    # sibling that the size test would otherwise never select at sf scale;
+    # the oracle is unchanged (the duals are pinned equal)
+    import dataclasses
+    cfg = dataclasses.replace(_bigram_config(), broadcast_alias_limit=0)
     first = add_pages(None, half1, cfg)
     return add_pages(first.triples, half2, cfg).triples
 
@@ -451,8 +475,12 @@ def q_top_bigrams(sf_dir: str):
 
 
 def q_tfidf_top_terms(sf_dir: str):
+    """broadcast_limit=0 forces the distributed-df/idf join dual (the
+    scale-side sibling for a vocabulary larger than any broadcast);
+    oracle unchanged."""
     from kg_gen_ray.functions.text_analysis import tfidf_top_terms
-    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3,
+                           broadcast_limit=0)
 
 
 def q_approx_distinct(sf_dir: str):
@@ -578,7 +606,9 @@ def q_kg_neighborhood(sf_dir: str):
     # distributed min: only one scalar reaches the driver (never the
     # whole subject column)
     seed = triples.select_columns(["subj"]).aggregate(Min("subj"))["min(subj)"]
-    return neighborhood(triples, {seed}, depth=2)
+    # broadcast_limit=0 forces the Bloom + left_semi join frontier dual
+    # (the hub-entity scale path); oracle unchanged
+    return neighborhood(triples, {seed}, depth=2, broadcast_limit=0)
 
 
 def q_near_dup_jaccard(sf_dir: str):
@@ -587,7 +617,9 @@ def q_near_dup_jaccard(sf_dir: str):
     from kg_gen_ray.functions.dedup import jaccard_verify, minhash_lsh_pairs
     docs = _docs(sf_dir, ["doc_id", "text"])
     pairs = minhash_lsh_pairs(docs)
-    return jaccard_verify(docs, pairs, threshold=0.8)
+    # broadcast_limit=0 forces the shingle-join verification dual (the
+    # dup-heavy-corpus sibling); oracle unchanged
+    return jaccard_verify(docs, pairs, threshold=0.8, broadcast_limit=0)
 
 
 def q_doc_winnow(sf_dir: str):
@@ -1071,6 +1103,14 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kg_canonical_triples"] = f"""
         {_KG_CANON_PREFIX} SELECT subj, pred, obj FROM canonical"""
+
+    # the semantic judged loop reduces to the normalize-key alias map
+    # under full retrieval + the deterministic judge + one k-means cell
+    # (provable; see q_kg_semantic_alias) — so the SQL is the entity half
+    # of the alias-map oracle
+    sql["kg_semantic_alias"] = f"""
+        {_KG_PREFIX}, {_LABELS}, {_NORM.format(kind="entity")}
+        SELECT 'entity' AS kind, representative, member FROM alias_entity"""
 
     sql["kg_top_entities"] = f"""
         {_KG_CANON_PREFIX},

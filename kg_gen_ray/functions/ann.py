@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from kg_gen_ray.stages.common import dual_limit
+
 
 def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     n = len(batch)
@@ -249,7 +251,7 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
     """
     mat = embeddings.materialize()
 
-    if (mat.size_bytes() or 0) <= broadcast_limit:
+    if (mat.size_bytes() or 0) <= dual_limit(broadcast_limit):
         rows = []
         for b in mat.iter_batches(batch_format="pyarrow"):
             ids = b[id_col].to_pylist()

@@ -34,6 +34,8 @@ import ray.data
 # and benchmark hashes to AGREE, not to replay in an external oracle.
 from kg_gen_ray.functions.fast_text import _token_hashes
 
+from kg_gen_ray.stages.common import dual_limit
+
 _KC = np.uint64(0x100000001B3)          # FNV-ish odd multiplier
 
 
@@ -106,7 +108,7 @@ def contaminated_ids(docs: "ray.data.Dataset",
 
     doc_rows = doc_kgram_rows(docs, k, id_col, text_col)
 
-    if (bench_sh.size_bytes() or 0) <= broadcast_limit:
+    if (bench_sh.size_bytes() or 0) <= dual_limit(broadcast_limit):
         arr = np.sort(np.concatenate(
             [b["sh"].to_numpy(zero_copy_only=False)
              for b in bench_sh.iter_batches(batch_format="pyarrow")]
@@ -164,7 +166,7 @@ def decontaminate(docs: "ray.data.Dataset",
             lambda t: t.rename_columns(["doc_id"]),
             batch_format="pyarrow")
     flagged = flagged.materialize()
-    if (flagged.size_bytes() or 0) <= broadcast_limit:
+    if (flagged.size_bytes() or 0) <= dual_limit(broadcast_limit):
         return drop_ids(docs, flagged, id_col, broadcast_limit)
     ids_only = docs.map_batches(
         lambda t, c=id_col: t.select([c]), batch_format="pyarrow")

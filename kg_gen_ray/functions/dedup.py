@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 
 # module-level (pickle-by-value compatibility): worker-side
 # filter closures must not lazily import kg_gen_ray
-from kg_gen_ray.stages.common import in_set_mask
+from kg_gen_ray.stages.common import dual_limit, in_set_mask
 
 import ray.data
 
@@ -204,7 +204,7 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
     from kg_gen_ray.stages.rewrite import distinct as _distinct
 
     pairs = pairs.materialize()
-    if (pairs.size_bytes() or 0) <= broadcast_limit:
+    if (pairs.size_bytes() or 0) <= dual_limit(broadcast_limit):
         cand_ids = set()
         for b in pairs.iter_batches(batch_format="pyarrow"):
             cand_ids.update(b["doc_a"].to_pylist())
@@ -250,7 +250,7 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
         denom = len(sa | sb)
         return (len(sa & sb) / denom) if denom else 0.0
 
-    if (cands.size_bytes() or 0) <= broadcast_limit:
+    if (cands.size_bytes() or 0) <= dual_limit(broadcast_limit):
         sh_map = {}
         for b in cands.iter_batches(batch_format="pyarrow"):
             for did, text in zip(b["doc_id"].to_pylist(),
@@ -496,7 +496,7 @@ def pair_graph_losers(pairs: "ray.data.Dataset",
 
     pairs = pairs.materialize()
 
-    if (pairs.size_bytes() or 0) <= broadcast_limit:
+    if (pairs.size_bytes() or 0) <= dual_limit(broadcast_limit):
         parent: dict = {}
 
         def find(x: int) -> int:
@@ -586,7 +586,7 @@ def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
         # nothing to drop — and an all-empty join side would carry
         # schemaless blocks the hash join cannot key on
         return ds
-    if (losers.size_bytes() or 0) <= broadcast_limit:
+    if (losers.size_bytes() or 0) <= dual_limit(broadcast_limit):
         dropped = set()
         for b in losers.iter_batches(batch_format="pyarrow"):
             dropped.update(b["doc_id"].to_pylist())
@@ -656,7 +656,7 @@ def keep_ids(ds: "ray.data.Dataset", keepers: "ray.data.Dataset",
         # key on)
         return ds.map_batches(lambda t: t.slice(0, 0),
                               batch_format="pyarrow")
-    if (keepers.size_bytes() or 0) <= broadcast_limit:
+    if (keepers.size_bytes() or 0) <= dual_limit(broadcast_limit):
         kept = set()
         for b in keepers.iter_batches(batch_format="pyarrow"):
             kept.update(b["doc_id"].to_pylist())

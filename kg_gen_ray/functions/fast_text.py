@@ -27,6 +27,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# module-level (pickle-by-value compatibility)
+from kg_gen_ray.stages.common import dual_limit  # noqa: E402
+
 N_HASHES = 4
 # odd multipliers for the universal-hash family h_k(x) = A_k * x + B_k (mod 2^64)
 _A = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
@@ -439,7 +442,7 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
     from ray.data.aggregate import Count
 
     from kg_gen_ray.stages.common import (
-        coalesce, compact_if_small, in_set_mask)
+        coalesce, compact_if_small, dual_limit, in_set_mask)
     from kg_gen_ray.stages.rewrite import distinct
 
     bands = N_HASHES // 2   # 2 rows per band
@@ -454,7 +457,7 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
         coalesce(docs.map_batches(band_rows, batch_format="pyarrow"),
                  shuffle_partitions).materialize())
 
-    if (rows.size_bytes() or 0) <= broadcast_limit:
+    if (rows.size_bytes() or 0) <= dual_limit(broadcast_limit):
         keys_np, docs_np = [], []
         for b in rows.iter_batches(batch_format="pyarrow"):
             keys_np.append(b["band_key"].to_numpy(zero_copy_only=False))

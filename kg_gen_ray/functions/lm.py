@@ -41,6 +41,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+# module-level (pickle-by-value compatibility)
+from kg_gen_ray.stages.common import dual_limit  # noqa: E402
+
 _SCALE = 1_000_000
 
 
@@ -68,7 +71,7 @@ def lm_counts(docs: "ray.data.Dataset", text_col: str = "text",
               shuffle_partitions=None):
     """-> (bigram_counts(w1, w2, c2), unigram_counts(w1, c1), V) — the
     trained model, materialized (vocabulary-sized, reused per query)."""
-    from kg_gen_ray.stages.common import coalesce
+    from kg_gen_ray.stages.common import coalesce, dual_limit
 
     def local2(t: pa.Table) -> pa.Table:
         flat, lens = _tokens(t, text_col)
@@ -128,7 +131,7 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
 
     n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
-    if (bi.size_bytes() or 0) <= broadcast_limit:
+    if (bi.size_bytes() or 0) <= dual_limit(broadcast_limit):
         # small model -> the per-bigram score table is built DRIVER-side
         # (the bigram and unigram tables are vocabulary-scale and already
         # materialized; a distributed join of a few-thousand-row table

@@ -50,6 +50,9 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+# module-level (pickle-by-value compatibility)
+from kg_gen_ray.stages.common import dual_limit  # noqa: E402
+
 # enc = doc_id * 2^20 + para_idx: loud bounds, no silent wraparound
 _IDX_BITS = 20
 _MAX_IDX = (1 << _IDX_BITS) - 1
@@ -127,7 +130,7 @@ def paragraph_losers(docs: "ray.data.Dataset", text_col: str = "text",
     repeated boilerplate pays). Two-level min, same shape as
     ``web.url_dedup_losers``: in-batch losers never enter the exchange."""
     from kg_gen_ray.stages.common import (coalesce, default_buckets,
-                                          hash_bucket_array)
+                                          dual_limit, hash_bucket_array)
 
     def local(t: pa.Table) -> pa.Table:
         _ids, _lens, paras, _doc, _idx, enc = _explode(t, text_col, id_col)
@@ -207,7 +210,7 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
             text_col: joined.filter(pa.array(nonempty)),
         })
 
-    if (losers.size_bytes() or 0) <= broadcast_limit:
+    if (losers.size_bytes() or 0) <= dual_limit(broadcast_limit):
         encs = []
         for b in losers.iter_batches(batch_format="pyarrow"):
             encs.append(b["enc"].to_numpy(zero_copy_only=False))

@@ -17,6 +17,9 @@ import pyarrow.compute as pc
 
 import ray.data
 
+# module-level (pickle-by-value compatibility)
+from kg_gen_ray.stages.common import dual_limit  # noqa: E402
+
 STOPWORDS = ("the", "a")  # fixed tiny list shared with the SQL oracle
 
 
@@ -192,7 +195,7 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 20,
     import pyarrow.compute as _pc
     from ray.data.aggregate import Sum
 
-    from kg_gen_ray.stages.common import coalesce
+    from kg_gen_ray.stages.common import coalesce, dual_limit
 
     def partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"ngram": pa.array([], pa.string()),
@@ -286,7 +289,7 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
             "tf": pc.cast(agg["count_all"], pa.int64()),
         })
 
-    if (stats.size_bytes() or 0) <= broadcast_limit:
+    if (stats.size_bytes() or 0) <= dual_limit(broadcast_limit):
         from kg_gen_ray.stages.common import dict_lookup
 
         idf = {}

@@ -155,8 +155,9 @@ def canonicalize_triples(raw: "ray.data.Dataset",
 
     # rewrite strategy by measured size (alias_map is materialized):
     # broadcast dict when small, shuffle join when it wouldn't fit
+    from kg_gen_ray.stages.common import dual_limit
     alias_bytes = alias_map.size_bytes() or 0
-    if alias_bytes <= config.broadcast_alias_limit:
+    if alias_bytes <= dual_limit(config.broadcast_alias_limit):
         ent_dict, edge_dict = build_alias_dicts(alias_map)
         rewritten = rewrite_stage(triples, ent_dict, edge_dict)
     else:

@@ -25,7 +25,7 @@ import ray.data
 
 # module-level (pickle-by-value compatibility): worker-side UDF bodies
 # must not lazily import kg_gen_ray
-from kg_gen_ray.stages.common import in_set_mask
+from kg_gen_ray.stages.common import dual_limit, in_set_mask
 
 
 def neighborhood(triples: "ray.data.Dataset", seeds: set,
@@ -60,7 +60,7 @@ def neighborhood(triples: "ray.data.Dataset", seeds: set,
             # add triples, and an all-empty frontier dataset carries
             # schemaless blocks that a hash join cannot key on
             break
-        if (frontier.size_bytes() or 0) <= broadcast_limit:
+        if (frontier.size_bytes() or 0) <= dual_limit(broadcast_limit):
             # one pass, one OR mask: the serving-sized common case
             ents = set()
             for b in frontier.iter_batches(batch_format="pyarrow"):

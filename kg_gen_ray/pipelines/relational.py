@@ -22,7 +22,7 @@ from ray.data.aggregate import Sum
 
 # module-level (pickle-by-value compatibility): worker-side UDF bodies
 # must not lazily import kg_gen_ray
-from kg_gen_ray.stages.common import dict_lookup, in_set_mask
+from kg_gen_ray.stages.common import dict_lookup, dual_limit, in_set_mask
 
 
 def _read(sf_dir: str, table: str, columns: list) -> "ray.data.Dataset":
@@ -117,7 +117,7 @@ def revenue_by_region(sf_dir: str,
                              ["r_regionkey", "r_name"]).take_all()}
     dim = ray.put((nation, region))
 
-    if (cust.size_bytes() or 0) <= broadcast_limit:
+    if (cust.size_bytes() or 0) <= dual_limit(broadcast_limit):
         cmap = {}
         for b in cust.iter_batches(batch_format="pyarrow"):
             cmap.update(zip(b["c_custkey"].to_pylist(),

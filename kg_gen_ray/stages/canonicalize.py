@@ -41,7 +41,7 @@ import ray
 
 # module-level (pickle-by-value compatibility): worker-side UDF bodies
 # must not lazily import kg_gen_ray
-from kg_gen_ray.stages.common import dict_lookup
+from kg_gen_ray.stages.common import dict_lookup, dual_limit
 import ray.data
 
 
@@ -156,7 +156,7 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
     edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow") \
                     .materialize()
 
-    if (edges.size_bytes() or 0) <= driver_limit:
+    if (edges.size_bytes() or 0) <= dual_limit(driver_limit):
         pairs = []
         for b in edges.iter_batches(batch_format="pyarrow"):
             pairs.extend(zip(b["node"].to_pylist(), b["nbr"].to_pylist()))
@@ -423,7 +423,7 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
         # fits, hash join on (kind, norm_key) above the limit (at 10^12
         # docs the cluster table is as unbroadcastable as the alias map —
         # same size-chosen dual as the rewrite stage)
-        if (reps.size_bytes() or 0) <= broadcast_limit:
+        if (reps.size_bytes() or 0) <= dual_limit(broadcast_limit):
             rep_map = {}
             for b in reps.iter_batches(batch_format="pyarrow"):
                 rep_map.update(zip(
@@ -597,7 +597,7 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
 
     # compose member -> l1_rep -> representative (size-selected dual, same
     # rule as the no-judge rep assignment above)
-    if (l2.size_bytes() or 0) <= broadcast_limit:
+    if (l2.size_bytes() or 0) <= dual_limit(broadcast_limit):
         rep_map = {}
         for b in l2.iter_batches(batch_format="pyarrow"):
             rep_map.update(zip(

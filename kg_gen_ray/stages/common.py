@@ -156,3 +156,18 @@ def compact_if_small(mds: "ray.data.Dataset",
     if size is not None and size < max_bytes and blocks > target_blocks:
         return mds.repartition(target_blocks).materialize()
     return mds
+
+
+def dual_limit(limit: int) -> int:
+    """Effective size threshold for a size-selected broadcast/join (or
+    driver/distributed) dual. ``KG_FORCE_JOIN_DUALS=1`` forces EVERY dual
+    onto its scale-side path (threshold 0) so correctness runs exercise
+    the code that normally only runs beyond broadcast scale — at small
+    scale the broadcast side always wins the size test, so without the
+    knob the join siblings would only ever run in unit tests. An empty
+    small side still takes the broadcast path (0 bytes <= 0), which the
+    join duals rely on (a hash join cannot key on an all-empty side)."""
+    import os
+    if os.environ.get("KG_FORCE_JOIN_DUALS", "").strip() not in ("", "0"):
+        return 0
+    return limit

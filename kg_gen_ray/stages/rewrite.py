@@ -127,19 +127,23 @@ def rewrite_stage_join(triples: "ray.data.Dataset",
         t = t.drop_columns([c for c in (rep, orig) if c in t.column_names])
         return t.append_column(out, fixed)
 
-    ent = alias_map.map_batches(prep("entity", "__m", "__r"),
-                                batch_format="pyarrow")
-    edg = alias_map.map_batches(prep("edge", "__m", "__r"),
-                                batch_format="pyarrow")
-
     out = triples.select_columns(["subj", "pred", "obj"])
-    for col, side in (("subj", ent), ("obj", ent), ("pred", edg)):
-        renamed = side.map_batches(
-            lambda t, c=col: t.rename_columns([c, f"__r_{c}"]),
-            batch_format="pyarrow")
+    for col, kind in (("subj", "entity"), ("obj", "entity"),
+                      ("pred", "edge")):
+        # the join key name is built directly into prep's output (a
+        # map_batches RENAME would skip the schemaless empty blocks an
+        # aggregate-lineage alias_map carries), and each join input /
+        # output is normalized with an engine-side Project
+        # (select_columns), which stamps a schema even on empty blocks —
+        # without it the NEXT join's key resolution fails on them
+        renamed = alias_map.map_batches(prep(kind, col, f"__r_{col}"),
+                                        batch_format="pyarrow") \
+                           .select_columns([col, f"__r_{col}"]) \
+                           .repartition(num_partitions)
         out = out.join(renamed, join_type="left_outer", on=(col,),
                        num_partitions=num_partitions)
         out = out.map_batches(
             lambda t, c=col: coalesce_col(t, c, f"__r_{c}", c),
-            batch_format="pyarrow")
+            batch_format="pyarrow").select_columns(["subj", "pred", "obj"]) \
+            .repartition(num_partitions)
     return out.select_columns(["subj", "pred", "obj"])

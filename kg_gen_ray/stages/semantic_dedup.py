@@ -35,6 +35,8 @@ import ray.data
 from kg_gen_ray.functions.bm25 import okapi_scores
 from kg_gen_ray.stages.canonicalize import choose_representative, normalize_label
 
+from kg_gen_ray.stages.common import dual_limit
+
 CLUSTER_CAPACITY = 128   # ref: cluster_and_deduplication.py:153
 RETRIEVAL_K = 16         # ref: cluster_and_deduplication.py:262
 
@@ -199,7 +201,7 @@ def semantic_canonicalize(labels: "ray.data.Dataset",
         # alias rewrite): a driver dict of the whole assignment map is
         # O(distinct labels) head-node memory — fine when small, a hash
         # join on lid otherwise
-        if (cmap.size_bytes() or 0) <= assign_broadcast_limit:
+        if (cmap.size_bytes() or 0) <= dual_limit(assign_broadcast_limit):
             id_to_cid = {}
             for b in cmap.iter_batches(batch_format="pyarrow"):
                 id_to_cid.update(zip(b["lid"].to_pylist(),

@@ -25,6 +25,9 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+# module-level (pickle-by-value compatibility)
+from kg_gen_ray.stages.common import dual_limit  # noqa: E402
+
 
 def string_to_color(label: str) -> str:
     """Deterministic pastel color (byte-identical to ref ``_string_to_color``)."""
@@ -58,7 +61,7 @@ def degree_table(triples: "ray.data.Dataset",
             [("outdeg", "sum"), ("indeg", "sum"), ([], "count_all")])
         return agg.rename_columns(["entity", "outdeg", "indeg", "deg"])
 
-    from kg_gen_ray.stages.common import coalesce
+    from kg_gen_ray.stages.common import coalesce, dual_limit
     part = coalesce(triples.map_batches(partial, batch_format="pyarrow"),
                     shuffle_partitions)
     return part.groupby("entity").aggregate(
@@ -166,7 +169,7 @@ def pagerank(triples: "ray.data.Dataset", n_iter: int = 5,
     # associative int64 sums, so the result is bit-equal to the
     # distributed path (pinned by test_pagerank_duals_agree) with zero
     # per-iteration Ray overhead. Crawl-scale graphs skip past this.
-    if (edges_od.size_bytes() or 0) <= driver_limit:
+    if (edges_od.size_bytes() or 0) <= dual_limit(driver_limit):
         import numpy as np
         names = []
         for b in nodes.iter_batches(batch_format="pyarrow"):
@@ -204,7 +207,7 @@ def pagerank(triples: "ray.data.Dataset", n_iter: int = 5,
         batch_format="pyarrow").materialize()
 
     for _ in range(n_iter):
-        if (pr.size_bytes() or 0) <= broadcast_limit:
+        if (pr.size_bytes() or 0) <= dual_limit(broadcast_limit):
             pr_map = {}
             for b in pr.iter_batches(batch_format="pyarrow"):
                 pr_map.update(zip(b["entity"].to_pylist(),
