@@ -171,7 +171,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,                # quality scores + lang-id
         "paragraph_dedup": q_paragraph_dedup,          # CCNet boilerplate pass
         "lm_score": q_lm_score,                        # CCNet perplexity filter
-        "top_bigrams": q_top_bigrams,
+        # (top_bigrams rotated out for hygiene_counts: its groupby-count +
+        # deterministic top-k ordering shape stays oracled via
+        # kg_top_relations and tfidf_top_terms; top_ngrams remains
+        # implemented + pytest-covered)
+        "hygiene_counts": q_hygiene_counts,            # e2e hygiene audit
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct_docs": q_approx_distinct,     # HLL estimate (oracle-exact)
         # --- dedup family
@@ -470,8 +474,46 @@ def q_lm_score(sf_dir: str):
 
 
 def q_top_bigrams(sf_dir: str):
+    """Deregistered (rotated out for hygiene_counts); kept callable —
+    top_ngrams stays implemented + pytest-covered (test_text_analysis)."""
     from kg_gen_ray.functions.text_analysis import top_ngrams
     return top_ngrams(_docs(sf_dir, ["doc_id", "text"]), n=2, k=20)
+
+
+def q_hygiene_counts(sf_dir: str):
+    """The end-to-end training-data hygiene COMPOSITION as one driver-
+    oracled row: scrub PII -> near-dup dedup (fast MinHash family) ->
+    per-language stratified cap -> greedy sequence packing, auditing the
+    per-stage survivor counts plus the packed output (rows + number of
+    packed sequences). Every member stage already carries its own oracle;
+    this row pins the COMPOSITION (pipelines/hygiene.py) — stage order,
+    column threading, loser-side filtering — end to end. Decontamination
+    and the C4/paragraph/LM stages are exercised by their own queries and
+    the hygiene pytest suite (decontamination's polars-hash k-gram family
+    is deliberately not oracle-replayable; see functions/decontaminate.py)."""
+    from ray.data.aggregate import Max
+
+    from kg_gen_ray.pipelines.hygiene import prepare_training_data
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    res = prepare_training_data(docs, benchmark=None, group_col="lang",
+                                per_group_cap=8, max_tokens=2048,
+                                dedup_method="fast")
+    packed = res.packed.materialize()
+    n_packed = packed.count()
+    n_sequences = 0
+    for r in packed.groupby("lang") \
+                   .aggregate(Max("seq_id", alias_name="mx")).take_all():
+        n_sequences += int(r["mx"]) + 1
+    c = res.counts
+    return pd.DataFrame({
+        "n_input": pd.Series([c["input"]], dtype="int64"),
+        "n_scrubbed": pd.Series([c["scrubbed"]], dtype="int64"),
+        "n_deduped": pd.Series([c["deduped"]], dtype="int64"),
+        "n_capped": pd.Series([c["capped"]], dtype="int64"),
+        "n_packed": pd.Series([n_packed], dtype="int64"),
+        "n_sequences": pd.Series([n_sequences], dtype="int64"),
+    })
 
 
 def q_tfidf_top_terms(sf_dir: str):
@@ -1345,15 +1387,65 @@ def oracle_sql() -> dict[str, str]:
           FROM scored)
         SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3"""
 
-    sql["top_bigrams"] = f"""
-        WITH {_DOCS}, {_TOKS},
-        bi AS (
-          SELECT a.w || ' ' || b.w AS ngram
-          FROM toks a JOIN toks b
-            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
-        SELECT ngram, count(*)::BIGINT AS n_occur
-        FROM bi GROUP BY ngram
-        ORDER BY n_occur DESC, ngram LIMIT 20"""
+    # hygiene composition: scrubbed text feeds the fast MinHash near-dup
+    # family (the near_dup_canonical CTEs reused verbatim over the
+    # scrubbed docs), survivors capped per language by smallest md5, the
+    # cap packed by the recursive greedy fold (same CTE as the pack
+    # pytest oracle). Scrub chain mirrors functions/scrub.PII_PATTERNS
+    # in order (DuckDB's regex engine is RE2, same as the Arrow kernel).
+    from kg_gen_ray.functions.scrub import PII_PATTERNS
+    _scrub = "text"
+    for _name, _pat, _repl in PII_PATTERNS:
+        _scrub = (f"regexp_replace({_scrub}, "
+                  f"'{_pat.replace(chr(39), chr(39) * 2)}', '{_repl}', 'g')")
+    sql["hygiene_counts"] = f"""
+        WITH RECURSIVE
+        docs AS (SELECT doc_id, lang, {_scrub} AS text FROM documents),
+        {_FSH}, {_FSIGS}, {_FBANDS},
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM fbands a JOIN fbands b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(doc, lab) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT e.u, r.lab FROM reach r JOIN edges e ON e.v = r.doc),
+        comp AS (SELECT doc, min(lab) AS root FROM reach GROUP BY doc),
+        survivors AS (SELECT doc AS doc_id FROM comp WHERE doc = root),
+        capped AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT d.doc_id, d.lang, d.text,
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY md5(d.text), d.doc_id) AS rn
+            FROM docs d JOIN survivors USING (doc_id)) t
+          WHERE rn <= 8),
+        ctoks AS (SELECT lang, doc_id,
+                         len(string_split(text, ' '))::BIGINT AS n
+                  FROM capped),
+        ord AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY doc_id) AS rn
+                FROM ctoks),
+        fold AS (
+          SELECT lang, rn, doc_id, n, 0::BIGINT AS seq_id, n AS run
+          FROM ord WHERE rn = 1
+          UNION ALL
+          SELECT o.lang, o.rn, o.doc_id, o.n,
+                 CASE WHEN f.run + o.n <= 2048
+                      THEN f.seq_id ELSE f.seq_id + 1 END,
+                 CASE WHEN f.run + o.n <= 2048
+                      THEN f.run + o.n ELSE o.n END
+          FROM fold f JOIN ord o ON o.lang = f.lang AND o.rn = f.rn + 1)
+        SELECT
+          (SELECT count(*) FROM documents)::BIGINT AS n_input,
+          (SELECT count(*) FROM docs)::BIGINT AS n_scrubbed,
+          (SELECT count(*) FROM survivors)::BIGINT AS n_deduped,
+          (SELECT count(*) FROM capped)::BIGINT AS n_capped,
+          (SELECT count(*) FROM fold)::BIGINT AS n_packed,
+          (SELECT count(*) FROM (SELECT DISTINCT lang, seq_id FROM fold) q
+          )::BIGINT AS n_sequences"""
 
     sql["dedup_exact"] = """
         SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS fp
