@@ -68,23 +68,75 @@ def run_partition(pid: int, files: list, out_dir: str,
     return m
 
 
+def _prewarm_fsspec_http() -> None:
+    """Ray's HTTP-filesystem probe (``ray.data.datasource.path_util.
+    _is_http_filesystem``) re-imports ``fsspec.implementations.http`` on
+    EVERY path resolution and catches only ModuleNotFoundError; with
+    aiohttp absent (this container), two concurrent ``run_partition``
+    threads race that always-failing import into a partially-initialized
+    module and a bare ImportError that escapes the probe. Pre-seed a
+    minimal module whose ``HTTPFileSystem`` matches nothing, so the
+    probe's import always succeeds and it correctly answers False — the
+    exact aiohttp-absent semantics, minus the race."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except Exception:
+        pass
+    import sys
+    import types
+    try:
+        import fsspec.implementations  # noqa: F401
+    except Exception:
+        return
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:
+        """Stub: never instantiated, so isinstance() is always False."""
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def run_partitioned(input_files: list, out_dir: str,
                     config: PipelineConfig | None = None,
                     n_partitions: int = 8,
-                    stop_after_partitions: int | None = None) -> dict:
+                    stop_after_partitions: int | None = None,
+                    phase1_overlap: int = 2) -> dict:
     """Full resumable run. ``stop_after_partitions`` simulates a crash for
     the resume tests (FIXTURES.md §5). Returns a summary dict; graph tables
-    land in ``{out_dir}/graph``."""
+    land in ``{out_dir}/graph``.
+
+    ``phase1_overlap`` phase-1 partitions execute CONCURRENTLY (driver
+    threads, each running its own streaming Dataset): one partition
+    internally saturates the cluster in its middle, but its read head and
+    write/count tail do not — a strictly sequential loop idles the
+    cluster on every partition boundary. A small window (default 2)
+    overlaps one partition's tail with the next one's head; large windows
+    would only make the partitions contend. Manifests stay per-partition
+    atomic, so resume semantics are unchanged."""
     config = config or PipelineConfig()
     config.validate()
     parts = partition_inputs(input_files, n_partitions)
 
-    manifests = []
-    for pid, files in enumerate(parts):
-        if stop_after_partitions is not None and pid >= stop_after_partitions:
-            return {"completed_partitions": len(manifests),
-                    "total_partitions": len(parts), "interrupted": True}
-        manifests.append(run_partition(pid, files, out_dir, config))
+    allowed = parts if stop_after_partitions is None \
+        else parts[:stop_after_partitions]
+    window = max(1, min(phase1_overlap, max(1, len(allowed))))
+    if window == 1:
+        manifests = [run_partition(pid, files, out_dir, config)
+                     for pid, files in enumerate(allowed)]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        _prewarm_fsspec_http()
+        with ThreadPoolExecutor(max_workers=window) as ex:
+            futs = [ex.submit(run_partition, pid, files, out_dir, config)
+                    for pid, files in enumerate(allowed)]
+            manifests = [f.result() for f in futs]
+    if stop_after_partitions is not None \
+            and stop_after_partitions < len(parts):
+        return {"completed_partitions": len(manifests),
+                "total_partitions": len(parts), "interrupted": True}
 
     # phase 2: wide stages over the checkpointed raw triples, via the SAME
     # shared tail as build_kg (fused (kind, norm_key) canonicalization,

@@ -195,34 +195,39 @@ class FrameSample:
 
 
 def probe_stage(media: "ray.data.Dataset", concurrency: int = 2,
-                batch_size: int = 32) -> "ray.data.Dataset":
+                batch_size: int = 32,
+                codec_cls=FakeCodec) -> "ray.data.Dataset":
     return media.map_batches(MediaProbe, batch_format="pyarrow",
+                             fn_constructor_kwargs={"codec_cls": codec_cls},
                              batch_size=batch_size, concurrency=concurrency,
                              zero_copy_batch=True)
 
 
 def features_stage(media: "ray.data.Dataset", dim: int = 16,
-                   concurrency: int = 2, batch_size: int = 32
-                   ) -> "ray.data.Dataset":
+                   concurrency: int = 2, batch_size: int = 32,
+                   codec_cls=FakeCodec) -> "ray.data.Dataset":
     return media.map_batches(MediaFeatures, batch_format="pyarrow",
-                             fn_constructor_kwargs={"dim": dim},
+                             fn_constructor_kwargs={"dim": dim,
+                                                    "codec_cls": codec_cls},
                              batch_size=batch_size, concurrency=concurrency,
                              zero_copy_batch=True)
 
 
 def resize_stage(media: "ray.data.Dataset", width: int, height: int,
-                 concurrency: int = 2, batch_size: int = 16
-                 ) -> "ray.data.Dataset":
+                 concurrency: int = 2, batch_size: int = 16,
+                 codec_cls=FakeCodec) -> "ray.data.Dataset":
     return media.map_batches(MediaResize, batch_format="pyarrow",
                              fn_constructor_args=(width, height),
+                             fn_constructor_kwargs={"codec_cls": codec_cls},
                              batch_size=batch_size, concurrency=concurrency,
                              zero_copy_batch=True)
 
 
 def frame_sample_stage(media: "ray.data.Dataset", n_frames: int,
-                       concurrency: int = 2, batch_size: int = 8
-                       ) -> "ray.data.Dataset":
+                       concurrency: int = 2, batch_size: int = 8,
+                       codec_cls=FakeCodec) -> "ray.data.Dataset":
     return media.map_batches(FrameSample, batch_format="pyarrow",
                              fn_constructor_args=(n_frames,),
+                             fn_constructor_kwargs={"codec_cls": codec_cls},
                              batch_size=batch_size, concurrency=concurrency,
                              zero_copy_batch=True)
