@@ -422,6 +422,36 @@ def run_hygiene() -> dict:
     from kg_gen_ray.state.dedup_index import StreamingDedupIndex
 
     timed("scrub_pii", lambda: scrub_pii(docs_ds()).count())
+
+    # CCNet paragraph pass over the fact sentences as paragraphs — facts
+    # repeat across templated pages, so this measures the boilerplate-
+    # heavy case (the per-worker md5 memo's target)
+    from kg_gen_ray.functions.paragraphs import paragraph_dedup
+
+    def para_docs():
+        # the corpus repeats each url once per shard (url-dedup ops need
+        # the duplicates), so url-derived ids are NOT unique — paragraph
+        # dedup requires unique doc ids (and raises otherwise). Derive
+        # (shard, url-tail) ids from the file path instead.
+        pages = rd.read_parquet(corpus, columns=["url", "text"],
+                                include_paths=True)
+
+        def to_paras(t: pa.Table) -> pa.Table:
+            n = pc.cast(pc.struct_field(pc.extract_regex(
+                pc.cast(t["url"], pa.string()), r"-(?P<n>\d+)$"), "n"),
+                pa.int64())
+            shard = pc.cast(pc.struct_field(pc.extract_regex(
+                pc.cast(t["path"], pa.string()),
+                r"-(?P<s>\d+)\.parquet$"), "s"), pa.int64())
+            return pa.table({
+                "doc_id": pc.add(pc.multiply(
+                    shard, pa.scalar(1 << 22, pa.int64())), n),
+                "text": pc.replace_substring(
+                    pc.cast(t["text"], pa.string()), ". ", "\n\n"),
+            })
+        return pages.map_batches(to_paras, batch_format="pyarrow")
+
+    timed("paragraph_dedup", lambda: paragraph_dedup(para_docs()).count())
     timed("decontaminate",
           lambda: decontaminate(docs_ds(), bench_tbl, k=8).count())
     timed("stratified_sample",

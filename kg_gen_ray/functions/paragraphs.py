@@ -14,7 +14,13 @@ Semantics (deterministic, DuckDB-replayable): split ``text`` on
 ``"\\n\\n"``; across the whole corpus, for every distinct paragraph keep
 only its first occurrence (min ``(doc_id, paragraph_index)``); reassemble
 each document from its surviving paragraphs in original order; documents
-with no surviving paragraph are dropped. The SQL mirror is
+with no surviving paragraph are dropped. PRECONDITION: ``doc_id`` is
+unique per document — a duplicated id makes "first occurrence" ill-posed
+(two occurrences share an enc key, so membership predicates that are
+equivalent on legal input — ``enc ∈ winners`` vs ``enc ∉ losers`` —
+give different answers). The mining pass raises on every duplicate it
+can see cheaply (same paragraph under the same enc, in-batch or in the
+exchange) rather than diverging silently. The SQL mirror is
 string_split + ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY
 doc_id, i) + string_agg (see ``__ray_entry__.oracle_sql['paragraph_dedup']``).
 
@@ -122,15 +128,16 @@ def _md5_arr(paras: pa.Array) -> np.ndarray:
     return out_u[idx]
 
 
-def paragraph_losers(docs: "ray.data.Dataset", text_col: str = "text",
-                     id_col: str = "doc_id",
-                     shuffle_partitions=None) -> "ray.data.Dataset":
-    """(enc,) int64 keys of every paragraph occurrence that LOSES the
-    first-occurrence rule — the small side on a healthy corpus (only
-    repeated boilerplate pays). Two-level min, same shape as
-    ``web.url_dedup_losers``: in-batch losers never enter the exchange."""
+def _mark_occurrences(docs: "ray.data.Dataset", text_col: str,
+                      id_col: str, shuffle_partitions=None):
+    """Shared mining pass: returns ``(local_losers, global_marked)``
+    where ``local_losers`` is (enc,) for occurrences that lose INSIDE
+    their own batch (they never enter the exchange) and ``global_marked``
+    is (enc, is_win) over the per-batch minima after the global per-fp
+    min — exactly one ``is_win`` row per distinct paragraph. Two-level
+    min, same shape as ``web.url_dedup_losers``."""
     from kg_gen_ray.stages.common import (coalesce, default_buckets,
-                                          dual_limit, hash_bucket_array)
+                                          hash_bucket_array)
 
     def local(t: pa.Table) -> pa.Table:
         _ids, _lens, paras, _doc, _idx, enc = _explode(t, text_col, id_col)
@@ -139,6 +146,12 @@ def paragraph_losers(docs: "ray.data.Dataset", text_col: str = "text",
         first = np.ones(len(order), dtype=bool)
         sf = fps[order]
         first[1:] = sf[1:] != sf[:-1]
+        se = enc[order]
+        if len(se) and bool((~first[1:] & (se[1:] == se[:-1])).any()):
+            raise ValueError(
+                "duplicate doc_id: the same paragraph occurs twice under "
+                "one (doc_id, paragraph_index) key; paragraph dedup "
+                "requires unique document ids")
         return pa.table({
             "fp": pa.array(np.concatenate([sf[first], sf[~first]]),
                            pa.string()),
@@ -170,17 +183,37 @@ def paragraph_losers(docs: "ray.data.Dataset", text_col: str = "text",
         return t.append_column(
             "__bucket", hash_bucket_array(t["fp"], n_buckets))
 
-    def all_but_min(g: pd.DataFrame) -> pa.Table:
-        # Arrow out: the union with local_losers' Arrow blocks must not
-        # mix block types
-        keep = g.sort_values("enc", kind="stable") \
-                .groupby("fp", sort=False).cumcount() > 0
-        return pa.table({"enc": pa.array(
-            g.loc[keep, "enc"].to_numpy(dtype=np.int64), pa.int64())})
+    def mark_min(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: unions with local_losers' Arrow blocks must not mix
+        # block types. The cumcount Series is in SORTED row order —
+        # reindex it back to g's order before zipping with g's columns.
+        if bool(g.duplicated(["fp", "enc"]).any()):
+            raise ValueError(
+                "duplicate doc_id: the same paragraph occurs twice under "
+                "one (doc_id, paragraph_index) key; paragraph dedup "
+                "requires unique document ids")
+        win = (g.sort_values("enc", kind="stable")
+                .groupby("fp", sort=False).cumcount() == 0).reindex(g.index)
+        return pa.table({
+            "enc": pa.array(g["enc"].to_numpy(dtype=np.int64), pa.int64()),
+            "is_win": pa.array(win.to_numpy(dtype=bool)),
+        })
 
-    global_losers = minima.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(all_but_min, batch_format="pandas")
-    return local_losers.union(global_losers)
+    global_marked = minima.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(mark_min, batch_format="pandas")
+    return local_losers, global_marked
+
+
+def paragraph_losers(docs: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id",
+                     shuffle_partitions=None) -> "ray.data.Dataset":
+    """(enc,) int64 keys of every paragraph occurrence that LOSES the
+    first-occurrence rule — the small side on a healthy corpus (only
+    repeated boilerplate pays)."""
+    local_losers, global_marked = _mark_occurrences(
+        docs, text_col, id_col, shuffle_partitions)
+    return local_losers.union(
+        global_marked.filter(expr="is_win == False").select_columns(["enc"]))
 
 
 def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
@@ -188,11 +221,28 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
                     broadcast_limit: int = 64 * 1024 * 1024,
                     shuffle_partitions=None) -> "ray.data.Dataset":
     """(doc_id, text) with corpus-wide duplicate paragraphs removed
-    (first occurrence wins); documents left empty are dropped."""
-    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+    (first occurrence wins); documents left empty are dropped.
 
-    losers = paragraph_losers(docs, text_col, id_col,
-                              shuffle_partitions).materialize()
+    THREE-way size-selected dual on the membership set the rebuild needs:
+
+    1. losers broadcast (healthy corpus: only repeated boilerplate pays),
+    2. winners broadcast (boilerplate-EXTREME corpus: nearly every
+       occurrence loses, so the loser set is corpus-sized — but the
+       winner set is one enc per DISTINCT paragraph, i.e. vocabulary-
+       sized, and ships instead; keep = enc ∈ winners is the same
+       predicate as enc ∉ losers),
+    3. exploded left_anti join (both sides beyond any broadcast):
+       shuffles the paragraph text once, exact at any volume.
+    """
+    from kg_gen_ray.stages.common import (default_buckets, dual_limit,
+                                          hash_bucket_array)
+
+    local_losers, global_marked = _mark_occurrences(
+        docs, text_col, id_col, shuffle_partitions)
+    global_marked = global_marked.materialize()
+    losers = local_losers.union(
+        global_marked.filter(expr="is_win == False")
+        .select_columns(["enc"])).materialize()
 
     def rebuild(t: pa.Table, keep_mask_fn) -> pa.Table:
         ids, lens, paras, doc_rep, _idx, enc = _explode(t, text_col, id_col)
@@ -210,13 +260,15 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
             text_col: joined.filter(pa.array(nonempty)),
         })
 
-    if (losers.size_bytes() or 0) <= dual_limit(broadcast_limit):
-        encs = []
-        for b in losers.iter_batches(batch_format="pyarrow"):
-            encs.append(b["enc"].to_numpy(zero_copy_only=False))
-        loser_sorted = np.sort(np.concatenate(encs)) if encs \
+    def _sorted_encs(ds) -> np.ndarray:
+        encs = [b["enc"].to_numpy(zero_copy_only=False)
+                for b in ds.iter_batches(batch_format="pyarrow")]
+        return np.sort(np.concatenate(encs)) if encs \
             else np.array([], dtype=np.int64)
-        ref = ray.put(loser_sorted)
+
+    lim = dual_limit(broadcast_limit)
+    if (losers.size_bytes() or 0) <= lim:
+        ref = ray.put(_sorted_encs(losers))
 
         def keep_mask(enc, ref=ref):
             ls = ray.get(ref)
@@ -227,6 +279,22 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
 
         return docs.map_batches(
             lambda t: rebuild(t, keep_mask), batch_format="pyarrow")
+
+    winners = global_marked.filter(expr="is_win == True") \
+                           .select_columns(["enc"]).materialize()
+    if (winners.size_bytes() or 0) <= lim:
+        ref = ray.put(_sorted_encs(winners))
+
+        def keep_mask_w(enc, ref=ref):
+            ws = ray.get(ref)
+            if not len(ws) or not len(enc):
+                return np.zeros(len(enc), dtype=bool)
+            pos = np.searchsorted(ws, enc)
+            pos = np.minimum(pos, len(ws) - 1)
+            return ws[pos] == enc
+
+        return docs.map_batches(
+            lambda t: rebuild(t, keep_mask_w), batch_format="pyarrow")
 
     # join dual (boilerplate-heavy corpus: the loser set itself is too big
     # to ship): explode WITH text, left_anti join away the losers, regroup

@@ -83,3 +83,29 @@ def test_doc_id_bounds_guard(ray_session):
     }))
     with pytest.raises(Exception, match="pack"):
         paragraph_dedup(bad).take_all()
+
+
+def test_paragraph_dedup_winner_broadcast_path(ray_session):
+    """Boilerplate-extreme corpus: the loser set is corpus-sized but the
+    winner set is vocabulary-sized — a broadcast_limit between the two
+    sizes must select the winner-broadcast path and produce exactly the
+    anti-path result."""
+    import numpy as np
+
+    paras = ["alpha block", "beta block", "gamma block"]
+    texts = ["\n\n".join(paras[(i + j) % 3] for j in range(3))
+             for i in range(2000)]
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(4).materialize()
+
+    want = sorted((r["doc_id"], r["text"]) for r in
+                  paragraph_dedup(ds).take_all())
+    # ~6000 loser encs (~48KB) vs 3 winner encs: 16KB sits between
+    got = sorted((r["doc_id"], r["text"]) for r in
+                 paragraph_dedup(ds, broadcast_limit=16 * 1024).take_all())
+    assert got == want
+    # first-occurrence semantics: only doc 0 survives with all three
+    # paragraphs... (docs 1,2 keep their unseen rotations' heads)
+    survivors = dict(want)
+    assert 0 in survivors and survivors[0] == texts[0]
