@@ -19,9 +19,14 @@ mash scores low.
 per-bigram log-prob is quantized FIRST: ``floor(ln(p) * 1e6)`` as int64
 micro-nats (floor, not round — SQL round() is half-away-from-zero while
 Python's is banker's), and the per-doc aggregate is an integer sum,
-exact under any execution order. ``ln`` and the division hit the same
-libm doubles in numpy/DuckDB on one host, so the quantized value is
-identical on both sides.
+exact under any execution order. The quantization itself is evaluated
+by DuckDB (``_ln_micro``): ``floor(x*1e6)`` sits on a quantization
+boundary, so a 1-ulp ``ln`` divergence between CPython's libm and a
+different DuckDB build's vectorized ln would flip the integer score —
+running the engine's ln through the SAME duckdb module the correctness
+oracle uses makes the two sides bit-identical by construction on any
+host. The division ``(c2+1.0)/(c1+V)`` is exact-input IEEE division
+(small ints in doubles), identical everywhere.
 
 Distributed shape: two vocabulary-sized count exchanges (per-batch Arrow
 ``group_by`` combiner -> one global groupby each), then one streaming
@@ -31,8 +36,6 @@ broadcast budget, hash join on (w1, w2) + integer groupby-sum above it.
 """
 
 from __future__ import annotations
-
-import math
 
 import numpy as np
 import pyarrow as pa
@@ -45,6 +48,35 @@ import ray.data
 from kg_gen_ray.stages.common import dual_limit  # noqa: E402
 
 _SCALE = 1_000_000
+
+# per-worker backoff-score memo, keyed (v, c1). Plain ints only — this
+# module rides cloudpickle by-value when the repo isn't on the workers'
+# sys.path, so module globals must stay picklable (NO cached duckdb
+# connection here: DuckDBPyConnection can't pickle).
+_BO_MEMO: dict = {}
+
+
+def _ln_micro(num, den) -> np.ndarray:
+    """``CAST(floor(ln(num/den) * 1e6) AS BIGINT)`` per element, evaluated
+    by DuckDB — the same ln kernel the correctness oracle runs, so the
+    quantized micro-nat can never diverge engine-vs-oracle across libm or
+    DuckDB builds (round-3 advice). Vocabulary-scale inputs only: called
+    once per DISTINCT bigram / backoff denominator, never per occurrence,
+    so the per-call connect (~1 ms) is noise."""
+    import duckdb
+    t = pa.table({
+        "i": pa.array(np.arange(len(num)), pa.int64()),
+        "n": pa.array(np.asarray(num, dtype=np.float64), pa.float64()),
+        "d": pa.array(np.asarray(den, dtype=np.float64), pa.float64()),
+    })
+    con = duckdb.connect()
+    try:
+        out = con.execute(
+            "SELECT CAST(floor(ln(n / d) * 1000000) AS BIGINT) AS s "
+            "FROM t ORDER BY i").fetch_arrow_table()
+    finally:
+        con.close()
+    return out["s"].to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def _tokens(batch: pa.Table, text_col: str):
@@ -104,11 +136,23 @@ def lm_counts(docs: "ray.data.Dataset", text_col: str = "text",
 
 def _score_micro(c2: np.ndarray, c1: np.ndarray, v: int) -> np.ndarray:
     """floor(ln((c2+1)/(c1+V)) * 1e6) per element — quantized BEFORE any
-    sum so the aggregate is integer-exact; math.log == DuckDB ln (same
-    libm, same doubles)."""
-    return np.array([math.floor(math.log((a + 1.0) / (b + v)) * _SCALE)
-                     for a, b in zip(c2.tolist(), c1.tolist())],
-                    dtype=np.int64)
+    sum so the aggregate is integer-exact, via DuckDB's own ln."""
+    return _ln_micro(np.asarray(c2, np.float64) + 1.0,
+                     np.asarray(c1, np.float64) + float(v))
+
+
+def _backoff_scores(c1_vals, v: int) -> dict:
+    """{c1: floor(ln(1/(c1+V))*1e6)} for the given c1 values, through the
+    per-worker memo (few distinct small ints per corpus). Memo entries are
+    keyed (v, c1): one reused worker can score several models, and the
+    same c1 backs off differently under a different vocabulary size."""
+    want = sorted({int(c) for c in c1_vals})
+    fresh = [c for c in want if (v, c) not in _BO_MEMO]
+    if fresh:
+        bo = _ln_micro(np.ones(len(fresh)),
+                       np.asarray(fresh, np.float64) + float(v))
+        _BO_MEMO.update(zip(((v, c) for c in fresh), bo.tolist()))
+    return {c: _BO_MEMO[(v, c)] for c in want}
 
 
 def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
@@ -125,9 +169,8 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
 
     # unseen-bigram backoff (a frozen model scoring NEW text — the CCNet
     # deployment shape): add-one gives p = 1/(C1(w1)+V), and an unseen
-    # w1 has C1 = 0. Both duals below implement it identically.
-    def _backoff(c1: int, v=v) -> int:
-        return math.floor(math.log(1.0 / (c1 + v)) * _SCALE)
+    # w1 has C1 = 0. Both duals below implement it identically via
+    # _backoff_scores (batched DuckDB-ln per distinct c1).
 
     n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
 
@@ -143,32 +186,45 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
         m1 = {}
         for b in uni.iter_batches(batch_format="pyarrow"):
             m1.update(zip(b["w1"].to_pylist(), b["c1"].to_pylist()))
-        m = {}
+        keys, c2s, c1s = [], [], []
         for b in bi.iter_batches(batch_format="pyarrow"):
             for w1, w2, c2 in zip(b["w1"].to_pylist(),
                                   b["w2"].to_pylist(),
                                   b["c2"].to_pylist()):
-                m[(w1, w2)] = math.floor(
-                    math.log((c2 + 1.0) / (m1[w1] + v)) * _SCALE)
+                keys.append((w1, w2))
+                c2s.append(c2)
+                c1s.append(m1[w1])
+        m = dict(zip(keys, _score_micro(
+            np.asarray(c2s, np.int64), np.asarray(c1s, np.int64),
+            v).tolist()))
         ref = ray.put((m, m1))
 
-        def score_batch(t: pa.Table, ref=ref) -> pa.Table:
+        def score_batch(t: pa.Table, ref=ref, v=v) -> pa.Table:
             mm, mm1 = ray.get(ref)
             flat, lens = _tokens(t, text_col)
             pos, rows = _bigrams(flat, lens)
             w1l = flat.take(pa.array(pos)).to_pylist()
             w2l = flat.take(pa.array(pos + 1)).to_pylist()
-            # per-batch memo keeps dict probes ~one per distinct bigram
+            # per-batch memo keeps dict probes ~one per distinct bigram;
+            # unseen bigrams resolve in ONE batched DuckDB-ln call at the
+            # end (per-worker memoized by (v, c1))
             s = np.empty(len(w1l), dtype=np.int64)
             cache: dict = {}
+            miss_i, miss_c1 = [], []
             for i, key in enumerate(zip(w1l, w2l)):
-                v = cache.get(key)
-                if v is None:
-                    v = mm.get(key)
-                    if v is None:
-                        v = _backoff(mm1.get(key[0], 0))
-                    cache[key] = v
-                s[i] = v
+                got = cache.get(key)
+                if got is None:
+                    got = mm.get(key)
+                    if got is None:
+                        miss_i.append(i)
+                        miss_c1.append(mm1.get(key[0], 0))
+                        continue
+                    cache[key] = got
+                s[i] = got
+            if miss_i:
+                bo = _backoff_scores(miss_c1, v)
+                s[np.asarray(miss_i, dtype=np.int64)] = \
+                    [bo[c] for c in miss_c1]
             n = t.num_rows
             total = np.zeros(n, dtype=np.int64)
             cnt = np.zeros(n, dtype=np.int64)
@@ -223,17 +279,18 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
         .join(uni.repartition(n_parts), join_type="left_outer",
               on=("w1",), num_partitions=n_parts)
 
-    def fill_backoff(t: pa.Table) -> pa.Table:
+    def fill_backoff(t: pa.Table, v=v) -> pa.Table:
         s = t["s"].to_numpy(zero_copy_only=False)
         c1 = pc.fill_null(pc.cast(t["c1"], pa.int64()), 0) \
                .to_numpy(zero_copy_only=False)
         miss = np.isnan(s.astype(np.float64)) if s.dtype != np.int64 \
             else np.zeros(len(s), dtype=bool)
         if miss.any():
-            # libm log per UNIQUE c1 value (few distinct small ints)
+            # one DuckDB-ln call per UNIQUE missing c1 value
             uniq, inv = np.unique(c1[miss], return_inverse=True)
-            bo = np.fromiter((_backoff(int(u)) for u in uniq),
-                             dtype=np.int64, count=len(uniq))
+            bo_map = _backoff_scores(uniq.tolist(), v)
+            bo = np.asarray([bo_map[int(u)] for u in uniq],
+                            dtype=np.int64)
             s = s.copy()
             s[miss] = bo[inv]
         return pa.table({
