@@ -153,13 +153,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_chunks": q_kg_chunks,
         "kg_triples_raw": q_kg_triples_raw,
         "kg_triples": q_kg_triples,
-        "kg_nodes": q_kg_nodes,
+        # (kg_nodes merged into kg_degrees: nodes_table's (entity, degree)
+        # is exactly kg_degrees' first two columns, so the node-table
+        # derivation stays oracle-checked there; nodes_table itself remains
+        # implemented + pytest-covered)
         "kg_alias_map": q_kg_alias_map,
         "kg_canonical_triples": q_kg_canonical_triples,
-        "kg_top_entities": q_kg_top_entities,
+        "kg_top": q_kg_top,   # top entities (A6/T3) + top relations (A2/T3)
         "kg_graph_stats": q_kg_graph_stats,
-        "kg_degrees": q_kg_degrees,
-        "kg_top_relations": q_kg_top_relations,        # = A2 edge types + counts + T3 ordering
+        "kg_degrees": q_kg_degrees,            # + kg_nodes columns
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
         "kg_triples_routed": q_kg_triples_routed,
@@ -173,7 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,                        # CCNet perplexity filter
         # (top_bigrams rotated out for hygiene_counts: its groupby-count +
         # deterministic top-k ordering shape stays oracled via
-        # kg_top_relations and tfidf_top_terms; top_ngrams remains
+        # kg_top and tfidf_top_terms; top_ngrams remains
         # implemented + pytest-covered)
         "hygiene_counts": q_hygiene_counts,            # e2e hygiene audit
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -185,9 +187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sig_fast": q_minhash_sig_fast,
         "doc_winnow": q_doc_winnow,
         "near_dup_jaccard": q_near_dup_jaccard,
-        # --- serving-surface ops run through the engine (M7, S2/M3, J3)
+        # --- serving-surface ops run through the engine (M7, S2/M3, J3,
+        #     S7+M6 wikiqa CSV round-trip + clean, X7+A7 MINE eval)
         "llm_filter": q_llm_filter,
         "messages_flatten": q_messages_flatten,
+        "wikiqa_clean": q_wikiqa_clean,
+        "mine_accuracy": q_mine_accuracy,
         "kg_neighborhood": q_kg_neighborhood,
         "dedup_simhash": q_dedup_simhash,
         "near_dup_canonical": q_near_dup_canonical,
@@ -215,13 +220,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def q_kg_pages(sf_dir: str):
+    """S1 corpus reader projection + M5 filename sanitizer: ``fname``
+    sanitizes a synthetic article title (text prefix + punctuation, so the
+    strip/trim/collapse rules are all exercised) with the reference's
+    regex chain (``_1_download_articles.py:59-63``) as Arrow RE2 kernels —
+    the oracle replays the identical pattern strings in DuckDB."""
+    from kg_gen_ray.functions.web import sanitize_filenames
+
     def project(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["text"], pa.string())
+        title = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(text, 0, 24), "!?", "")
         return pa.table({
             "url": t["url"],
             "lang": t["lang"],
-            "n_chars": pc.cast(pc.utf8_length(pc.cast(t["text"], pa.string())),
-                               pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
             "warc_ts": t["warc_ts"],
+            "fname": sanitize_filenames(title),
         })
     return _pages(sf_dir).map_batches(project, batch_format="pyarrow")
 
@@ -254,12 +269,6 @@ def q_kg_triples(sf_dir: str):
     return _distinct_triples(sf_dir)
 
 
-def q_kg_nodes(sf_dir: str):
-    from kg_gen_ray.stages.materialize import nodes_table
-    return nodes_table(_distinct_triples(sf_dir))
-
-
-
 def q_kg_alias_map(sf_dir: str):
     return _build_kg(sf_dir).alias_map
 
@@ -268,10 +277,24 @@ def q_kg_canonical_triples(sf_dir: str):
     return _build_kg(sf_dir).triples
 
 
-def q_kg_top_entities(sf_dir: str):
+def q_kg_top(sf_dir: str):
+    """Merged top-k query: top-10 canonical entities by degree (A6/T1/T3)
+    + top-10 relations by triple count (A2/T3), one (kind, name, n) table.
+    Both inputs are LIMIT-10 Datasets, so the final assembly is k-sized by
+    construction (driver-side concat of ≤20 rows — not a collect of
+    anything corpus-scaled)."""
     from kg_gen_ray.stages.materialize import top_entities
+    from kg_gen_ray.stages.viz import top_relations
     res = _build_kg(sf_dir)
-    return top_entities(res.triples, 10)
+    te = top_entities(res.triples, 10).to_pandas()
+    tr = top_relations(_distinct_triples(sf_dir), 10).to_pandas()
+    return pd.DataFrame({
+        "kind": ["entity"] * len(te) + ["relation"] * len(tr),
+        "name": pd.concat([te["entity"].astype(str),
+                           tr["pred"].astype(str)], ignore_index=True),
+        "n": pd.concat([te["degree"], tr["n_triples"]],
+                       ignore_index=True).astype("int64"),
+    })
 
 
 def q_kg_graph_stats(sf_dir: str):
@@ -287,11 +310,6 @@ def q_kg_graph_stats(sf_dir: str):
 def q_kg_degrees(sf_dir: str):
     from kg_gen_ray.stages.viz import degree_table
     return degree_table(_distinct_triples(sf_dir))
-
-
-def q_kg_top_relations(sf_dir: str):
-    from kg_gen_ray.stages.viz import top_relations
-    return top_relations(_distinct_triples(sf_dir), 10)
 
 
 def q_kg_components(sf_dir: str):
@@ -636,6 +654,71 @@ def q_messages_flatten(sf_dir: str):
     convs = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         to_convs, batch_format="pyarrow")
     return conversations_to_pages(convs).select_columns(["url", "text"])
+
+
+def q_wikiqa_clean(sf_dir: str):
+    """S7 wikiqa CSV IO + M6 clean (reference
+    ``experiments/wikiqa/_1_download_articles.py:18-56``): a deterministic
+    WikiQA-shaped split derived from ``documents`` round-trips through a
+    real per-block CSV write + read (types survive Arrow CSV inference on
+    both ends), then the distributed clean — label==1 filter + keep-first
+    per question_id. The result is one row per distinct question by
+    construction, so returning pandas is output-sized, not corpus-sized."""
+    import shutil
+    import tempfile
+
+    from kg_gen_ray.sources.wikiqa import (clean_split, read_split_csv,
+                                           synth_wikiqa_split,
+                                           write_split_csv)
+    split = synth_wikiqa_split(_docs(sf_dir, ["doc_id", "text"]))
+    d = tempfile.mkdtemp(prefix="kg_wikiqa_", dir="/tmp")
+    try:
+        write_split_csv(split, d)
+        return clean_split(read_split_csv(d)).to_pandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_mine_accuracy(sf_dir: str):
+    """X7 MINE answer-judge + A7 accuracy (reference
+    ``experiments/MINE/evaluation.py:18-76``): (answer, context) pairs from
+    documents — even doc_id gets an answer guaranteed present (a text
+    prefix), odd an absent token — judged on the real actor-pool path with
+    the deterministic containment transport; A7's mean rides as an exact
+    integer micro-unit column. Only (pair_id, evaluation) is materialized
+    between the two consumers (the rows and the aggregate), never text."""
+    from kg_gen_ray.stages.mine_eval import (ContainmentJudgeTransport,
+                                             accuracy_micro,
+                                             answer_judge_stage)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        text = pc.cast(t["text"], pa.string())
+        even = pc.equal(pc.bit_wise_and(did, 1), 0)
+        return pa.table({
+            "pair_id": did,
+            "correct_answer": pc.if_else(
+                even, pc.utf8_slice_codeunits(text, 0, 12),
+                pc.binary_join_element_wise(
+                    "zzq", pc.cast(did, pa.string()), "")),
+            "context": text,
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow")
+    judged = answer_judge_stage(ds, ContainmentJudgeTransport(),
+                                concurrency=2) \
+        .select_columns(["pair_id", "evaluation"]).materialize()
+    _, _, mic = accuracy_micro(judged)
+
+    def attach(t: pa.Table, mic=mic) -> pa.Table:
+        return pa.table({
+            "pair_id": t["pair_id"],
+            "evaluation": t["evaluation"],
+            "accuracy_micro": pa.array([mic] * t.num_rows, pa.int64()),
+        })
+
+    return judged.map_batches(attach, batch_format="pyarrow")
 
 
 def q_kg_neighborhood(sf_dir: str):
@@ -1070,9 +1153,18 @@ def oracle_sql() -> dict[str, str]:
     from kg_gen_ray.functions.text_analysis import _LANG_MARKERS
     sql = {}
 
+    # fname: the M5 sanitizer chain replayed with the identical RE2
+    # pattern strings (DuckDB regexp_replace is RE2, same as the Arrow
+    # kernels); two-arg trim gets the same explicit ASCII-whitespace set
+    # the engine's utf8_trim uses
+    _ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
     sql["kg_pages"] = f"""
         SELECT {_URL} AS url, lang, length(text)::BIGINT AS n_chars,
-               TIMESTAMP '2026-01-01' + doc_id * INTERVAL '1 second' AS warc_ts
+               TIMESTAMP '2026-01-01' + doc_id * INTERVAL '1 second' AS warc_ts,
+               regexp_replace(regexp_replace(
+                   trim(regexp_replace(substr(text, 1, 24) || '!?',
+                                       '[^\\w\\s-]', '', 'g'), {_ws}),
+                   '[-\\s]+', '_', 'g'), '_+', '_', 'g') AS fname
         FROM documents"""
 
     sql["kg_extract_text"] = f"""
@@ -1132,12 +1224,6 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_triples"] = f"""
         {_KG_PREFIX} SELECT subj, pred, obj FROM triples"""
 
-    sql["kg_nodes"] = f"""
-        {_KG_PREFIX},
-        endpoints AS (SELECT subj AS entity FROM triples
-                      UNION ALL SELECT obj FROM triples)
-        SELECT entity, count(*)::BIGINT AS degree FROM endpoints GROUP BY entity"""
-
     sql["kg_alias_map"] = f"""
         {_KG_PREFIX}, {_ALIAS_FULL}
         SELECT kind, representative, member FROM alias_entity
@@ -1154,14 +1240,22 @@ def oracle_sql() -> dict[str, str]:
         {_KG_PREFIX}, {_LABELS}, {_NORM.format(kind="entity")}
         SELECT 'entity' AS kind, representative, member FROM alias_entity"""
 
-    sql["kg_top_entities"] = f"""
+    # merged top-k: canonical-entity degrees (A6/T3) + raw-triple relation
+    # counts (A2/T3) — _KG_CANON_PREFIX carries both `canonical` and
+    # `triples` CTEs
+    sql["kg_top"] = f"""
         {_KG_CANON_PREFIX},
         endpoints AS (SELECT subj AS entity FROM canonical
                       UNION ALL SELECT obj FROM canonical),
-        degrees AS (SELECT entity, count(*)::BIGINT AS degree
-                    FROM endpoints GROUP BY entity)
-        SELECT entity, degree FROM degrees
-        ORDER BY degree DESC, entity LIMIT 10"""
+        degrees AS (SELECT entity, count(*)::BIGINT AS n
+                    FROM endpoints GROUP BY entity),
+        tops_e AS (SELECT 'entity' AS kind, entity AS name, n FROM degrees
+                   ORDER BY n DESC, entity LIMIT 10),
+        tops_r AS (SELECT 'relation' AS kind, pred AS name,
+                          count(*)::BIGINT AS n FROM triples
+                   GROUP BY pred ORDER BY n DESC, pred LIMIT 10)
+        SELECT kind, name, n FROM tops_e
+        UNION ALL SELECT kind, name, n FROM tops_r"""
 
     sql["kg_graph_stats"] = f"""
         {_KG_CANON_PREFIX}
@@ -1187,10 +1281,45 @@ def oracle_sql() -> dict[str, str]:
                sum(outdeg)::BIGINT AS outdegree
         FROM deg GROUP BY entity"""
 
-    sql["kg_top_relations"] = f"""
-        {_KG_PREFIX}
-        SELECT pred, count(*)::BIGINT AS n_triples FROM triples
-        GROUP BY pred ORDER BY n_triples DESC, pred LIMIT 10"""
+    # S7+M6: the wikiqa clean rule replayed over the same deterministic
+    # split derivation (the engine side additionally round-trips the split
+    # through a real CSV write+read, which SQL has no business modeling —
+    # identity by construction, pinned by the type-surviving schema)
+    sql["wikiqa_clean"] = """
+        WITH wq AS (
+          SELECT 'Q' || (doc_id % 97) AS question_id,
+                 'what is in document ' || doc_id AS question,
+                 'Doc ' || doc_id AS document_title,
+                 substr(text, 1, 24) AS answer,
+                 (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS label,
+                 doc_id AS row_idx
+          FROM documents),
+        c AS (SELECT *, row_number() OVER (PARTITION BY question_id
+                                           ORDER BY row_idx) AS rn
+              FROM wq WHERE label = 1)
+        SELECT question_id, question, document_title, answer, label,
+               row_idx
+        FROM c WHERE rn = 1"""
+
+    # X7+A7: containment judge (the deterministic transport's decision
+    # rule) + exact integer micro-unit accuracy
+    sql["mine_accuracy"] = """
+        WITH pairs AS (
+          SELECT doc_id AS pair_id,
+                 CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 12)
+                      ELSE 'zzq' || doc_id END AS answer,
+                 text AS context
+          FROM documents),
+        ev AS (SELECT pair_id,
+                      (CASE WHEN answer <> ''
+                                 AND strpos(context, answer) > 0
+                            THEN 1 ELSE 0 END)::BIGINT AS evaluation
+               FROM pairs)
+        SELECT pair_id, evaluation,
+               ((1000000 * SUM(evaluation) OVER ()) // (COUNT(*) OVER ())
+                   )::BIGINT AS accuracy_micro
+        FROM ev"""
 
     # weakly-connected components: recursive closure; component label =
     # min by (length, lex) — mirrored via the same rank encoding

@@ -226,6 +226,33 @@ def host_stats(ds: "ray.data.Dataset", url_col: str = "url",
         Sum("n_chars", alias_name="n_chars"))
 
 
+# Filename sanitizer (SURVEY.md §2.2 M5 — reference
+# ``experiments/wikiqa/_1_download_articles.py:59-63``): strip non-word
+# chars, trim, collapse hyphen/whitespace runs to "_", collapse "_" runs.
+# ASCII scope pin: the reference runs CPython ``re`` (unicode ``\w``/
+# ``\s``); these kernels run Arrow RE2 (ASCII classes), which is also what
+# DuckDB ``regexp_replace`` runs — so engine == oracle bit-for-bit on any
+# host, and == reference on ASCII titles (the corpus; non-ASCII word chars
+# and \v are the documented divergence family, same contract as
+# :mod:`kg_gen_ray.stages.chunker`'s punkt pin).
+_FNAME_TRIM = " \t\n\r\x0b\x0c"
+
+
+def sanitize_filenames(col) -> pa.Array:
+    """Vectorized article-title -> safe-filename kernel (Arrow RE2)."""
+    s = pc.cast(col, pa.string())
+    s = pc.replace_substring_regex(s, pattern=r"[^\w\s-]", replacement="")
+    s = pc.utf8_trim(s, characters=_FNAME_TRIM)
+    s = pc.replace_substring_regex(s, pattern=r"[-\s]+", replacement="_")
+    return pc.replace_substring_regex(s, pattern=r"_+", replacement="_")
+
+
+def sanitize_filename(title: str) -> str:
+    """Scalar convenience wrapper — same kernel, one-element array, so the
+    scalar and vectorized paths can never diverge."""
+    return sanitize_filenames(pa.array([title]))[0].as_py()
+
+
 def per_host_cap(ds: "ray.data.Dataset", cap: int, url_col: str = "url",
                  id_col: str = "doc_id", text_col: str = "text"
                  ) -> "ray.data.Dataset":

@@ -1,0 +1,68 @@
+"""MINE answer-judge + accuracy (SURVEY §2 X7 + A7): containment judge
+semantics, malformed-transport failure, exact integer accuracy, and the
+reference's display form."""
+
+import pytest
+import pyarrow as pa
+import ray.data as rd
+
+from kg_gen_ray.stages.mine_eval import (AnswerJudge,
+                                         ContainmentJudgeTransport,
+                                         accuracy_micro, accuracy_percent,
+                                         answer_judge_stage, judge_prompt)
+
+
+def _pairs() -> "rd.Dataset":
+    return rd.from_items([
+        {"pair_id": 0, "correct_answer": "cat sat",
+         "context": "the cat sat on the mat"},
+        {"pair_id": 1, "correct_answer": "dog ran",
+         "context": "the cat sat on the mat"},
+        {"pair_id": 2, "correct_answer": "mat",
+         "context": "the cat sat on the mat"},
+        {"pair_id": 3, "correct_answer": "",
+         "context": "empty answers never match"},
+    ])
+
+
+def test_containment_judge(ray_session):
+    judged = answer_judge_stage(_pairs(), ContainmentJudgeTransport())
+    got = {r["pair_id"]: r["evaluation"] for r in judged.take_all()}
+    assert got == {0: 1, 1: 0, 2: 1, 3: 0}
+
+
+def test_accuracy_exact_integer(ray_session):
+    judged = answer_judge_stage(_pairs(), ContainmentJudgeTransport())
+    n_correct, n_total, micro = accuracy_micro(judged)
+    assert (n_correct, n_total) == (2, 4)
+    assert micro == (1_000_000 * 2) // 4 == 500_000
+    assert accuracy_percent(judged) == "50.00%"
+
+
+def test_prompt_round_trips_through_fake():
+    t = ContainmentJudgeTransport()
+    assert t(judge_prompt("needle", "hay needle stack")) == "1"
+    assert t(judge_prompt("needle", "haystack only")) == "0"
+    # multi-line context survives the marker parse
+    assert t(judge_prompt("b\nc", "a\nb\nc\nd")) == "1"
+
+
+def test_malformed_transport_raises(ray_session):
+    judge = AnswerJudge(lambda prompt: "maybe?")
+    batch = pa.table({
+        "correct_answer": pa.array(["x"], pa.string()),
+        "context": pa.array(["x y"], pa.string()),
+    })
+    with pytest.raises(ValueError):
+        judge(batch)
+
+
+def test_requires_transport():
+    with pytest.raises(NotImplementedError):
+        AnswerJudge(None)
+
+
+def test_accuracy_empty(ray_session):
+    empty = rd.from_arrow(pa.table({
+        "evaluation": pa.array([], pa.int64())}))
+    assert accuracy_micro(empty) == (0, 0, 0)

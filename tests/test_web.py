@@ -164,3 +164,75 @@ def test_hygiene_url_dedup_custom_id_col(ray_session):
     assert res.counts["url_deduped"] == 6
     ids = {r["page_id"] for r in res.clean_docs.take_all()}
     assert ids <= {0, 2, 5, 6, 7, 8}
+
+
+# ---------------------------------------------------------------------------
+# M5 filename sanitizer
+# ---------------------------------------------------------------------------
+
+def _ref_sanitize(title: str) -> str:
+    """The reference chain verbatim (CPython re —
+    experiments/wikiqa/_1_download_articles.py:59-63)."""
+    import re
+    s = re.sub(r"[^\w\s-]", "", title).strip()
+    s = re.sub(r"[-\s]+", "_", s)
+    return re.sub(r"_+", "_", s)
+
+
+def test_sanitize_filename_reference_parity():
+    """Arrow-RE2 kernel == CPython-re reference on ASCII titles (the
+    documented scope pin), across every rule family: strip, trim, run
+    collapse, pre-existing underscores, empties."""
+    from kg_gen_ray.functions.web import sanitize_filename
+    cases = [
+        "Hello, World!", "  a - b  ", "a_ b", "Mixed-Case #42 (draft)!",
+        "", "___", "a\tb\nc", "no.dots.here", "-lead", "trail-",
+        "x", "A (1999) film — ASCII only?!".replace("—", "-"),
+        "tab\tand\nnewline \r mix", "many   spaces", "a--b- -c",
+    ]
+    for c in cases:
+        assert sanitize_filename(c) == _ref_sanitize(c), c
+
+
+def test_sanitize_filename_ascii_fuzz():
+    """Deterministic ASCII fuzz against the CPython-re reference, over the
+    pinned parity scope: everything ASCII except \\x0b (vertical tab),
+    which CPython \\s matches but RE2 \\s does not — the one documented
+    divergence family (see the kernel docstring)."""
+    import random
+
+    from kg_gen_ray.functions.web import sanitize_filename
+    rng = random.Random(42)
+    alphabet = ("abcXYZ012 _-\t\n\r\x0c" "!@#$%^&*()[]{};:'\",.<>/?\\|")
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 40)))
+        assert sanitize_filename(s) == _ref_sanitize(s), repr(s)
+
+
+def test_sanitize_filename_vtab_divergence_pinned():
+    """\\x0b mid-string: CPython \\s collapses it to '_', RE2 strips it.
+    Pinning the ENGINE behavior so any silent change surfaces."""
+    from kg_gen_ray.functions.web import sanitize_filename
+    assert sanitize_filename("a\x0bb") == "ab"
+    assert _ref_sanitize("a\x0bb") == "a_b"
+
+
+def test_sanitize_filenames_matches_duckdb(ray_session):
+    """The driver oracle's SQL chain (DuckDB regexp_replace, RE2) replays
+    the kernel bit-for-bit — the kg_pages fname contract."""
+    from kg_gen_ray.functions.web import sanitize_filenames
+    titles = ["Hello, World!", "  a - b  ", "a_ b", "#42 (draft)!", "",
+              "tab\there", "-x-", "a  b--c"]
+    got = sanitize_filenames(pa.array(titles, pa.string())).to_pylist()
+    con = duckdb.connect()
+    t = pa.table({"title": pa.array(titles, pa.string())})
+    con.register("t", t)
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    want = [r[0] for r in con.execute(f"""
+        SELECT regexp_replace(regexp_replace(
+                 trim(regexp_replace(title, '[^\\w\\s-]', '', 'g'), {ws}),
+                 '[-\\s]+', '_', 'g'), '_+', '_', 'g')
+        FROM t""").fetchall()]
+    con.close()
+    assert got == want
