@@ -42,9 +42,36 @@ def write_split_csv(ds: "ray.data.Dataset", path: str, **kwargs) -> None:
     ds.write_csv(path, **kwargs)
 
 
-def read_split_csv(path: str, **kwargs) -> "ray.data.Dataset":
-    """Read a CSV split directory/file back as a Dataset (type inference
-    matches Arrow CSV semantics on both ends of the round-trip)."""
+# WikiQA split column types, pinned for the CSV read: Arrow CSV type
+# INFERENCE would corrupt string columns whose values happen to parse as
+# numbers ('007' -> int 7) and can even infer conflicting per-file schemas
+# across blocks of one split. microsoft/wiki_qa column layout + the
+# order column.
+WIKIQA_COLUMN_TYPES = {
+    "question_id": pa.string(),
+    "question": pa.string(),
+    "document_title": pa.string(),
+    "answer": pa.string(),
+    "label": pa.int64(),
+    "row_idx": pa.int64(),
+}
+
+
+def read_split_csv(path: str, column_types: dict | None = None,
+                   **kwargs) -> "ray.data.Dataset":
+    """Read a CSV split directory/file back as a Dataset with EXPLICIT
+    column types (default: the WikiQA split schema) — never inference,
+    so the write/read round-trip is identity for any cell content.
+    Pass ``column_types={}`` to opt back into inference for non-WikiQA
+    CSVs, or a dict for another schema."""
+    import pyarrow.csv as pacsv
+
+    if column_types is None:
+        column_types = WIKIQA_COLUMN_TYPES
+    if column_types:
+        kwargs.setdefault(
+            "convert_options",
+            pacsv.ConvertOptions(column_types=column_types))
     return ray.data.read_csv(path, **kwargs)
 
 

@@ -94,13 +94,17 @@ class ContainmentJudgeTransport:
     verbatim in the Context — the decidable core of the GPT judgment, and
     exactly ``strpos(context, answer) > 0`` in SQL, which is what lets the
     whole actor-pool path be driver-oracled. Parses the fields back out of
-    the canonical :func:`judge_prompt` layout (a context containing the
-    literal marker strings would confuse it — test corpora don't)."""
+    the canonical :func:`judge_prompt` layout from the END (the fixed Task
+    text is always the trailing segment and the answer sits after the LAST
+    answer marker), so a CONTEXT containing the literal marker strings —
+    the plausible collision in crawl/QA-shaped text — still parses
+    correctly; only an ANSWER that itself embeds a marker (pathological)
+    would confuse it."""
 
     def __call__(self, prompt: str) -> str:
         body = prompt.partition(_CTX_MARK)[2]
-        context, _, rest = body.partition(_ANS_MARK)
-        answer = rest.partition(_TASK_MARK)[0]
+        body = body.rpartition(_TASK_MARK)[0]
+        context, _, answer = body.rpartition(_ANS_MARK)
         return "1" if answer and answer in context else "0"
 
 

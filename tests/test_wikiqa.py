@@ -97,3 +97,23 @@ def test_synth_split_deterministic(ray_session):
     assert rows[0]["label"] == 1 and rows[1]["label"] == 0
     assert rows[3]["label"] == 1
     assert rows[2]["answer"] == "aaa bbb"        # <24 chars: whole text
+
+
+def test_csv_read_pins_types_against_numeric_looking_strings(ray_session):
+    """'007'-style answers must survive the round-trip as strings —
+    inference would corrupt them to int 7 (and could produce conflicting
+    per-file schemas); read_split_csv pins the WikiQA column types."""
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["007", "12345", "42"], pa.string()),
+    }))
+    split = synth_wikiqa_split(docs, n_questions=3)
+    d = tempfile.mkdtemp(prefix="wikiqa_num_")
+    try:
+        write_split_csv(split, d)
+        back = read_split_csv(d).to_pandas() \
+            .sort_values("row_idx").reset_index(drop=True)
+        assert back["answer"].tolist() == ["007", "12345", "42"]
+        assert str(back["answer"].dtype) == "object"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
