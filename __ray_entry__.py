@@ -438,10 +438,17 @@ def q_text_tokens(sf_dir: str):
 
 
 def q_text_quality(sf_dir: str):
-    """Quality scoring + language-ID in one pass (lang_id's per-doc
-    predictions stay oracle-checked via the appended ``pred_lang``;
-    the LangId marker tables build once per actor as usual)."""
-    from kg_gen_ray.functions.text_analysis import LangId, quality_score
+    """Quality scoring + language-ID + Gopher repetition rules in one
+    pass (lang_id's per-doc predictions stay oracle-checked via the
+    appended ``pred_lang``; the LangId marker tables build once per
+    actor as usual). The Gopher signals (dup-line fractions, top-2/3-gram
+    char coverage, duplicated-5-gram char coverage) ride the same batch:
+    repetition is a within-doc property, so the merge costs no extra
+    read or shuffle. Lines are derived with the same deterministic
+    ' table ' -> newline trick as paragraph_dedup (the synthetic corpus
+    carries no newlines); the oracle replays the identical replace()."""
+    from kg_gen_ray.functions.text_analysis import (
+        LangId, gopher_repetition, quality_score)
 
     class QualityLang:
         def __init__(self):
@@ -449,7 +456,16 @@ def q_text_quality(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             q = quality_score(t)
-            return q.append_column("pred_lang", self.lang(t)["pred_lang"])
+            q = q.append_column("pred_lang", self.lang(t)["pred_lang"])
+            g = gopher_repetition(
+                t.append_column("line_text", pc.replace_substring(
+                    pc.cast(t["text"], pa.string()), " table ", "\n")),
+                line_col="line_text")
+            for name in ("dup_line_frac", "dup_line_char_frac",
+                         "top_2gram_char_frac", "top_3gram_char_frac",
+                         "dup_5gram_char_frac"):
+                q = q.append_column(name, g[name])
+            return q
 
     # autoscaling actor pool: only LangId's marker tables need actor
     # state; a fixed tiny pool would serialize the whole query
@@ -1441,13 +1457,70 @@ def oracle_sql() -> dict[str, str]:
         WITH {_DOCS}, {_TOKS},
         agg AS (SELECT doc_id, count(*) AS n_tokens,
                        sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS stops,
-                       count(DISTINCT w) AS n_uniq
+                       count(DISTINCT w) AS n_uniq,
+                       sum(length(w)) AS tot_chars
                 FROM toks GROUP BY doc_id),
-        bgc AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS c
+        bgc AS (SELECT a.doc_id, a.w AS w1, b.w AS w2,
+                       min(length(a.w) + length(b.w)) AS chars,
+                       count(*) AS c
                 FROM toks a JOIN toks b
                   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
                 GROUP BY a.doc_id, a.w, b.w),
         topbg AS (SELECT doc_id, max(c) AS topc FROM bgc GROUP BY doc_id),
+        -- Gopher repetition: top-2-gram char coverage (count ties broken
+        -- toward the longer n-gram, the fraction-maximizing choice)
+        b2 AS (SELECT g.doc_id, t.topc AS c, max(g.chars) AS bch
+               FROM bgc g JOIN topbg t
+                 ON g.doc_id = t.doc_id AND g.c = t.topc
+               GROUP BY g.doc_id, t.topc),
+        g3 AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3,
+                      min(length(a.w) + length(b.w) + length(c.w)) AS chars,
+                      count(*) AS c
+               FROM toks a
+               JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+               GROUP BY a.doc_id, a.w, b.w, c.w),
+        t3 AS (SELECT doc_id, max(c) AS maxc FROM g3 GROUP BY doc_id),
+        b3 AS (SELECT g.doc_id, t.maxc AS c, max(g.chars) AS bch
+               FROM g3 g JOIN t3 t
+                 ON g.doc_id = t.doc_id AND g.c = t.maxc
+               GROUP BY g.doc_id, t.maxc),
+        -- duplicated-5-gram char coverage: tokens under ANY >=2x 5-gram
+        -- occurrence, overlaps counted once (DISTINCT positions)
+        g5 AS (SELECT a.doc_id, a.pos, a.w AS w1, b.w AS w2, c.w AS w3,
+                      d.w AS w4, e.w AS w5
+               FROM toks a
+               JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+               JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+               JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+               JOIN toks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4),
+        dstarts AS (SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY doc_id, w1, w2, w3, w4, w5)
+                     AS c
+            FROM g5) WHERE c >= 2),
+        covered AS (SELECT DISTINCT t.doc_id, t.pos
+                    FROM toks t JOIN dstarts s
+                      ON t.doc_id = s.doc_id
+                     AND t.pos BETWEEN s.pos AND s.pos + 4),
+        cov5 AS (SELECT cv.doc_id, sum(length(t.w)) AS chars
+                 FROM covered cv JOIN toks t
+                   ON cv.doc_id = t.doc_id AND cv.pos = t.pos
+                 GROUP BY cv.doc_id),
+        -- duplicate lines over the same ' table ' -> newline derivation
+        -- the Ray query applies
+        lines AS (SELECT doc_id,
+                         unnest(string_split(
+                             replace(text, ' table ', chr(10)), chr(10)))
+                           AS l
+                  FROM documents),
+        lcnt AS (SELECT doc_id, l, length(l) AS ll, count(*) AS c
+                 FROM lines GROUP BY doc_id, l),
+        lstat AS (SELECT doc_id, sum(c) AS n_lines,
+                         count(*) AS n_distinct,
+                         sum((c - 1) * ll) AS dupchars,
+                         sum(c * ll) AS totchars
+                  FROM lcnt GROUP BY doc_id),
         markers(mlang, w) AS (VALUES {_markers}),
         words AS (SELECT doc_id,
                          lower(unnest(regexp_extract_all(text, '[a-zA-Z]+')))
@@ -1466,10 +1539,24 @@ def oracle_sql() -> dict[str, str]:
                  AS distinct_ratio,
                coalesce(t.topc, 0)::DOUBLE / greatest(agg.n_tokens - 1, 1)
                  AS top_bigram_frac,
-               coalesce(b.mlang, 'unknown') AS pred_lang
+               coalesce(b.mlang, 'unknown') AS pred_lang,
+               (ls.n_lines - ls.n_distinct)::DOUBLE
+                 / greatest(ls.n_lines, 1) AS dup_line_frac,
+               ls.dupchars::DOUBLE / greatest(ls.totchars, 1)
+                 AS dup_line_char_frac,
+               coalesce(b2.c * b2.bch, 0)::DOUBLE
+                 / greatest(agg.tot_chars, 1) AS top_2gram_char_frac,
+               coalesce(b3.c * b3.bch, 0)::DOUBLE
+                 / greatest(agg.tot_chars, 1) AS top_3gram_char_frac,
+               coalesce(c5.chars, 0)::DOUBLE
+                 / greatest(agg.tot_chars, 1) AS dup_5gram_char_frac
         FROM documents d
         JOIN agg USING (doc_id)
+        JOIN lstat ls USING (doc_id)
         LEFT JOIN topbg t USING (doc_id)
+        LEFT JOIN b2 USING (doc_id)
+        LEFT JOIN b3 USING (doc_id)
+        LEFT JOIN cov5 c5 USING (doc_id)
         LEFT JOIN (SELECT doc_id, mlang FROM best WHERE rn = 1 AND n > 0) b
           USING (doc_id)"""
 

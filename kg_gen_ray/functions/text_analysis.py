@@ -110,6 +110,144 @@ def quality_score(batch: pa.Table) -> pa.Table:
     })
 
 
+def _ngram_groups(strs: np.ndarray, row_idx: np.ndarray, n: int):
+    """Group identical within-row token n-grams.
+
+    Returns ``(starts_sorted, grp, counts, new)`` where ``starts_sorted``
+    are flat-token start indices ordered by (row, w1..wn), ``grp`` maps
+    each occurrence to its group id, ``counts[g]`` is the group's
+    occurrence count and ``new`` marks the first occurrence of each group.
+    Empty result tuples when no n-gram fits.
+    """
+    if len(strs) < n:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, np.empty(0, dtype=bool)
+    base = np.arange(len(strs) - (n - 1))
+    ok = row_idx[base] == row_idx[base + n - 1]
+    starts = base[ok]
+    if not len(starts):
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, np.empty(0, dtype=bool)
+    # np.lexsort: LAST key is primary -> (row, w1, .., wn) ordering
+    keys = tuple(strs[starts + j] for j in reversed(range(n))) \
+        + (row_idx[starts],)
+    order = np.lexsort(keys)
+    so = starts[order]
+    diff = row_idx[so[1:]] != row_idx[so[:-1]]
+    for j in range(n):
+        diff = diff | (strs[so[1:] + j] != strs[so[:-1] + j])
+    new = np.ones(len(so), dtype=bool)
+    new[1:] = diff
+    grp = np.cumsum(new) - 1
+    counts = np.bincount(grp)
+    return so, grp, counts, new
+
+
+def gopher_repetition(batch: pa.Table, text_col: str = "text",
+                      line_col: str | None = None) -> pa.Table:
+    """Within-document repetition signals from the Gopher (Rae et al.
+    2021, arXiv:2112.11446 §A1.1) web-curation rules, one row per doc:
+
+    - ``dup_line_frac`` — repeat line occurrences / total lines
+      (lines split on ``\\n`` from ``line_col`` or ``text_col``);
+    - ``dup_line_char_frac`` — chars in those repeat occurrences /
+      total line chars;
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac`` — chars covered
+      by the single most frequent token n-gram (count x its char
+      length; count ties broken toward the longer n-gram, which is the
+      fraction-maximizing and hence deterministic choice) / total token
+      chars;
+    - ``dup_5gram_char_frac`` — chars of tokens covered by ANY 5-gram
+      that occurs more than once in the doc (overlaps counted once) /
+      total token chars.
+
+    All sort-and-boundary-count vectorized (no per-row Python), the same
+    kernel family as :func:`quality_score`; char lengths are code-point
+    counts so DuckDB ``length()`` mirrors them exactly. 100 TB story:
+    pure streaming map over doc batches — repetition is a within-doc
+    property, so there is no shuffle and no state; compose with
+    ``Dataset.filter`` on the emitted fractions for the Gopher cut
+    (dup_line_frac > 0.30 etc.).
+    """
+    toks, lengths, flat = _tok_lists(batch, text_col)
+    n_rows = batch.num_rows
+    strs = flat.astype(str)
+    tlen = np.char.str_len(strs).astype(np.int64)
+    row_idx = np.repeat(np.arange(n_rows), lengths)
+    tot_chars = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(tot_chars, row_idx, tlen)
+    denom_chars = np.maximum(tot_chars, 1)
+
+    # top n-gram char coverage (n = 2, 3)
+    top_fracs = {}
+    for n in (2, 3):
+        so, grp, counts, new = _ngram_groups(strs, row_idx, n)
+        frac = np.zeros(n_rows, dtype=np.float64)
+        if len(so):
+            first_idx = so[new]
+            grow = row_idx[first_idx]
+            gchars = np.zeros(len(first_idx), dtype=np.int64)
+            for j in range(n):
+                gchars += tlen[first_idx + j]
+            gcount = counts
+            maxc = np.zeros(n_rows, dtype=np.int64)
+            np.maximum.at(maxc, grow, gcount)
+            sel = gcount == maxc[grow]
+            best_chars = np.zeros(n_rows, dtype=np.int64)
+            np.maximum.at(best_chars, grow[sel], gchars[sel])
+            frac = (maxc * best_chars) / denom_chars
+        top_fracs[n] = frac
+
+    # duplicated 5-gram coverage: spans never cross rows (groups are
+    # within-row), so one global difference array marks covered tokens
+    so, grp, counts, _new = _ngram_groups(strs, row_idx, 5)
+    frac5 = np.zeros(n_rows, dtype=np.float64)
+    if len(so):
+        dup_starts = so[counts[grp] >= 2]
+        if len(dup_starts):
+            cov = np.zeros(len(strs) + 5, dtype=np.int64)
+            np.add.at(cov, dup_starts, 1)
+            np.add.at(cov, dup_starts + 5, -1)
+            covered = np.cumsum(cov[:len(strs)]) > 0
+            cov_chars = np.zeros(n_rows, dtype=np.int64)
+            np.add.at(cov_chars, row_idx[covered], tlen[covered])
+            frac5 = cov_chars / denom_chars
+
+    # duplicate lines
+    lsrc = pc.cast(batch[line_col or text_col], pa.string())
+    lines = pc.split_pattern(lsrc, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lflat = np.asarray(lines.flatten().to_pylist(), dtype=object).astype(str)
+    llen = np.char.str_len(lflat).astype(np.int64)
+    lrow = np.repeat(np.arange(n_rows), n_lines)
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    dup_chars = np.zeros(n_rows, dtype=np.int64)
+    tot_lchars = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(tot_lchars, lrow, llen)
+    if len(lflat):
+        order = np.lexsort((lflat, lrow))
+        r = lrow[order]
+        f = lflat[order]
+        new = np.ones(len(f), dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+        np.add.at(n_distinct, r[new], 1)
+        # repeat occurrences carry their line's chars
+        np.add.at(dup_chars, r[~new], llen[order][~new])
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "dup_line_frac": pa.array(
+            (n_lines - n_distinct) / np.maximum(n_lines, 1), pa.float64()),
+        "dup_line_char_frac": pa.array(
+            dup_chars / np.maximum(tot_lchars, 1), pa.float64()),
+        "top_2gram_char_frac": pa.array(top_fracs[2], pa.float64()),
+        "top_3gram_char_frac": pa.array(top_fracs[3], pa.float64()),
+        "dup_5gram_char_frac": pa.array(frac5, pa.float64()),
+    })
+
+
 def fingerprint(batch: pa.Table, col: str = "text",
                 id_col: str = "doc_id") -> pa.Table:
     """(doc_id, fp) — md5 content fingerprint (mirrors DuckDB ``md5``)."""

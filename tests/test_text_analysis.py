@@ -124,3 +124,126 @@ def test_top_ngrams_trigrams_and_row_boundaries(ray_session):
            for r in top_ngrams(docs, n=3, k=5).take_all()]
     # trigrams never cross document boundaries; empty doc contributes none
     assert out == [("a b c", 2), ("b c d", 1)]
+
+
+def test_gopher_repetition_hand_cases():
+    from kg_gen_ray.functions.text_analysis import gopher_repetition
+    out = gopher_repetition(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # 21 one-char tokens; "a b" occurs 4x (8/21); "a b c d e"
+            # windows at 4 and 12 cover tokens 4..19 (16/21)
+            "a b a b a b c d e f g h a b c d e f g h x",
+            "hello world hello world",
+            "",
+            "one two three four",       # < 5 tokens, no 5-gram
+        ]),
+        "line_text": pa.array([
+            "foo\nbar\nfoo\nbaz",        # 1 repeat of 4; 3 of 12 chars
+            "one",
+            "",
+            "x\nx\nx",                   # 2 repeats of 3; 2 of 3 chars
+        ]),
+    }), line_col="line_text")
+    assert out["dup_line_frac"].to_pylist() == [1 / 4, 0.0, 0.0, 2 / 3]
+    assert out["dup_line_char_frac"].to_pylist() == [
+        3 / 12, 0.0, 0.0, 2 / 3]
+    # doc3: all bigrams count 1, tie -> longest ("three four", 9 chars)
+    assert out["top_2gram_char_frac"].to_pylist() == [
+        8 / 21, 1.0, 0.0, 9 / 15]
+    # doc1: "hello world hello" (15 chars) x ... each trigram once ->
+    # count 1, longest trigram 15 chars of 20
+    assert out["top_3gram_char_frac"].to_pylist()[1] == 15 / 20
+    assert out["dup_5gram_char_frac"].to_pylist() == [
+        16 / 21, 0.0, 0.0, 0.0]
+
+
+def test_gopher_repetition_duckdb_oracle():
+    """Random templated docs vs a DuckDB replay of every column."""
+    import random
+
+    import duckdb
+
+    from kg_gen_ray.functions.text_analysis import gopher_repetition
+
+    rng = random.Random(7)
+    vocab = ["alpha", "b", "gamma", "dd", "ee", "zeta"]
+    texts, lines = [], []
+    for _ in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+        texts.append(" ".join(toks))
+        lines.append("\n".join(
+            rng.choice(["l1", "l2", "longer line"])
+            for _ in range(rng.randrange(1, 6))))
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "line_text": pa.array(lines, pa.string()),
+    })
+    got = gopher_repetition(docs, line_col="line_text").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute("""
+WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+              generate_subscripts(string_split(text,' '),1) AS pos
+              FROM documents),
+tc AS (SELECT doc_id, sum(length(w)) AS tot FROM toks GROUP BY doc_id),
+g2 AS (SELECT a.doc_id, a.w AS w1, b.w AS w2,
+              min(length(a.w)+length(b.w)) AS chars, count(*) AS c
+       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+       GROUP BY a.doc_id, a.w, b.w),
+t2 AS (SELECT doc_id, max(c) AS maxc FROM g2 GROUP BY doc_id),
+b2 AS (SELECT g2.doc_id, t2.maxc AS c, max(g2.chars) AS bch
+       FROM g2 JOIN t2 ON g2.doc_id=t2.doc_id AND g2.c=t2.maxc
+       GROUP BY g2.doc_id, t2.maxc),
+g3 AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3,
+              min(length(a.w)+length(b.w)+length(c.w)) AS chars,
+              count(*) AS c
+       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                   JOIN toks c ON a.doc_id=c.doc_id AND c.pos=a.pos+2
+       GROUP BY a.doc_id, a.w, b.w, c.w),
+t3 AS (SELECT doc_id, max(c) AS maxc FROM g3 GROUP BY doc_id),
+b3 AS (SELECT g3.doc_id, t3.maxc AS c, max(g3.chars) AS bch
+       FROM g3 JOIN t3 ON g3.doc_id=t3.doc_id AND g3.c=t3.maxc
+       GROUP BY g3.doc_id, t3.maxc),
+g5 AS (SELECT a.doc_id, a.pos, a.w AS w1,b.w AS w2,c.w AS w3,
+              d.w AS w4,e.w AS w5
+       FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                   JOIN toks c ON a.doc_id=c.doc_id AND c.pos=a.pos+2
+                   JOIN toks d ON a.doc_id=d.doc_id AND d.pos=a.pos+3
+                   JOIN toks e ON a.doc_id=e.doc_id AND e.pos=a.pos+4),
+ds AS (SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY doc_id,w1,w2,w3,w4,w5) AS c
+    FROM g5) WHERE c >= 2),
+cov AS (SELECT DISTINCT t.doc_id, t.pos
+        FROM toks t JOIN ds s
+          ON t.doc_id=s.doc_id AND t.pos BETWEEN s.pos AND s.pos+4),
+c5 AS (SELECT cov.doc_id, sum(length(t.w)) AS chars
+       FROM cov JOIN toks t ON cov.doc_id=t.doc_id AND cov.pos=t.pos
+       GROUP BY cov.doc_id),
+lines AS (SELECT doc_id, unnest(string_split(line_text, chr(10))) AS l
+          FROM documents),
+lc AS (SELECT doc_id, l, length(l) AS ll, count(*) AS c
+       FROM lines GROUP BY doc_id, l),
+ls AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+              sum((c-1)*ll) AS dupchars, sum(c*ll) AS totchars
+       FROM lc GROUP BY doc_id)
+SELECT d.doc_id,
+  (ls.n_lines-ls.n_distinct)::DOUBLE/greatest(ls.n_lines,1)
+    AS dup_line_frac,
+  ls.dupchars::DOUBLE/greatest(ls.totchars,1) AS dup_line_char_frac,
+  coalesce(b2.c*b2.bch,0)::DOUBLE/greatest(tc.tot,1)
+    AS top_2gram_char_frac,
+  coalesce(b3.c*b3.bch,0)::DOUBLE/greatest(tc.tot,1)
+    AS top_3gram_char_frac,
+  coalesce(c5.chars,0)::DOUBLE/greatest(tc.tot,1) AS dup_5gram_char_frac
+FROM documents d JOIN ls USING (doc_id) JOIN tc USING (doc_id)
+LEFT JOIN b2 USING (doc_id) LEFT JOIN b3 USING (doc_id)
+LEFT JOIN c5 USING (doc_id)
+ORDER BY doc_id""").fetchdf().reset_index(drop=True)
+    for col in want.columns:
+        g = got[col].tolist()
+        w = want[col].tolist()
+        assert all(abs(a - b) < 1e-12 for a, b in zip(g, w)), col
