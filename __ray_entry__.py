@@ -446,9 +446,12 @@ def q_text_quality(sf_dir: str):
     repetition is a within-doc property, so the merge costs no extra
     read or shuffle. Lines are derived with the same deterministic
     ' table ' -> newline trick as paragraph_dedup (the synthetic corpus
-    carries no newlines); the oracle replays the identical replace()."""
+    carries no newlines); the oracle replays the identical replace().
+    The non-repetition Gopher rules (mean word length, alpha-word
+    fraction, symbol-to-word ratio, required-stopword hits, bullet /
+    ellipsis line fractions) ride the same batch too."""
     from kg_gen_ray.functions.text_analysis import (
-        LangId, gopher_repetition, quality_score)
+        LangId, gopher_quality, gopher_repetition, quality_score)
 
     class QualityLang:
         def __init__(self):
@@ -457,14 +460,18 @@ def q_text_quality(sf_dir: str):
         def __call__(self, t: pa.Table) -> pa.Table:
             q = quality_score(t)
             q = q.append_column("pred_lang", self.lang(t)["pred_lang"])
-            g = gopher_repetition(
-                t.append_column("line_text", pc.replace_substring(
-                    pc.cast(t["text"], pa.string()), " table ", "\n")),
-                line_col="line_text")
+            tl = t.append_column("line_text", pc.replace_substring(
+                pc.cast(t["text"], pa.string()), " table ", "\n"))
+            g = gopher_repetition(tl, line_col="line_text")
             for name in ("dup_line_frac", "dup_line_char_frac",
                          "top_2gram_char_frac", "top_3gram_char_frac",
                          "dup_5gram_char_frac"):
                 q = q.append_column(name, g[name])
+            gq = gopher_quality(tl, line_col="line_text")
+            for name in ("mean_word_len", "alpha_word_frac",
+                         "symbol_word_ratio", "stop_hits",
+                         "bullet_line_frac", "ellipsis_line_frac"):
+                q = q.append_column(name, gq[name])
             return q
 
     # autoscaling actor pool: only LangId's marker tables need actor
@@ -1458,7 +1465,12 @@ def oracle_sql() -> dict[str, str]:
         agg AS (SELECT doc_id, count(*) AS n_tokens,
                        sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END) AS stops,
                        count(DISTINCT w) AS n_uniq,
-                       sum(length(w)) AS tot_chars
+                       sum(length(w)) AS tot_chars,
+                       sum(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                           THEN 1 ELSE 0 END) AS alpha_words,
+                       count(DISTINCT CASE WHEN lower(w) IN
+                           ('the','be','to','of','and','that','have','with')
+                           THEN lower(w) END) AS stop_hits
                 FROM toks GROUP BY doc_id),
         bgc AS (SELECT a.doc_id, a.w AS w1, b.w AS w2,
                        min(length(a.w) + length(b.w)) AS chars,
@@ -1521,6 +1533,11 @@ def oracle_sql() -> dict[str, str]:
                          sum((c - 1) * ll) AS dupchars,
                          sum(c * ll) AS totchars
                   FROM lcnt GROUP BY doc_id),
+        lq AS (SELECT doc_id,
+                      sum(CASE WHEN l LIKE '- %' OR l LIKE '• %'
+                          THEN 1 ELSE 0 END) AS nb,
+                      sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END) AS ne
+               FROM lines GROUP BY doc_id),
         markers(mlang, w) AS (VALUES {_markers}),
         words AS (SELECT doc_id,
                          lower(unnest(regexp_extract_all(text, '[a-zA-Z]+')))
@@ -1549,10 +1566,21 @@ def oracle_sql() -> dict[str, str]:
                coalesce(b3.c * b3.bch, 0)::DOUBLE
                  / greatest(agg.tot_chars, 1) AS top_3gram_char_frac,
                coalesce(c5.chars, 0)::DOUBLE
-                 / greatest(agg.tot_chars, 1) AS dup_5gram_char_frac
+                 / greatest(agg.tot_chars, 1) AS dup_5gram_char_frac,
+               agg.tot_chars::DOUBLE / greatest(agg.n_tokens, 1)
+                 AS mean_word_len,
+               agg.alpha_words::DOUBLE / greatest(agg.n_tokens, 1)
+                 AS alpha_word_frac,
+               ((length(d.text) - length(replace(d.text, '#', '')))
+                + (length(d.text) - length(replace(d.text, '...', ''))) / 3
+               )::DOUBLE / greatest(agg.n_tokens, 1) AS symbol_word_ratio,
+               agg.stop_hits::BIGINT AS stop_hits,
+               lq.nb::DOUBLE / greatest(ls.n_lines, 1) AS bullet_line_frac,
+               lq.ne::DOUBLE / greatest(ls.n_lines, 1) AS ellipsis_line_frac
         FROM documents d
         JOIN agg USING (doc_id)
         JOIN lstat ls USING (doc_id)
+        JOIN lq USING (doc_id)
         LEFT JOIN topbg t USING (doc_id)
         LEFT JOIN b2 USING (doc_id)
         LEFT JOIN b3 USING (doc_id)

@@ -248,6 +248,89 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
     })
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(batch: pa.Table, text_col: str = "text",
+                   line_col: str | None = None) -> pa.Table:
+    """Non-repetition Gopher quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1), one row per doc:
+
+    - ``mean_word_len`` — mean token length in chars (rule: 3..10);
+    - ``alpha_word_frac`` — fraction of tokens containing at least one
+      ASCII letter (rule: >= 0.80);
+    - ``symbol_word_ratio`` — (# of ``#`` + # of ``...`` occurrences,
+      non-overlapping) / tokens (rule: <= 0.10);
+    - ``stop_hits`` — how many of the eight required English stop words
+      appear at least once, case-insensitive (rule: >= 2);
+    - ``bullet_line_frac`` — lines starting with ``- `` or a bullet
+      glyph (rule: <= 0.90 must NOT start with one);
+    - ``ellipsis_line_frac`` — lines ending with ``...`` (rule: <= 0.30).
+
+    Same contract as :func:`gopher_repetition`: vectorized streaming map
+    (Arrow RE2 for the letter test, numpy boundary counts for the rest),
+    no shuffle and no state, so at 100 TB this composes into the hygiene
+    flow as a pure filter stage. Word counts themselves are already
+    emitted by :func:`quality_score` (``n_tokens``)."""
+    toks, lengths, flat = _tok_lists(batch, text_col)
+    n_rows = batch.num_rows
+    row_idx = np.repeat(np.arange(n_rows), lengths)
+    strs = flat.astype(str)
+    tlen = np.char.str_len(strs).astype(np.int64)
+    n_tok = np.maximum(lengths.astype(np.int64), 1)
+    tot_chars = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(tot_chars, row_idx, tlen)
+
+    flat_arrow = toks.flatten()
+    alpha = pc.match_substring_regex(flat_arrow, "[a-zA-Z]") \
+        .to_numpy(zero_copy_only=False)
+    alpha_cnt = np.zeros(n_rows, dtype=np.int64)
+    if len(strs):
+        np.add.at(alpha_cnt, row_idx[alpha], 1)
+
+    text_arr = pc.cast(batch[text_col], pa.string())
+    n_sym = pc.count_substring(text_arr, "#") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_sym = n_sym + pc.count_substring(text_arr, "...") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    stop_hits = np.zeros(n_rows, dtype=np.int64)
+    if len(strs):
+        low = np.char.lower(strs)
+        for w in GOPHER_STOPWORDS:
+            present = np.zeros(n_rows, dtype=bool)
+            present[row_idx[low == w]] = True
+            stop_hits += present
+
+    lsrc = pc.cast(batch[line_col or text_col], pa.string())
+    lines = pc.split_pattern(lsrc, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lflat = lines.flatten()
+    lrow = np.repeat(np.arange(n_rows), n_lines)
+    bullet = pc.or_(pc.starts_with(lflat, "- "),
+                    pc.starts_with(lflat, "• ")) \
+        .to_numpy(zero_copy_only=False)
+    ellip = pc.ends_with(lflat, "...").to_numpy(zero_copy_only=False)
+    n_bullet = np.zeros(n_rows, dtype=np.int64)
+    n_ellip = np.zeros(n_rows, dtype=np.int64)
+    if len(lrow):
+        np.add.at(n_bullet, lrow[bullet], 1)
+        np.add.at(n_ellip, lrow[ellip], 1)
+    denom_lines = np.maximum(n_lines, 1)
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "mean_word_len": pa.array(tot_chars / n_tok, pa.float64()),
+        "alpha_word_frac": pa.array(alpha_cnt / n_tok, pa.float64()),
+        "symbol_word_ratio": pa.array(n_sym / n_tok, pa.float64()),
+        "stop_hits": pa.array(stop_hits, pa.int64()),
+        "bullet_line_frac": pa.array(n_bullet / denom_lines, pa.float64()),
+        "ellipsis_line_frac": pa.array(n_ellip / denom_lines, pa.float64()),
+    })
+
+
 def fingerprint(batch: pa.Table, col: str = "text",
                 id_col: str = "doc_id") -> pa.Table:
     """(doc_id, fp) — md5 content fingerprint (mirrors DuckDB ``md5``)."""

@@ -247,3 +247,86 @@ ORDER BY doc_id""").fetchdf().reset_index(drop=True)
         g = got[col].tolist()
         w = want[col].tolist()
         assert all(abs(a - b) < 1e-12 for a, b in zip(g, w)), col
+
+
+def test_gopher_quality_hand_cases():
+    from kg_gen_ray.functions.text_analysis import gopher_quality
+    out = gopher_quality(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            # 6 tokens, 21 chars; 1 '#', 1 '...'; stopwords the+of
+            "the #tag of doom wins...",
+            "",
+            "12 34 !!",                 # no alpha words
+        ]),
+        "line_text": pa.array([
+            "- bullet\nplain\nends...",
+            "",
+            "• b\nx",
+        ]),
+    }), line_col="line_text")
+    assert out["mean_word_len"].to_pylist() == [20 / 5, 0.0, 6 / 3]
+    assert out["alpha_word_frac"].to_pylist() == [1.0, 0.0, 0.0]
+    assert out["symbol_word_ratio"].to_pylist() == [2 / 5, 0.0, 0.0]
+    assert out["stop_hits"].to_pylist() == [2, 0, 0]
+    assert out["bullet_line_frac"].to_pylist() == [1 / 3, 0.0, 1 / 2]
+    assert out["ellipsis_line_frac"].to_pylist() == [1 / 3, 0.0, 0.0]
+
+
+def test_gopher_quality_duckdb_oracle():
+    """Random docs vs a DuckDB replay of every gopher_quality column."""
+    import random
+
+    import duckdb
+
+    from kg_gen_ray.functions.text_analysis import gopher_quality
+
+    rng = random.Random(11)
+    vocab = ["the", "be#", "zz", "...", "12", "with", "gamma...", "#"]
+    texts, lines = [], []
+    for _ in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+        texts.append(" ".join(toks))
+        lines.append("\n".join(
+            rng.choice(["- b", "• b", "plain", "ends...", ""])
+            for _ in range(rng.randrange(1, 6))))
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "line_text": pa.array(lines, pa.string()),
+    })
+    got = gopher_quality(docs, line_col="line_text").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs.to_pandas())
+    want = con.execute("""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+agg AS (SELECT doc_id, count(*) AS n, sum(length(w)) AS tot,
+        sum(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 ELSE 0 END)
+          AS alpha_words,
+        count(DISTINCT CASE WHEN lower(w) IN
+            ('the','be','to','of','and','that','have','with')
+            THEN lower(w) END) AS stop_hits
+        FROM toks GROUP BY doc_id),
+lines AS (SELECT doc_id, unnest(string_split(line_text, chr(10))) AS l
+          FROM documents),
+lq AS (SELECT doc_id, count(*) AS n,
+       sum(CASE WHEN l LIKE '- %' OR l LIKE '• %' THEN 1 ELSE 0 END) AS nb,
+       sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END) AS ne
+       FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+  agg.tot::DOUBLE / greatest(agg.n, 1) AS mean_word_len,
+  agg.alpha_words::DOUBLE / greatest(agg.n, 1) AS alpha_word_frac,
+  ((length(d.text) - length(replace(d.text, '#', '')))
+   + (length(d.text) - length(replace(d.text, '...', ''))) / 3
+  )::DOUBLE / greatest(agg.n, 1) AS symbol_word_ratio,
+  agg.stop_hits::BIGINT AS stop_hits,
+  lq.nb::DOUBLE / greatest(lq.n, 1) AS bullet_line_frac,
+  lq.ne::DOUBLE / greatest(lq.n, 1) AS ellipsis_line_frac
+FROM documents d JOIN agg USING (doc_id) JOIN lq USING (doc_id)
+ORDER BY doc_id""").fetchdf().reset_index(drop=True)
+    for col in want.columns:
+        g = got[col].tolist()
+        w = want[col].tolist()
+        assert all(abs(a - b) < 1e-12 for a, b in zip(g, w)), col
