@@ -669,11 +669,11 @@ def keep_ids(ds: "ray.data.Dataset", keepers: "ray.data.Dataset",
 
     keepers = keepers.materialize()
     if keepers.count() == 0:
-        # nothing survives — emit a typed empty result (an all-empty
-        # join side would carry schemaless blocks the hash join cannot
-        # key on)
-        return ds.map_batches(lambda t: t.slice(0, 0),
-                              batch_format="pyarrow")
+        # nothing survives — limit(0) keeps the lineage schema (so the
+        # result stays join/union-safe) while letting the executor
+        # short-circuit instead of computing every block of ds just to
+        # slice it empty
+        return ds.limit(0)
     if (keepers.size_bytes() or 0) <= dual_limit(broadcast_limit):
         kept = set()
         for b in keepers.iter_batches(batch_format="pyarrow"):

@@ -103,7 +103,7 @@ def lm_counts(docs: "ray.data.Dataset", text_col: str = "text",
               shuffle_partitions=None):
     """-> (bigram_counts(w1, w2, c2), unigram_counts(w1, c1), V) — the
     trained model, materialized (vocabulary-sized, reused per query)."""
-    from kg_gen_ray.stages.common import coalesce, dual_limit
+    from kg_gen_ray.stages.common import coalesce
 
     def local2(t: pa.Table) -> pa.Table:
         flat, lens = _tokens(t, text_col)

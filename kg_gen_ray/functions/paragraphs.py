@@ -94,12 +94,15 @@ def _explode(t: pa.Table, text_col: str, id_col: str):
 
 # per-worker md5 memo: boilerplate paragraphs repeat ACROSS batches (a
 # crawl's footer appears once per page), so each worker process hashes a
-# distinct paragraph once for its lifetime. Bounded by entry count and
-# per-entry length so a pathological corpus of huge unique paragraphs
-# cannot grow worker heap.
+# distinct paragraph once for its lifetime. Bounded by TOTAL cached key
+# bytes (not entry count: 2^18 entries x 4 KB keys would pin ~1 GiB of
+# paragraph strings per worker) so a corpus-sized tail of unique
+# paragraphs cannot grow worker heap — boilerplate shows up early and
+# often, so it wins the budget.
 _MD5_CACHE: dict = {}
-_MD5_CACHE_MAX = 1 << 18
+_MD5_CACHE_MAX_BYTES = 48 * 1024 * 1024
 _MD5_CACHE_MAX_LEN = 4096
+_md5_cache_bytes = 0
 
 
 def _md5_arr(paras: pa.Array) -> np.ndarray:
@@ -111,6 +114,7 @@ def _md5_arr(paras: pa.Array) -> np.ndarray:
     ``md5()``), same choice as ``text_analysis.fingerprint``."""
     if isinstance(paras, pa.ChunkedArray):
         paras = paras.combine_chunks()
+    global _md5_cache_bytes
     d = paras.dictionary_encode()
     uniq = d.dictionary.to_pylist()
     out_u = np.empty(len(uniq), dtype=object)
@@ -119,8 +123,10 @@ def _md5_arr(paras: pa.Array) -> np.ndarray:
         h = cache.get(s)
         if h is None:
             h = hashlib.md5(s.encode("utf-8")).hexdigest()
-            if len(s) <= _MD5_CACHE_MAX_LEN and len(cache) < _MD5_CACHE_MAX:
+            if (len(s) <= _MD5_CACHE_MAX_LEN
+                    and _md5_cache_bytes < _MD5_CACHE_MAX_BYTES):
                 cache[s] = h
+                _md5_cache_bytes += len(s) + 48  # str + digest overhead
         out_u[i] = h
     if not len(out_u):
         return np.array([], dtype=object)

@@ -416,7 +416,7 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 20,
     import pyarrow.compute as _pc
     from ray.data.aggregate import Sum
 
-    from kg_gen_ray.stages.common import coalesce, dual_limit
+    from kg_gen_ray.stages.common import coalesce
 
     def partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"ngram": pa.array([], pa.string()),

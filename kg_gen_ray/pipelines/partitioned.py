@@ -81,12 +81,24 @@ def _prewarm_fsspec_http() -> None:
     try:
         from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
         return
-    except Exception:
+    except ImportError:
         pass
+    except Exception:
+        # unexpected breakage in a PRESENT http stack: leave module state
+        # alone rather than masking it with a method-less stub
+        return
+    try:
+        import aiohttp  # noqa: F401
+        # http deps exist, so the import failure above is a real problem,
+        # not the aiohttp-absent case this stub exists for — don't mask it
+        return
+    except ImportError:
+        pass
+    import importlib.machinery
     import sys
     import types
     try:
-        import fsspec.implementations  # noqa: F401
+        import fsspec.implementations
     except Exception:
         return
 
@@ -96,7 +108,12 @@ def _prewarm_fsspec_http() -> None:
         """Stub: never instantiated, so isinstance() is always False."""
 
     mod.HTTPFileSystem = HTTPFileSystem
+    # a real spec + parent-package binding so find_spec() and attribute
+    # access behave like a normal import, not a sys.modules ghost
+    mod.__spec__ = importlib.machinery.ModuleSpec(
+        "fsspec.implementations.http", loader=None)
     sys.modules["fsspec.implementations.http"] = mod
+    fsspec.implementations.http = mod
 
 
 def run_partitioned(input_files: list, out_dir: str,
@@ -132,7 +149,16 @@ def run_partitioned(input_files: list, out_dir: str,
         with ThreadPoolExecutor(max_workers=window) as ex:
             futs = [ex.submit(run_partition, pid, files, out_dir, config)
                     for pid, files in enumerate(allowed)]
-            manifests = [f.result() for f in futs]
+            try:
+                manifests = [f.result() for f in futs]
+            except BaseException:
+                # fail fast: the sequential loop stopped at the first
+                # failure; don't let queued partitions run to completion
+                # before the error surfaces (finished manifests stay on
+                # disk, so resume picks them up)
+                for f in futs:
+                    f.cancel()
+                raise
     if stop_after_partitions is not None \
             and stop_after_partitions < len(parts):
         return {"completed_partitions": len(manifests),

@@ -102,7 +102,9 @@ def context_sentences(triples: "ray.data.Dataset", seeds: set,
                       depth: int = 2) -> list:
     """Reference-shaped context strings: ``"s p o."`` per triple in the
     depth-limited neighborhood (ref kg_gen.py:397-403)."""
-    hood = neighborhood(triples, seeds, depth)
+    # neighborhood consumes the triples lineage once per hop per
+    # direction; checkpoint here so callers can pass a lazy pipeline
+    hood = neighborhood(triples.materialize(), seeds, depth)
     return [f"{r['subj']} {r['pred']} {r['obj']}."
             for r in hood.take_all()]
 

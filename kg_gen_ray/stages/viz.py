@@ -61,7 +61,7 @@ def degree_table(triples: "ray.data.Dataset",
             [("outdeg", "sum"), ("indeg", "sum"), ([], "count_all")])
         return agg.rename_columns(["entity", "outdeg", "indeg", "deg"])
 
-    from kg_gen_ray.stages.common import coalesce, dual_limit
+    from kg_gen_ray.stages.common import coalesce
     part = coalesce(triples.map_batches(partial, batch_format="pyarrow"),
                     shuffle_partitions)
     return part.groupby("entity").aggregate(
