@@ -523,7 +523,9 @@ def q_top_bigrams(sf_dir: str):
 
 def q_hygiene_counts(sf_dir: str):
     """The end-to-end training-data hygiene COMPOSITION as one driver-
-    oracled row: scrub PII -> near-dup dedup (fast MinHash family) ->
+    oracled row: scrub PII -> Gopher quality cut (required-stopword +
+    mean-word-length rules, both with real cut signal on this corpus) ->
+    near-dup dedup (fast MinHash family) ->
     per-language stratified cap -> greedy sequence packing, auditing the
     per-stage survivor counts plus the packed output (rows + number of
     packed sequences). Every member stage already carries its own oracle;
@@ -539,7 +541,9 @@ def q_hygiene_counts(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text", "lang"])
     res = prepare_training_data(docs, benchmark=None, group_col="lang",
                                 per_group_cap=8, max_tokens=2048,
-                                dedup_method="fast")
+                                dedup_method="fast",
+                                gopher_rules={"min_stop_hits": 1,
+                                              "max_mean_word_len": 5.0})
     packed = res.packed.materialize()
     n_packed = packed.count()
     n_sequences = 0
@@ -550,6 +554,7 @@ def q_hygiene_counts(sf_dir: str):
     return pd.DataFrame({
         "n_input": pd.Series([c["input"]], dtype="int64"),
         "n_scrubbed": pd.Series([c["scrubbed"]], dtype="int64"),
+        "n_gopher": pd.Series([c["gopher_filtered"]], dtype="int64"),
         "n_deduped": pd.Series([c["deduped"]], dtype="int64"),
         "n_capped": pd.Series([c["capped"]], dtype="int64"),
         "n_packed": pd.Series([n_packed], dtype="int64"),
@@ -1644,7 +1649,19 @@ def oracle_sql() -> dict[str, str]:
                   f"'{_pat.replace(chr(39), chr(39) * 2)}', '{_repl}', 'g')")
     sql["hygiene_counts"] = f"""
         WITH RECURSIVE
-        docs AS (SELECT doc_id, lang, {_scrub} AS text FROM documents),
+        sdocs AS (SELECT doc_id, lang, {_scrub} AS text FROM documents),
+        -- Gopher quality cut on the scrubbed text (same thresholds the
+        -- Ray pipeline applies: stop_hits >= 1, mean word length <= 5)
+        gt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM sdocs),
+        gagg AS (SELECT doc_id, count(*) AS n, sum(length(w)) AS tot,
+                        count(DISTINCT CASE WHEN lower(w) IN
+                            ('the','be','to','of','and','that','have',
+                             'with') THEN lower(w) END) AS stop_hits
+                 FROM gt GROUP BY doc_id),
+        docs AS (SELECT s.* FROM sdocs s JOIN gagg USING (doc_id)
+                 WHERE gagg.stop_hits >= 1
+                   AND gagg.tot::DOUBLE / greatest(gagg.n, 1) <= 5.0),
         {_FSH}, {_FSIGS}, {_FBANDS},
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1684,7 +1701,8 @@ def oracle_sql() -> dict[str, str]:
           FROM fold f JOIN ord o ON o.lang = f.lang AND o.rn = f.rn + 1)
         SELECT
           (SELECT count(*) FROM documents)::BIGINT AS n_input,
-          (SELECT count(*) FROM docs)::BIGINT AS n_scrubbed,
+          (SELECT count(*) FROM sdocs)::BIGINT AS n_scrubbed,
+          (SELECT count(*) FROM docs)::BIGINT AS n_gopher,
           (SELECT count(*) FROM survivors)::BIGINT AS n_deduped,
           (SELECT count(*) FROM capped)::BIGINT AS n_capped,
           (SELECT count(*) FROM fold)::BIGINT AS n_packed,

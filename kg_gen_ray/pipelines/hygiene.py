@@ -39,6 +39,63 @@ class HygieneResult:
     counts: dict = field(default_factory=dict)   # stage -> rows surviving
 
 
+# threshold key -> (signal column, keep-if comparison)
+_GOPHER_QUALITY_RULES = {
+    "min_mean_word_len": ("mean_word_len", "ge"),
+    "max_mean_word_len": ("mean_word_len", "le"),
+    "min_alpha_word_frac": ("alpha_word_frac", "ge"),
+    "max_symbol_word_ratio": ("symbol_word_ratio", "le"),
+    "min_stop_hits": ("stop_hits", "ge"),
+}
+_GOPHER_REPETITION_RULES = {
+    "max_dup_line_frac": ("dup_line_frac", "le"),
+    "max_dup_line_char_frac": ("dup_line_char_frac", "le"),
+    "max_top_2gram_char_frac": ("top_2gram_char_frac", "le"),
+    "max_top_3gram_char_frac": ("top_3gram_char_frac", "le"),
+    "max_dup_5gram_char_frac": ("dup_5gram_char_frac", "le"),
+}
+
+
+def _gopher_filter(ds: "ray.data.Dataset", rules: dict,
+                   text_col: str) -> "ray.data.Dataset":
+    """Drop rows failing any of the Gopher quality/repetition thresholds
+    — one streaming ``map_batches`` pass (the signal kernels are
+    within-doc, so no shuffle and no state). Signals are computed on a
+    positional view of the batch, so the caller's id column can be any
+    name or type."""
+    unknown = set(rules) - set(_GOPHER_QUALITY_RULES) \
+        - set(_GOPHER_REPETITION_RULES)
+    if unknown:
+        raise ValueError(f"unknown gopher_rules keys: {sorted(unknown)}")
+    from kg_gen_ray.functions.text_analysis import (
+        gopher_quality, gopher_repetition)
+    q_rules = {k: v for k, v in rules.items() if k in _GOPHER_QUALITY_RULES}
+    r_rules = {k: v for k, v in rules.items()
+               if k in _GOPHER_REPETITION_RULES}
+
+    def keep(t, x=text_col, q_rules=q_rules, r_rules=r_rules):
+        import numpy as np
+        import pyarrow as pa
+
+        view = pa.table({
+            "doc_id": pa.array(np.arange(t.num_rows), pa.int64()),
+            "text": t[x]})
+        ok = np.ones(t.num_rows, dtype=bool)
+        for table, rule_map, fn in (
+                (q_rules, _GOPHER_QUALITY_RULES, gopher_quality),
+                (r_rules, _GOPHER_REPETITION_RULES, gopher_repetition)):
+            if not table:
+                continue
+            sig = fn(view)
+            for key, thresh in table.items():
+                col, cmp = rule_map[key]
+                vals = sig[col].to_numpy(zero_copy_only=False)
+                ok &= (vals >= thresh) if cmp == "ge" else (vals <= thresh)
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def prepare_training_data(docs: "ray.data.Dataset",
                           benchmark: "ray.data.Dataset | None" = None,
                           k_contam: int = 8,
@@ -50,6 +107,7 @@ def prepare_training_data(docs: "ray.data.Dataset",
                           url_col: str | None = None,
                           dedup_method: str = "fast",
                           c4_rules: bool = False,
+                          gopher_rules: dict | None = None,
                           dedup_paragraphs: bool = False,
                           min_lm_score_micro: int | None = None,
                           count_stages: bool = True) -> HygieneResult:
@@ -60,7 +118,16 @@ def prepare_training_data(docs: "ray.data.Dataset",
     ``c4_rules=True`` runs the C4 line filter first (terminal
     punctuation / min words / javascript lines; lorem-ipsum and
     curly-brace pages dropped) — the cheapest content cut, a pure
-    streaming map. ``dedup_paragraphs=True`` inserts the CCNet
+    streaming map. ``gopher_rules`` (when set) applies the Gopher
+    quality cut (Rae et al. 2021 §A1.1) to the scrubbed text — a dict of
+    thresholds over the ``gopher_quality`` / ``gopher_repetition``
+    columns (``min_mean_word_len``, ``max_mean_word_len``,
+    ``min_alpha_word_frac``, ``max_symbol_word_ratio``,
+    ``min_stop_hits``, ``max_dup_line_frac``, ``max_dup_line_char_frac``,
+    ``max_top_2gram_char_frac``, ``max_top_3gram_char_frac``,
+    ``max_dup_5gram_char_frac``); rows failing any rule drop in the same
+    streaming pass, before any content hashing.
+    ``dedup_paragraphs=True`` inserts the CCNet
     boilerplate pass (corpus-wide paragraph-level dedup, documents
     rebuilt) between the scrub and document-level dedup. ``min_lm_score_micro`` (when set)
     appends the CCNet perplexity filter: the bigram LM trains on the
@@ -116,6 +183,10 @@ def prepare_training_data(docs: "ray.data.Dataset",
                    .materialize())
 
     cur = note("scrubbed", scrub_pii(cur, text_col))
+
+    if gopher_rules is not None:
+        cur = note("gopher_filtered",
+                   _gopher_filter(cur, gopher_rules, text_col))
 
     if dedup_paragraphs:
         from kg_gen_ray.functions.paragraphs import paragraph_dedup

@@ -142,3 +142,30 @@ def test_c4_stage_in_composition(ray_session):
     assert len(rows[0].split("\n")) == 3
     assert res.counts["c4_cleaned"] == 1
     assert set(res.clean_docs.schema().names) == {"doc_id", "text", "lang"}
+
+
+def test_gopher_stage_in_composition(ray_session):
+    """Gopher cut drops rule-failing docs after scrub; unknown rule keys
+    are rejected loudly."""
+    import pytest
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps with energy",   # passes
+            "zz1 zz2 zz3 zz4 zz5",                     # no stopwords
+            "the extraordinarily sesquipedalian verbiage overwhelms",
+        ], pa.string()),
+        "lang": pa.array(["en", "en", "en"], pa.string())}))
+    res = prepare_training_data(
+        docs, benchmark=None, per_group_cap=10, max_tokens=64,
+        gopher_rules={"min_stop_hits": 1, "max_mean_word_len": 6.0})
+    assert res.counts["scrubbed"] == 3
+    assert res.counts["gopher_filtered"] == 1   # docs 1 (stops) + 2 (mwl)
+    kept = res.clean_docs.take_all()
+    assert [r["doc_id"] for r in kept] == [0]
+
+    with pytest.raises(ValueError, match="unknown gopher_rules"):
+        prepare_training_data(docs, benchmark=None,
+                              gopher_rules={"max_weird": 1.0},
+                              count_stages=False)
