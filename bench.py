@@ -452,6 +452,14 @@ def run_hygiene() -> dict:
         return pages.map_batches(to_paras, batch_format="pyarrow")
 
     timed("paragraph_dedup", lambda: paragraph_dedup(para_docs()).count())
+
+    # Gopher rule kernels at full volume (thresholds chosen to keep every
+    # page so the probe measures compute, not corpus-specific cut rates;
+    # one rule from each kernel family so both signal passes run)
+    from kg_gen_ray.pipelines.hygiene import _gopher_filter
+    timed("gopher_filter", lambda: _gopher_filter(
+        docs_ds(), {"min_alpha_word_frac": 0.0,
+                    "max_top_2gram_char_frac": 1e9}, "text").count())
     timed("decontaminate",
           lambda: decontaminate(docs_ds(), bench_tbl, k=8).count())
     timed("stratified_sample",

@@ -110,37 +110,53 @@ def quality_score(batch: pa.Table) -> pa.Table:
     })
 
 
-def _ngram_groups(strs: np.ndarray, row_idx: np.ndarray, n: int):
+def _ngram_groups(codes: np.ndarray, row_idx: np.ndarray, n: int):
     """Group identical within-row token n-grams.
 
-    Returns ``(starts_sorted, grp, counts, new)`` where ``starts_sorted``
-    are flat-token start indices ordered by (row, w1..wn), ``grp`` maps
-    each occurrence to its group id, ``counts[g]`` is the group's
-    occurrence count and ``new`` marks the first occurrence of each group.
-    Empty result tuples when no n-gram fits.
+    ``codes`` are integer token ids (Arrow dictionary indices — identity
+    grouping needs equality only, so the code order is irrelevant and the
+    lexsorts run on ints instead of Python strings). Returns
+    ``(starts_sorted, grp, counts, new)`` where ``starts_sorted`` are
+    flat-token start indices grouped by (row, w1..wn), ``grp`` maps each
+    occurrence to its group id, ``counts[g]`` is the group's occurrence
+    count and ``new`` marks the first occurrence of each group. Empty
+    result tuples when no n-gram fits.
     """
-    if len(strs) < n:
+    if len(codes) < n:
         e = np.empty(0, dtype=np.int64)
         return e, e, e, np.empty(0, dtype=bool)
-    base = np.arange(len(strs) - (n - 1))
+    base = np.arange(len(codes) - (n - 1))
     ok = row_idx[base] == row_idx[base + n - 1]
     starts = base[ok]
     if not len(starts):
         e = np.empty(0, dtype=np.int64)
         return e, e, e, np.empty(0, dtype=bool)
     # np.lexsort: LAST key is primary -> (row, w1, .., wn) ordering
-    keys = tuple(strs[starts + j] for j in reversed(range(n))) \
+    keys = tuple(codes[starts + j] for j in reversed(range(n))) \
         + (row_idx[starts],)
     order = np.lexsort(keys)
     so = starts[order]
     diff = row_idx[so[1:]] != row_idx[so[:-1]]
     for j in range(n):
-        diff = diff | (strs[so[1:] + j] != strs[so[:-1] + j])
+        diff = diff | (codes[so[1:] + j] != codes[so[:-1] + j])
     new = np.ones(len(so), dtype=bool)
     new[1:] = diff
     grp = np.cumsum(new) - 1
     counts = np.bincount(grp)
     return so, grp, counts, new
+
+
+def _flat_codes(flat: pa.Array):
+    """(codes, lengths) for a flat Arrow string array: dictionary ids for
+    identity grouping (C hash pass, no Python-object conversion) and
+    per-token code-point lengths (mirrors DuckDB ``length``)."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    d = flat.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return codes, tlen
 
 
 def gopher_repetition(batch: pa.Table, text_col: str = "text",
@@ -169,10 +185,12 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
     ``Dataset.filter`` on the emitted fractions for the Gopher cut
     (dup_line_frac > 0.30 etc.).
     """
-    toks, lengths, flat = _tok_lists(batch, text_col)
+    toks = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     n_rows = batch.num_rows
-    strs = flat.astype(str)
-    tlen = np.char.str_len(strs).astype(np.int64)
+    codes, tlen = _flat_codes(toks.flatten())
     row_idx = np.repeat(np.arange(n_rows), lengths)
     tot_chars = np.zeros(n_rows, dtype=np.int64)
     np.add.at(tot_chars, row_idx, tlen)
@@ -181,7 +199,7 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
     # top n-gram char coverage (n = 2, 3)
     top_fracs = {}
     for n in (2, 3):
-        so, grp, counts, new = _ngram_groups(strs, row_idx, n)
+        so, grp, counts, new = _ngram_groups(codes, row_idx, n)
         frac = np.zeros(n_rows, dtype=np.float64)
         if len(so):
             first_idx = so[new]
@@ -200,15 +218,15 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
 
     # duplicated 5-gram coverage: spans never cross rows (groups are
     # within-row), so one global difference array marks covered tokens
-    so, grp, counts, _new = _ngram_groups(strs, row_idx, 5)
+    so, grp, counts, _new = _ngram_groups(codes, row_idx, 5)
     frac5 = np.zeros(n_rows, dtype=np.float64)
     if len(so):
         dup_starts = so[counts[grp] >= 2]
         if len(dup_starts):
-            cov = np.zeros(len(strs) + 5, dtype=np.int64)
+            cov = np.zeros(len(codes) + 5, dtype=np.int64)
             np.add.at(cov, dup_starts, 1)
             np.add.at(cov, dup_starts + 5, -1)
-            covered = np.cumsum(cov[:len(strs)]) > 0
+            covered = np.cumsum(cov[:len(codes)]) > 0
             cov_chars = np.zeros(n_rows, dtype=np.int64)
             np.add.at(cov_chars, row_idx[covered], tlen[covered])
             frac5 = cov_chars / denom_chars
@@ -220,17 +238,16 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
         lines = lines.combine_chunks()
     n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
-    lflat = np.asarray(lines.flatten().to_pylist(), dtype=object).astype(str)
-    llen = np.char.str_len(lflat).astype(np.int64)
+    lcodes, llen = _flat_codes(lines.flatten())
     lrow = np.repeat(np.arange(n_rows), n_lines)
     n_distinct = np.zeros(n_rows, dtype=np.int64)
     dup_chars = np.zeros(n_rows, dtype=np.int64)
     tot_lchars = np.zeros(n_rows, dtype=np.int64)
     np.add.at(tot_lchars, lrow, llen)
-    if len(lflat):
-        order = np.lexsort((lflat, lrow))
+    if len(lcodes):
+        order = np.lexsort((lcodes, lrow))
         r = lrow[order]
-        f = lflat[order]
+        f = lcodes[order]
         new = np.ones(len(f), dtype=bool)
         new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
         np.add.at(n_distinct, r[new], 1)
@@ -272,20 +289,23 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
     no shuffle and no state, so at 100 TB this composes into the hygiene
     flow as a pure filter stage. Word counts themselves are already
     emitted by :func:`quality_score` (``n_tokens``)."""
-    toks, lengths, flat = _tok_lists(batch, text_col)
+    toks = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     n_rows = batch.num_rows
     row_idx = np.repeat(np.arange(n_rows), lengths)
-    strs = flat.astype(str)
-    tlen = np.char.str_len(strs).astype(np.int64)
+    flat_arrow = toks.flatten()
+    tlen = pc.utf8_length(flat_arrow).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
     n_tok = np.maximum(lengths.astype(np.int64), 1)
     tot_chars = np.zeros(n_rows, dtype=np.int64)
     np.add.at(tot_chars, row_idx, tlen)
 
-    flat_arrow = toks.flatten()
     alpha = pc.match_substring_regex(flat_arrow, "[a-zA-Z]") \
         .to_numpy(zero_copy_only=False)
     alpha_cnt = np.zeros(n_rows, dtype=np.int64)
-    if len(strs):
+    if len(tlen):
         np.add.at(alpha_cnt, row_idx[alpha], 1)
 
     text_arr = pc.cast(batch[text_col], pa.string())
@@ -295,11 +315,12 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
         .to_numpy(zero_copy_only=False).astype(np.int64)
 
     stop_hits = np.zeros(n_rows, dtype=np.int64)
-    if len(strs):
-        low = np.char.lower(strs)
+    if len(tlen):
+        low = pc.utf8_lower(flat_arrow)
         for w in GOPHER_STOPWORDS:
+            m = pc.equal(low, w).to_numpy(zero_copy_only=False)
             present = np.zeros(n_rows, dtype=bool)
-            present[row_idx[low == w]] = True
+            present[row_idx[m]] = True
             stop_hits += present
 
     lsrc = pc.cast(batch[line_col or text_col], pa.string())
