@@ -23,32 +23,44 @@ from kg_gen_ray.stages.common import dual_limit  # noqa: E402
 STOPWORDS = ("the", "a")  # fixed tiny list shared with the SQL oracle
 
 
-def _tok_lists(batch: pa.Table, col: str = "text"):
+def _tok_codes(batch: pa.Table, col: str = "text"):
+    """Whitespace-split tokens as (flat Arrow array, per-row lengths,
+    int64 dictionary codes) — identity grouping runs on the codes, so no
+    token ever becomes a Python object."""
     toks = pc.split_pattern(pc.cast(batch[col], pa.string()), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
-    return toks, lengths, flat
+    flat = toks.flatten()
+    codes = flat.dictionary_encode().indices \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, lengths, codes
+
+
+def _row_uniques(codes: np.ndarray, row_idx: np.ndarray,
+                 n_rows: int) -> np.ndarray:
+    """Distinct tokens per row: sort (row, code) pairs, count group
+    boundaries."""
+    n_unique = np.zeros(n_rows, dtype=np.int64)
+    if len(codes):
+        order = np.lexsort((codes, row_idx))
+        r = row_idx[order]
+        f = codes[order]
+        new = np.ones(len(f), dtype=bool)
+        new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
+        np.add.at(n_unique, r[new], 1)
+    return n_unique
 
 
 def token_stats(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens, n_unique_tokens) — vectorized per batch."""
-    toks, lengths, flat = _tok_lists(batch)
+    _flat, lengths, codes = _tok_codes(batch)
     row_idx = np.repeat(np.arange(batch.num_rows), lengths)
-    # unique per row: sort (row, token) pairs and count boundaries
-    n_unique = np.zeros(batch.num_rows, dtype=np.int64)
-    if len(flat):
-        order = np.lexsort((flat.astype(str), row_idx))
-        r = row_idx[order]
-        f = flat[order]
-        new = np.ones(len(f), dtype=bool)
-        new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
-        np.add.at(n_unique, r[new], 1)
     return pa.table({
         "doc_id": pc.cast(batch["doc_id"], pa.int64()),
         "n_tokens": pa.array(lengths.astype(np.int64)),
-        "n_unique_tokens": pa.array(n_unique),
+        "n_unique_tokens": pa.array(
+            _row_uniques(codes, row_idx, batch.num_rows)),
     })
 
 
@@ -61,41 +73,21 @@ def quality_score(batch: pa.Table) -> pa.Table:
     boilerplate/spam pages). All sort-and-boundary-count vectorized; no
     per-row Python.
     """
-    toks, lengths, flat = _tok_lists(batch)
+    flat, lengths, codes = _tok_codes(batch)
     n_rows = batch.num_rows
     row_idx = np.repeat(np.arange(n_rows), lengths)
     stops = np.zeros(n_rows, dtype=np.int64)
-    n_unique = np.zeros(n_rows, dtype=np.int64)
     top_bigram = np.zeros(n_rows, dtype=np.int64)
-    if len(flat):
-        strs = flat.astype(str)
-        is_stop = np.isin(strs, STOPWORDS)
+    n_unique = _row_uniques(codes, row_idx, n_rows)
+    if len(codes):
+        is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))) \
+            .to_numpy(zero_copy_only=False)
         np.add.at(stops, row_idx[is_stop], 1)
-        # distinct tokens per row: sort (row, token), count boundaries
-        order = np.lexsort((strs, row_idx))
-        r = row_idx[order]
-        f = strs[order]
-        new = np.ones(len(f), dtype=bool)
-        new[1:] = (r[1:] != r[:-1]) | (f[1:] != f[:-1])
-        np.add.at(n_unique, r[new], 1)
-        # top bigram per row: drop each row's last token, pair with the
-        # successor, sort (row, w1, w2), run-length count, max per row
-        keep = np.ones(len(strs), dtype=bool)
-        ends = np.cumsum(lengths) - 1
-        keep[ends[lengths > 0]] = False
-        i = np.nonzero(keep)[0]
-        if len(i):
-            bg_row = row_idx[i]
-            w1 = strs[i]
-            w2 = strs[i + 1]
-            order = np.lexsort((w2, w1, bg_row))
-            r2, a, b = bg_row[order], w1[order], w2[order]
-            new = np.ones(len(r2), dtype=bool)
-            new[1:] = ((r2[1:] != r2[:-1]) | (a[1:] != a[:-1])
-                       | (b[1:] != b[:-1]))
-            grp = np.cumsum(new) - 1
-            counts = np.bincount(grp)
-            np.maximum.at(top_bigram, r2[new], counts)
+        # top bigram per row: group identical within-row bigrams, max
+        # group count per row
+        so, grp, counts, new = _ngram_groups(codes, row_idx, 2)
+        if len(so):
+            np.maximum.at(top_bigram, row_idx[so[new]], counts)
     n_chars = pc.utf8_length(pc.cast(batch["text"], pa.string())) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
