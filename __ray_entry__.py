@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sig_fast": q_minhash_sig_fast,
         "doc_winnow": q_doc_winnow,
         "near_dup_jaccard": q_near_dup_jaccard,
+        "dedup_spans": q_dedup_spans,          # Lee et al. substring dedup
         # --- serving-surface ops run through the engine (M7, S2/M3, J3,
         #     S7+M6 wikiqa CSV round-trip + clean, X7+A7 MINE eval)
         "llm_filter": q_llm_filter,
@@ -773,6 +774,18 @@ def q_near_dup_jaccard(sf_dir: str):
     # broadcast_limit=0 forces the shingle-join verification dual (the
     # dup-heavy-corpus sibling); oracle unchanged
     return jaccard_verify(docs, pairs, threshold=0.8, broadcast_limit=0)
+
+
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicated-span removal (Lee et al. 2021 substring dedup,
+    token-8-gram variant, ``functions/spans.py``): every 8-token span
+    occurring >= 2x corpus-wide keeps only its minimum-(doc_id, pos)
+    occurrence; other occurrences' tokens drop and docs rebuild from the
+    survivors. The oracle replays the same md5-u32 Horner k-gram hash
+    family the fast-MinHash oracle uses (closed-form coefficients from
+    ``span_hash_coeffs``)."""
+    from kg_gen_ray.functions.spans import dedup_spans
+    return dedup_spans(_docs(sf_dir, ["doc_id", "text"]), k=8)
 
 
 def q_doc_winnow(sf_dir: str):
@@ -1712,6 +1725,46 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact"] = """
         SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS fp
         FROM documents GROUP BY md5(text)"""
+
+    # Lee et al. duplicated-span removal: md5-u32 Horner k-gram hashes
+    # (closed-form coefficients — same family as _FSH), global min-enc
+    # winner per hash, diff-union coverage, docs rebuilt from survivors
+    from kg_gen_ray.functions.spans import span_hash_coeffs
+    _SPK = 8
+    _spterms = " + ".join(
+        f"{_hu32(f'ts[i+{j}]')}::HUGEINT * {c}"
+        for j, c in enumerate(span_hash_coeffs(_SPK)))
+    _SPM = 1 << 21          # spans._POS_BITS packing
+    sql["dedup_spans"] = f"""
+        WITH fts AS (SELECT doc_id, string_split(text, ' ') AS ts
+                     FROM documents),
+        spsh AS (SELECT doc_id, CASE WHEN len(ts) >= {_SPK} THEN
+                 list_transform(range(1, len(ts) - {_SPK - 2}),
+                                i -> ({_spterms}) % {_P64})
+                 ELSE [] END AS shs FROM fts),
+        spocc AS (SELECT doc_id, unnest(shs) AS h,
+                         generate_subscripts(shs, 1) - 1 AS pos FROM spsh),
+        spwin AS (SELECT h, min(doc_id * {_SPM} + pos) AS menc,
+                         count(*) AS c
+                  FROM spocc GROUP BY h),
+        splose AS (SELECT o.doc_id, o.pos FROM spocc o
+                   JOIN spwin w ON o.h = w.h
+                   WHERE w.c >= 2 AND o.doc_id * {_SPM} + o.pos <> w.menc),
+        sptoks AS (SELECT doc_id, unnest(ts) AS w,
+                          generate_subscripts(ts, 1) - 1 AS pos FROM fts),
+        spcov AS (SELECT DISTINCT t.doc_id, t.pos
+                  FROM sptoks t JOIN splose l
+                    ON t.doc_id = l.doc_id
+                   AND t.pos BETWEEN l.pos AND l.pos + {_SPK - 1}),
+        spkeep AS (SELECT t.doc_id, t.pos, t.w FROM sptoks t
+                   LEFT JOIN spcov c
+                     ON t.doc_id = c.doc_id AND t.pos = c.pos
+                   WHERE c.doc_id IS NULL),
+        sprebuilt AS (SELECT doc_id,
+                             string_agg(w, ' ' ORDER BY pos) AS text
+                      FROM spkeep GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(r.text, '') AS text
+        FROM documents d LEFT JOIN sprebuilt r USING (doc_id)"""
 
     sql["minhash_signatures"] = f"""
         WITH {_DOCS}, {_TOKS}, {_SHINGLES}, {_SIGS},

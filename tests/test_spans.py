@@ -1,0 +1,103 @@
+"""Duplicated-span removal (Lee et al. exact-substring dedup, token
+k-gram variant): serial-reference parity on both duals, edge docs,
+duplicate-id guard."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kg_gen_ray.functions.spans import SPAN_K, dedup_spans, span_hash_coeffs
+
+DOCS = [
+    (1, "a b c d e f"),
+    (2, "x a b c d y"),            # cross-doc loser spans
+    (3, "a b c a b c a b c"),      # self-overlap, fully covered
+    (4, ""),                       # empty doc round-trips
+    (5, "q r"),                    # shorter than k
+    (6, "p  q"),                   # double space round-trips (split/join)
+]
+K = 3
+
+
+def _table():
+    return pa.table({
+        "doc_id": pa.array([d[0] for d in DOCS], pa.int64()),
+        "text": pa.array([d[1] for d in DOCS], pa.string())})
+
+
+def _serial_expected(docs, k):
+    """Plain-python replay of the span rule (same hash family)."""
+    C = 0x100000001B3
+    occ: dict = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        for i in range(len(toks) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h * C + int(hashlib.md5(
+                    toks[i + j].encode()).hexdigest()[:8], 16)) % (1 << 64)
+            occ.setdefault(h, []).append((did, i))
+    losers: dict = {}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            w = min(lst)
+            for o in lst:
+                if o != w:
+                    losers.setdefault(o[0], []).append(o[1])
+    out = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        cov = np.zeros(len(toks) + k, dtype=int)
+        for p in losers.get(did, []):
+            cov[p] += 1
+            cov[p + k] -= 1
+        keep = np.cumsum(cov[:len(toks)]) <= 0
+        out[did] = " ".join(t for t, kp in zip(toks, keep) if kp)
+    return out
+
+
+def test_dedup_spans_serial_parity_both_duals(ray_session):
+    expected = _serial_expected(DOCS, K)
+    # the hand-visible facts, so the fixture stays honest
+    assert expected[2] == "x y"      # covered union of two loser spans
+    assert expected[3] == ""         # self-overlap empties the doc
+    assert expected[6] == "p  q"     # untouched docs round-trip exactly
+    ds = rd.from_arrow(_table())
+    got_b = {r["doc_id"]: r["text"]
+             for r in dedup_spans(ds, k=K).take_all()}
+    assert got_b == expected
+    got_j = {r["doc_id"]: r["text"]
+             for r in dedup_spans(ds, k=K, broadcast_limit=0).take_all()}
+    assert got_j == expected
+
+
+def test_dedup_spans_no_duplicates_is_identity(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["one two three four", "five six seven eight"])}))
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_spans(ds, k=K).take_all()}
+    assert out == {10: "one two three four", 11: "five six seven eight"}
+
+
+def test_dedup_spans_duplicate_doc_id_raises(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 7], pa.int64()),
+        "text": pa.array(["a b c d", "a b c d"])}))
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        dedup_spans(ds, k=K).take_all()
+
+
+def test_span_hash_coeffs_closed_form():
+    # Horner fold acc = acc*C + h equals sum h_j * coeff_j mod 2^64
+    C = 0x100000001B3
+    hs = [7, 1 << 31, 12345]
+    acc = 0
+    for h in hs:
+        acc = (acc * C + h) % (1 << 64)
+    coeffs = span_hash_coeffs(len(hs))
+    assert acc == sum(h * c for h, c in zip(hs, coeffs)) % (1 << 64)
+    assert SPAN_K == 8
