@@ -453,6 +453,12 @@ def run_hygiene() -> dict:
 
     timed("paragraph_dedup", lambda: paragraph_dedup(para_docs()).count())
 
+    # Lee et al. span removal over the templated corpus: boilerplate-
+    # extreme, so the loser set is corpus-sized and this exercises the
+    # posblob join dual at full volume
+    from kg_gen_ray.functions.spans import dedup_spans
+    timed("dedup_spans", lambda: dedup_spans(para_docs()).count())
+
     # Gopher rule kernels at full volume (thresholds chosen to keep every
     # page so the probe measures compute, not corpus-specific cut rates;
     # one rule from each kernel family so both signal passes run)

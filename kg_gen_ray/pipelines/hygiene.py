@@ -109,6 +109,7 @@ def prepare_training_data(docs: "ray.data.Dataset",
                           c4_rules: bool = False,
                           gopher_rules: dict | None = None,
                           dedup_paragraphs: bool = False,
+                          span_k: int | None = None,
                           min_lm_score_micro: int | None = None,
                           count_stages: bool = True) -> HygieneResult:
     """Run the hygiene flow. ``benchmark=None`` skips decontamination;
@@ -129,7 +130,10 @@ def prepare_training_data(docs: "ray.data.Dataset",
     streaming pass, before any content hashing.
     ``dedup_paragraphs=True`` inserts the CCNet
     boilerplate pass (corpus-wide paragraph-level dedup, documents
-    rebuilt) between the scrub and document-level dedup. ``min_lm_score_micro`` (when set)
+    rebuilt) between the scrub and document-level dedup. ``span_k``
+    (when set) runs Lee et al. duplicated-span removal at that k after
+    the paragraph pass — the finer-grained sibling that catches repeats
+    embedded mid-document. ``min_lm_score_micro`` (when set)
     appends the CCNet perplexity filter: the bigram LM trains on the
     already-cleaned corpus and documents whose PER-BIGRAM average score
     in micro-nats falls below the threshold are dropped.
@@ -197,6 +201,16 @@ def prepare_training_data(docs: "ray.data.Dataset",
         deduped = paragraph_dedup(cur, text_col=text_col, id_col=id_col)
         cur = note("paragraph_deduped",
                    reattach(deduped, cur).materialize())
+
+    if span_k is not None:
+        from kg_gen_ray.functions.spans import dedup_spans
+
+        # span removal REWRITES text too, so it also precedes content
+        # fingerprinting; docs emptied by coverage stay (the near-dup
+        # stage collapses them into one survivor)
+        rewritten = dedup_spans(cur, k=span_k,
+                                text_col=text_col, id_col=id_col)
+        cur = note("span_deduped", reattach(rewritten, cur).materialize())
 
     if benchmark is not None:
         cur = note("decontaminated",

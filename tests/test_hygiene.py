@@ -169,3 +169,22 @@ def test_gopher_stage_in_composition(ray_session):
         prepare_training_data(docs, benchmark=None,
                               gopher_rules={"max_weird": 1.0},
                               count_stages=False)
+
+
+def test_span_stage_in_composition(ray_session):
+    """span_k removes a repeated 3-gram's second occurrence mid-doc and
+    the count ledger records the stage."""
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta " + " ".join(f"a{i}" for i in range(10)),
+            "intro alpha beta gamma outro " + " ".join(
+                f"b{i}" for i in range(10)),
+        ], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string())}))
+    res = prepare_training_data(docs, benchmark=None, per_group_cap=10,
+                                max_tokens=64, span_k=3)
+    assert res.counts["span_deduped"] == 2
+    kept = {r["doc_id"]: r["text"] for r in res.clean_docs.take_all()}
+    assert kept[0].startswith("alpha beta gamma delta")
+    assert "alpha" not in kept[1] and kept[1].startswith("intro")
