@@ -253,7 +253,7 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
 
     if (mat.size_bytes() or 0) <= dual_limit(broadcast_limit):
         rows = []
-        for b in mat.iter_batches(batch_format="pyarrow"):
+        for b in mat.iter_batches(batch_format="pyarrow", batch_size=None):
             ids = b[id_col].to_pylist()
             m = _mat(b)
             rows.append((ids, m))

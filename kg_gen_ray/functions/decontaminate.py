@@ -111,7 +111,7 @@ def contaminated_ids(docs: "ray.data.Dataset",
     if (bench_sh.size_bytes() or 0) <= dual_limit(broadcast_limit):
         arr = np.sort(np.concatenate(
             [b["sh"].to_numpy(zero_copy_only=False)
-             for b in bench_sh.iter_batches(batch_format="pyarrow")]
+             for b in bench_sh.iter_batches(batch_format="pyarrow", batch_size=None)]
             or [np.zeros(0, dtype=np.uint64)]))
         ref = ray.put(arr)
 

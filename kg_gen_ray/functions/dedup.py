@@ -250,7 +250,7 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
     pairs = pairs.materialize()
     if (pairs.size_bytes() or 0) <= dual_limit(broadcast_limit):
         cand_ids = set()
-        for b in pairs.iter_batches(batch_format="pyarrow"):
+        for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
             cand_ids.update(b["doc_a"].to_pylist())
             cand_ids.update(b["doc_b"].to_pylist())
         cid_ref = ray.put(cand_ids)
@@ -292,7 +292,7 @@ def jaccard_verify(docs: "ray.data.Dataset", pairs: "ray.data.Dataset",
 
     if (cands.size_bytes() or 0) <= dual_limit(broadcast_limit):
         sh_map, vocab = {}, {}
-        for b in cands.iter_batches(batch_format="pyarrow"):
+        for b in cands.iter_batches(batch_format="pyarrow", batch_size=None):
             sh_map.update(_shingle_id_arrays(
                 b["doc_id"].to_pylist(), b["text"].to_pylist(), vocab))
         ref = ray.put(sh_map)
@@ -523,7 +523,7 @@ def pair_graph_losers(pairs: "ray.data.Dataset",
                 x = parent[x]
             return x
 
-        for b in pairs.iter_batches(batch_format="pyarrow"):
+        for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
             for a_, b_ in zip(b[a_col].to_pylist(), b[b_col].to_pylist()):
                 parent.setdefault(a_, a_)
                 parent.setdefault(b_, b_)
@@ -606,7 +606,7 @@ def drop_ids(ds: "ray.data.Dataset", losers: "ray.data.Dataset",
         return ds
     if (losers.size_bytes() or 0) <= dual_limit(broadcast_limit):
         dropped = set()
-        for b in losers.iter_batches(batch_format="pyarrow"):
+        for b in losers.iter_batches(batch_format="pyarrow", batch_size=None):
             dropped.update(b["doc_id"].to_pylist())
         ref = _ray.put(dropped)
 
@@ -676,7 +676,7 @@ def keep_ids(ds: "ray.data.Dataset", keepers: "ray.data.Dataset",
         return ds.limit(0)
     if (keepers.size_bytes() or 0) <= dual_limit(broadcast_limit):
         kept = set()
-        for b in keepers.iter_batches(batch_format="pyarrow"):
+        for b in keepers.iter_batches(batch_format="pyarrow", batch_size=None):
             kept.update(b["doc_id"].to_pylist())
         ref = _ray.put(kept)
 

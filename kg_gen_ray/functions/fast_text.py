@@ -239,8 +239,13 @@ _MD5_MEMO_CAP = 1 << 20
 def _md5_u32_hashes(flat: pa.Array) -> np.ndarray:
     if len(flat) == 0:
         return np.zeros(0, dtype=np.uint64)
-    toks = np.asarray(flat.to_pylist(), dtype=object)
-    uniq, inv = np.unique(toks, return_inverse=True)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    # dictionary-encode FIRST (C hash pass): only the distinct tokens
+    # ever become Python strings — the old to_pylist + np.unique path
+    # materialized every occurrence as an object before deduping
+    d = flat.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
     if len(_MD5_MEMO) > _MD5_MEMO_CAP:
         _MD5_MEMO.clear()
     memo = _MD5_MEMO
@@ -248,7 +253,7 @@ def _md5_u32_hashes(flat: pa.Array) -> np.ndarray:
         (memo.get(t) if t in memo else memo.setdefault(
             t, int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16))
          for t in uniq), dtype=np.uint64, count=len(uniq))
-    return hu[inv]
+    return hu[d.indices.to_numpy(zero_copy_only=False)]
 
 
 def _sliced(fn, batch: pa.Table, *args) -> pa.Table:
@@ -459,7 +464,7 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
 
     if (rows.size_bytes() or 0) <= dual_limit(broadcast_limit):
         keys_np, docs_np = [], []
-        for b in rows.iter_batches(batch_format="pyarrow"):
+        for b in rows.iter_batches(batch_format="pyarrow", batch_size=None):
             keys_np.append(b["band_key"].to_numpy(zero_copy_only=False))
             docs_np.append(b["doc_id"].to_numpy(zero_copy_only=False))
         if not keys_np:

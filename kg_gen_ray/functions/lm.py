@@ -184,10 +184,10 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
         # raw crawl text (U-dtype strips trailing NULs; a separator char
         # can occur inside a token), which would silently mis-score.
         m1 = {}
-        for b in uni.iter_batches(batch_format="pyarrow"):
+        for b in uni.iter_batches(batch_format="pyarrow", batch_size=None):
             m1.update(zip(b["w1"].to_pylist(), b["c1"].to_pylist()))
         keys, c2s, c1s = [], [], []
-        for b in bi.iter_batches(batch_format="pyarrow"):
+        for b in bi.iter_batches(batch_format="pyarrow", batch_size=None):
             for w1, w2, c2 in zip(b["w1"].to_pylist(),
                                   b["w2"].to_pylist(),
                                   b["c2"].to_pylist()):

@@ -268,7 +268,7 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
 
     def _sorted_encs(ds) -> np.ndarray:
         encs = [b["enc"].to_numpy(zero_copy_only=False)
-                for b in ds.iter_batches(batch_format="pyarrow")]
+                for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
         return np.sort(np.concatenate(encs)) if encs \
             else np.array([], dtype=np.int64)
 

@@ -74,7 +74,7 @@ def scrub_report(ds: "ray.data.Dataset", text_col: str = "text",
     totals = dict.fromkeys(names, 0)
     for b in ds.map_batches(partial,
                             batch_format="pyarrow").iter_batches(
-                                batch_format="pyarrow"):
+                                batch_format="pyarrow", batch_size=None):
         for name, n in zip(b["name"].to_pylist(), b["n"].to_pylist()):
             totals[name] += n
     return totals

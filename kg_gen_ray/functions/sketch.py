@@ -101,7 +101,7 @@ def hll_estimate(ds: "ray.data.Dataset", col: str,
     merged = np.zeros(M, dtype=np.uint8)
     for b in ds.map_batches(partial,
                             batch_format="pyarrow").iter_batches(
-                                batch_format="pyarrow"):
+                                batch_format="pyarrow", batch_size=None):
         for blob in b["regs"].to_pylist():
             merged = np.maximum(merged,
                                 np.frombuffer(blob, dtype=np.uint8))
@@ -233,7 +233,7 @@ def bloom_build(ids: "ray.data.Dataset", col: str,
     merged = np.zeros(m // 8, dtype=np.uint8)
     for b in ids.map_batches(partial,
                              batch_format="pyarrow").iter_batches(
-                                 batch_format="pyarrow"):
+                                 batch_format="pyarrow", batch_size=None):
         for blob in b["bits"].to_pylist():
             merged |= np.frombuffer(blob, dtype=np.uint8)
     return BloomFilter(ray.put(merged.tobytes()), m, n_hashes)
@@ -295,7 +295,7 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str,
     n_total = 0
     for b in ds.map_batches(partial,
                             batch_format="pyarrow").iter_batches(
-                                batch_format="pyarrow"):
+                                batch_format="pyarrow", batch_size=None):
         n_total += int(pc.sum(b["n_rows"]).as_py() or 0)
         for v, c in zip(b["value"].to_pylist(), b["cnt"].to_pylist()):
             if c > 0:

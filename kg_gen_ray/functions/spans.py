@@ -213,15 +213,18 @@ def _rebuild_batch(t: pa.Table, text_col: str, id_col: str, k: int,
     keep = np.ones(total, dtype=bool)
     if len(pos):
         start = offsets[row_of] + pos
-        cov = np.zeros(total + k, dtype=np.int64)
-        np.add.at(cov, start, 1)
-        np.add.at(cov, start + k, -1)   # pos + k <= row end by mining
-        keep = np.cumsum(cov[:total]) <= 0
+        # bincount beats np.add.at by ~10x on multi-million index arrays
+        inc = np.bincount(start, minlength=total + k)
+        dec = np.bincount(start + k, minlength=total + k)
+        # pos + k <= row end by mining, so spans never cross rows
+        keep = np.cumsum(inc[:total] - dec[:total]) <= 0
     kept = flat.filter(pa.array(keep))
-    new_lengths = np.zeros(t.num_rows, dtype=np.int64)
     if total:
-        np.add.at(new_lengths,
-                  np.repeat(np.arange(t.num_rows), lengths)[keep], 1)
+        new_lengths = np.bincount(
+            np.repeat(np.arange(t.num_rows), lengths)[keep],
+            minlength=t.num_rows)
+    else:
+        new_lengths = np.zeros(t.num_rows, dtype=np.int64)
     new_offsets = np.concatenate([[0], np.cumsum(new_lengths)])
     lst = pa.ListArray.from_arrays(
         pa.array(new_offsets, pa.int32()), kept)
@@ -250,7 +253,7 @@ def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
     if (losers.size_bytes() or 0) <= dual_limit(broadcast_limit):
         encs = np.sort(np.concatenate(
             [b["enc"].to_numpy(zero_copy_only=False)
-             for b in losers.iter_batches(batch_format="pyarrow")]
+             for b in losers.iter_batches(batch_format="pyarrow", batch_size=None)]
             or [np.zeros(0, dtype=np.int64)]))
         ref = ray.put(encs)
 

@@ -527,7 +527,7 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
         from kg_gen_ray.stages.common import dict_lookup
 
         idf = {}
-        for b in stats.iter_batches(batch_format="pyarrow"):
+        for b in stats.iter_batches(batch_format="pyarrow", batch_size=None):
             for w, df in zip(b["word"].to_pylist(), b["df"].to_pylist()):
                 if w:
                     idf[w] = math.log(n_docs / df)

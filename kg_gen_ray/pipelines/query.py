@@ -63,7 +63,7 @@ def neighborhood(triples: "ray.data.Dataset", seeds: set,
         if (frontier.size_bytes() or 0) <= dual_limit(broadcast_limit):
             # one pass, one OR mask: the serving-sized common case
             ents = set()
-            for b in frontier.iter_batches(batch_format="pyarrow"):
+            for b in frontier.iter_batches(batch_format="pyarrow", batch_size=None):
                 ents.update(b["doc_id"].to_pylist())
             ref = ray.put(ents)
 

@@ -119,7 +119,7 @@ def revenue_by_region(sf_dir: str,
 
     if (cust.size_bytes() or 0) <= dual_limit(broadcast_limit):
         cmap = {}
-        for b in cust.iter_batches(batch_format="pyarrow"):
+        for b in cust.iter_batches(batch_format="pyarrow", batch_size=None):
             cmap.update(zip(b["c_custkey"].to_pylist(),
                             b["c_nationkey"].to_pylist()))
         cref = ray.put(cmap)

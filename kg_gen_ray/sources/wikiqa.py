@@ -107,7 +107,7 @@ def clean_split(ds: "ray.data.Dataset", question_col: str = "question_id",
 
     if (winners.size_bytes() or 0) <= dual_limit(broadcast_limit):
         ids: list = []
-        for b in winners.iter_batches(batch_format="pyarrow"):
+        for b in winners.iter_batches(batch_format="pyarrow", batch_size=None):
             ids.extend(b[order_col].to_pylist())
         ref = ray.put(set(int(i) for i in ids))
 

@@ -158,7 +158,7 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
 
     if (edges.size_bytes() or 0) <= dual_limit(driver_limit):
         pairs = []
-        for b in edges.iter_batches(batch_format="pyarrow"):
+        for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
             pairs.extend(zip(b["node"].to_pylist(), b["nbr"].to_pylist()))
         comp_map = connected_components(pairs)
         nodes = sorted(comp_map)
@@ -201,7 +201,7 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
         comp_r = None        # join path's shared repartitioned label table
         if comp_bytes <= broadcast_limit:
             comp_map = {}
-            for b in comp.iter_batches(batch_format="pyarrow"):
+            for b in comp.iter_batches(batch_format="pyarrow", batch_size=None):
                 comp_map.update(zip(b["node"].to_pylist(),
                                     b["component"].to_pylist()))
             # pointer jumping, driver-side while the map is broadcastable:
@@ -425,7 +425,7 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
         # same size-chosen dual as the rewrite stage)
         if (reps.size_bytes() or 0) <= dual_limit(broadcast_limit):
             rep_map = {}
-            for b in reps.iter_batches(batch_format="pyarrow"):
+            for b in reps.iter_batches(batch_format="pyarrow", batch_size=None):
                 rep_map.update(zip(
                     zip(b["kind"].to_pylist(), b["norm_key"].to_pylist()),
                     _decode_rank_arr(b["rank_enc"].combine_chunks())
@@ -599,7 +599,7 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
     # rule as the no-judge rep assignment above)
     if (l2.size_bytes() or 0) <= dual_limit(broadcast_limit):
         rep_map = {}
-        for b in l2.iter_batches(batch_format="pyarrow"):
+        for b in l2.iter_batches(batch_format="pyarrow", batch_size=None):
             rep_map.update(zip(
                 zip(b["kind"].to_pylist(), b["norm_key"].to_pylist(),
                     b["l1_rep"].to_pylist()),

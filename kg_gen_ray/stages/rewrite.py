@@ -49,7 +49,7 @@ def build_alias_dicts(alias_map: "ray.data.Dataset") -> tuple[dict, dict]:
     dropped to keep the broadcast dict minimal.
     """
     ent, edge = {}, {}
-    for batch in alias_map.iter_batches(batch_format="pyarrow"):
+    for batch in alias_map.iter_batches(batch_format="pyarrow", batch_size=None):
         for kind, rep, member in zip(batch["kind"].to_pylist(),
                                      batch["representative"].to_pylist(),
                                      batch["member"].to_pylist()):

@@ -203,7 +203,7 @@ def semantic_canonicalize(labels: "ray.data.Dataset",
         # join on lid otherwise
         if (cmap.size_bytes() or 0) <= dual_limit(assign_broadcast_limit):
             id_to_cid = {}
-            for b in cmap.iter_batches(batch_format="pyarrow"):
+            for b in cmap.iter_batches(batch_format="pyarrow", batch_size=None):
                 id_to_cid.update(zip(b["lid"].to_pylist(),
                                      b["centroid_id"].to_pylist()))
             ref = ray.put(id_to_cid)

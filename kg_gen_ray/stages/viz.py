@@ -172,12 +172,12 @@ def pagerank(triples: "ray.data.Dataset", n_iter: int = 5,
     if (edges_od.size_bytes() or 0) <= dual_limit(driver_limit):
         import numpy as np
         names = []
-        for b in nodes.iter_batches(batch_format="pyarrow"):
+        for b in nodes.iter_batches(batch_format="pyarrow", batch_size=None):
             names.extend(b["entity"].to_pylist())
         names = sorted(names)
         idx = {e: i for i, e in enumerate(names)}
         us, vs, ods = [], [], []
-        for b in edges_od.iter_batches(batch_format="pyarrow"):
+        for b in edges_od.iter_batches(batch_format="pyarrow", batch_size=None):
             us.extend(b["u"].to_pylist())
             vs.extend(b["v"].to_pylist())
             ods.extend(b["od"].to_pylist())
@@ -209,7 +209,7 @@ def pagerank(triples: "ray.data.Dataset", n_iter: int = 5,
     for _ in range(n_iter):
         if (pr.size_bytes() or 0) <= dual_limit(broadcast_limit):
             pr_map = {}
-            for b in pr.iter_batches(batch_format="pyarrow"):
+            for b in pr.iter_batches(batch_format="pyarrow", batch_size=None):
                 pr_map.update(zip(b["entity"].to_pylist(),
                                   b["pr"].to_pylist()))
             ref = ray.put(pr_map)
