@@ -35,13 +35,17 @@ Distributed shape (the 100 TB story):
   per-batch minima — one 16-byte (hash, enc) row per distinct k-gram per
   batch — shuffle into a bucket-hashed groupby where pandas' C groupby
   marks the global minimum per hash. The exchange never carries text.
-* the rebuild streams the corpus once, with a size-selected dual on the
-  loser set: losers broadcast as ONE sorted int64 array (healthy corpus:
-  only repeated spans pay) and each batch finds its rows' losers with
-  two searchsorted calls; above the broadcast budget the losers are
-  packed into per-doc binary position blobs (16-byte rows -> one blob
-  per affected doc) and LEFT-OUTER-joined onto the corpus, so the
-  exchange is O(duplicated occurrences), never O(corpus text).
+* the rebuild streams the corpus once, with a THREE-way size-selected
+  dual on the membership set it needs: the loser enc set broadcasts as
+  ONE sorted int64 array (healthy corpus — two searchsorted calls per
+  batch); on a boilerplate-extreme corpus the loser set is
+  occurrence-sized but the winner map is one (sh, enc) per DISTINCT
+  duplicated k-gram — vocabulary-sized — so it broadcasts instead and
+  each batch re-derives loser status locally (measured 3.2x over the
+  join dual at 400k templated pages); with both beyond any broadcast,
+  losers pack into per-doc binary position blobs LEFT-OUTER-joined onto
+  the corpus, an O(duplicated occurrences) exchange, never O(corpus
+  text).
 """
 
 from __future__ import annotations
@@ -94,18 +98,18 @@ def _doc_tokens(t: pa.Table, text_col: str, id_col: str):
     return ids, toks.flatten(), lengths, offsets
 
 
-def _explode_kgrams(t: pa.Table, text_col: str, id_col: str, k: int):
-    """(sh, enc) per k-gram occurrence: int64 bit-view of the u64 rolling
-    hash, and the packed (doc_id << POS_BITS) + pos occurrence key."""
-    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
-    if t.num_rows == 0:
-        return empty
-    ids, flat, lengths, offsets = _doc_tokens(t, text_col, id_col)
+def _explode_from_parts(ids, flat, lengths, offsets, n_rows: int, k: int):
+    """(sh, enc, srow, pos) per k-gram occurrence from pre-tokenized
+    parts: int64 bit-view of the u64 rolling hash, the packed
+    (doc_id << POS_BITS) + pos occurrence key, the batch row index and
+    the within-doc position."""
+    e = np.zeros(0, dtype=np.int64)
+    empty = (e, e, e, e)
     th = _md5_u32_hashes(flat)
     n_out = len(th) - (k - 1)
     if n_out <= 0:
         return empty
-    row_idx = np.repeat(np.arange(t.num_rows), lengths)
+    row_idx = np.repeat(np.arange(n_rows), lengths)
     with np.errstate(over="ignore"):
         acc = np.zeros(n_out, dtype=np.uint64)
         for j in range(k):
@@ -118,6 +122,17 @@ def _explode_kgrams(t: pa.Table, text_col: str, id_col: str, k: int):
     srow = row_idx[base]
     pos = base - offsets[srow]
     enc = ids[srow] * (_MAX_POS + 1) + pos
+    return sh, enc, srow, pos
+
+
+def _explode_kgrams(t: pa.Table, text_col: str, id_col: str, k: int):
+    """(sh, enc) per k-gram occurrence (see ``_explode_from_parts``)."""
+    e = np.zeros(0, dtype=np.int64)
+    if t.num_rows == 0:
+        return e, e
+    ids, flat, lengths, offsets = _doc_tokens(t, text_col, id_col)
+    sh, enc, _srow, _pos = _explode_from_parts(
+        ids, flat, lengths, offsets, t.num_rows, k)
     return sh, enc
 
 
@@ -125,13 +140,17 @@ _DUP_DOC_MSG = ("duplicate doc_id: the same k-gram occurs twice under one "
                 "(doc_id, pos) key; span dedup requires unique document ids")
 
 
-def span_losers(docs: "ray.data.Dataset", k: int = SPAN_K,
-                text_col: str = "text", id_col: str = "doc_id",
-                shuffle_partitions=None) -> "ray.data.Dataset":
-    """(enc,) packed (doc_id, pos) keys of every k-gram occurrence that
-    LOSES the first-occurrence rule — i.e. its hash occurs >= 2 times
-    corpus-wide and it is not the global minimum occurrence. Two-level
-    min, same mining shape as ``paragraphs._mark_occurrences``."""
+def _mine(docs: "ray.data.Dataset", k: int, text_col: str, id_col: str,
+          shuffle_partitions=None):
+    """Two-level-min mining pass (same shape as
+    ``paragraphs._mark_occurrences``). Returns ``(local_losers,
+    global_marked)``: ``local_losers`` is (enc,) for occurrences losing
+    INSIDE their own batch (an in-batch repeat is globally duplicated, so
+    they never enter the exchange); ``global_marked`` is
+    (sh, enc, is_win, is_dup) over the per-batch minima — exactly one row
+    per (k-gram, batch), each carrying its in-batch occurrence count so
+    the global stage can tell a sole-in-batch occurrence of a duplicated
+    k-gram (is_dup) from a globally-unique one."""
 
     def local(t: pa.Table) -> pa.Table:
         sh, enc = _explode_kgrams(t, text_col, id_col, k)
@@ -142,6 +161,8 @@ def span_losers(docs: "ray.data.Dataset", k: int = SPAN_K,
         first[1:] = ss[1:] != ss[:-1]
         if len(se) and bool((~first[1:] & (se[1:] == se[:-1])).any()):
             raise ValueError(_DUP_DOC_MSG)
+        grp = np.cumsum(first) - 1
+        sizes = np.bincount(grp) if len(grp) else np.zeros(0, np.int64)
         return pa.table({
             "sh": pa.array(np.concatenate([ss[first], ss[~first]]),
                            pa.int64()),
@@ -150,6 +171,9 @@ def span_losers(docs: "ray.data.Dataset", k: int = SPAN_K,
             "is_min": pa.array(np.concatenate(
                 [np.ones(int(first.sum()), dtype=bool),
                  np.zeros(int((~first).sum()), dtype=bool)])),
+            "n_local": pa.array(np.concatenate(
+                [sizes.astype(np.int64),
+                 np.ones(int((~first).sum()), dtype=np.int64)])),
         })
 
     # checkpoint before branching: the two filters below are separate
@@ -174,15 +198,30 @@ def span_losers(docs: "ray.data.Dataset", k: int = SPAN_K,
         # it wins and nothing drops)
         win = (g.sort_values("enc", kind="stable")
                 .groupby("sh", sort=False).cumcount() == 0).reindex(g.index)
+        total = g.groupby("sh", sort=False)["n_local"].transform("sum")
         return pa.table({
+            "sh": pa.array(g["sh"].to_numpy(dtype=np.int64), pa.int64()),
             "enc": pa.array(g["enc"].to_numpy(dtype=np.int64), pa.int64()),
             "is_win": pa.array(win.to_numpy(dtype=bool)),
+            "is_dup": pa.array((total >= 2).to_numpy(dtype=bool)),
         })
 
-    global_losers = minima.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(mark_min, batch_format="pandas") \
-        .filter(expr="is_win == False").select_columns(["enc"])
-    return local_losers.union(global_losers)
+    global_marked = minima.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(mark_min, batch_format="pandas")
+    return local_losers, global_marked
+
+
+def span_losers(docs: "ray.data.Dataset", k: int = SPAN_K,
+                text_col: str = "text", id_col: str = "doc_id",
+                shuffle_partitions=None) -> "ray.data.Dataset":
+    """(enc,) packed (doc_id, pos) keys of every k-gram occurrence that
+    LOSES the first-occurrence rule — i.e. its hash occurs >= 2 times
+    corpus-wide and it is not the global minimum occurrence."""
+    local_losers, global_marked = _mine(docs, k, text_col, id_col,
+                                        shuffle_partitions)
+    return local_losers.union(
+        global_marked.filter(expr="is_win == False")
+        .select_columns(["enc"]))
 
 
 def _rebuild_batch(t: pa.Table, text_col: str, id_col: str, k: int,
@@ -210,9 +249,19 @@ def _rebuild_batch(t: pa.Table, text_col: str, id_col: str, k: int,
         row_of = np.repeat(np.arange(t.num_rows), counts)
         pos = (np.concatenate(loser_pos_per_row)
                if len(loser_pos_per_row) else np.zeros(0, dtype=np.int64))
+    start = offsets[row_of] + pos if len(pos) else pos
+    return _rebuild_from_starts(ids, flat, lengths, t.num_rows, k, start,
+                                text_col, id_col)
+
+
+def _rebuild_from_starts(ids, flat, lengths, n_rows: int, k: int,
+                         start: np.ndarray,
+                         text_col: str, id_col: str) -> pa.Table:
+    """Shared rebuild tail: drop every token under a loser span starting
+    at the given flat indices, re-join each row's survivors."""
+    total = int(lengths.sum())
     keep = np.ones(total, dtype=bool)
-    if len(pos):
-        start = offsets[row_of] + pos
+    if len(start):
         # bincount beats np.add.at by ~10x on multi-million index arrays
         inc = np.bincount(start, minlength=total + k)
         dec = np.bincount(start + k, minlength=total + k)
@@ -221,10 +270,10 @@ def _rebuild_batch(t: pa.Table, text_col: str, id_col: str, k: int,
     kept = flat.filter(pa.array(keep))
     if total:
         new_lengths = np.bincount(
-            np.repeat(np.arange(t.num_rows), lengths)[keep],
-            minlength=t.num_rows)
+            np.repeat(np.arange(n_rows), lengths)[keep],
+            minlength=n_rows)
     else:
-        new_lengths = np.zeros(t.num_rows, dtype=np.int64)
+        new_lengths = np.zeros(n_rows, dtype=np.int64)
     new_offsets = np.concatenate([[0], np.cumsum(new_lengths)])
     lst = pa.ListArray.from_arrays(
         pa.array(new_offsets, pa.int32()), kept)
@@ -237,31 +286,86 @@ def _rebuild_batch(t: pa.Table, text_col: str, id_col: str, k: int,
 def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
                 text_col: str = "text", id_col: str = "doc_id",
                 broadcast_limit: int = 64 * 1024 * 1024,
-                shuffle_partitions=None) -> "ray.data.Dataset":
+                shuffle_partitions=None,
+                rebuild: str = "auto") -> "ray.data.Dataset":
     """(doc_id, text) with every duplicated k-token span removed except
     its corpus-wide first occurrence. Documents are all kept (a fully
     covered doc becomes the empty string — the caller decides whether to
     drop it); untouched docs round-trip bit-identically (split/join on
     single spaces is lossless).
 
-    Size-selected dual on the loser set (see module docstring): one
-    sorted broadcast array + per-batch searchsorted under the limit,
-    per-doc binary position blobs + left-outer join above it."""
-    losers = span_losers(docs, k, text_col, id_col, shuffle_partitions) \
-        .materialize()
+    THREE-way size-selected dual on the membership set the rebuild needs
+    (mirrors ``paragraph_dedup``; force one with ``rebuild=``):
 
-    if (losers.size_bytes() or 0) <= dual_limit(broadcast_limit):
+    1. ``"losers"`` — the loser enc set broadcasts as ONE sorted array,
+       each batch finds its rows' losers with two searchsorted calls
+       (healthy corpus: only repeated spans pay; cheapest rebuild — no
+       re-hashing);
+    2. ``"winners"`` — boilerplate-EXTREME corpus: the loser set is
+       occurrence-sized but the winner map is one (sh, enc) per DISTINCT
+       duplicated k-gram, i.e. vocabulary-sized. It broadcasts instead
+       and each batch re-derives its own occurrences' loser status
+       locally (sh in map and enc != map[sh] — the mining predicate
+       verbatim, so results are identical);
+    3. ``"join"`` — both beyond any broadcast: per-doc binary position
+       blobs left-outer-joined onto the corpus, O(duplicated
+       occurrences) exchange."""
+    if rebuild not in ("auto", "losers", "winners", "join"):
+        raise ValueError(f"unknown rebuild mode: {rebuild!r}")
+    local_losers, global_marked = _mine(docs, k, text_col, id_col,
+                                        shuffle_partitions)
+    global_marked = global_marked.materialize()
+    losers = local_losers.union(
+        global_marked.filter(expr="is_win == False")
+        .select_columns(["enc"])).materialize()
+
+    loser_fit = (losers.size_bytes() or 0) <= dual_limit(broadcast_limit)
+    if rebuild == "losers" or (rebuild == "auto" and loser_fit):
         encs = np.sort(np.concatenate(
             [b["enc"].to_numpy(zero_copy_only=False)
-             for b in losers.iter_batches(batch_format="pyarrow", batch_size=None)]
+             for b in losers.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)]
             or [np.zeros(0, dtype=np.int64)]))
         ref = ray.put(encs)
 
-        def rebuild(t: pa.Table, ref=ref) -> pa.Table:
+        def rebuild_l(t: pa.Table, ref=ref) -> pa.Table:
             return _rebuild_batch(t, text_col, id_col, k,
                                   None, ray.get(ref))
 
-        return docs.map_batches(rebuild, batch_format="pyarrow")
+        return docs.map_batches(rebuild_l, batch_format="pyarrow")
+
+    dupw = global_marked \
+        .filter(expr="is_win == True").filter(expr="is_dup == True") \
+        .select_columns(["sh", "enc"]).materialize()
+    if rebuild == "winners" or (
+            rebuild == "auto"
+            and (dupw.size_bytes() or 0) <= dual_limit(broadcast_limit)):
+        shs, wenc = [], []
+        for b in dupw.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+            shs.append(b["sh"].to_numpy(zero_copy_only=False))
+            wenc.append(b["enc"].to_numpy(zero_copy_only=False))
+        shs = np.concatenate(shs) if shs else np.zeros(0, np.int64)
+        wenc = np.concatenate(wenc) if wenc else np.zeros(0, np.int64)
+        order = np.argsort(shs, kind="stable")
+        ref = ray.put((shs[order], wenc[order]))
+
+        def rebuild_w(t: pa.Table, ref=ref) -> pa.Table:
+            ids, flat, lengths, offsets = _doc_tokens(t, text_col, id_col)
+            sh, enc, srow, pos = _explode_from_parts(
+                ids, flat, lengths, offsets, t.num_rows, k)
+            shs, wenc = ray.get(ref)
+            if len(shs) and len(sh):
+                idx = np.searchsorted(shs, sh)
+                idx_c = np.minimum(idx, len(shs) - 1)
+                lose = (shs[idx_c] == sh) & (enc != wenc[idx_c])
+            else:
+                lose = np.zeros(len(sh), dtype=bool)
+            start = offsets[srow[lose]] + pos[lose]
+            return _rebuild_from_starts(ids, flat, lengths, t.num_rows,
+                                        k, start, text_col, id_col)
+
+        return docs.map_batches(rebuild_w, batch_format="pyarrow")
 
     # join dual: pack each affected doc's loser positions into ONE binary
     # blob (pyarrow Dataset.join rejects list columns; int64 tobytes is

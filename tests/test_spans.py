@@ -72,6 +72,10 @@ def test_dedup_spans_serial_parity_both_duals(ray_session):
     got_j = {r["doc_id"]: r["text"]
              for r in dedup_spans(ds, k=K, broadcast_limit=0).take_all()}
     assert got_j == expected
+    for mode in ("losers", "winners", "join"):
+        got = {r["doc_id"]: r["text"]
+               for r in dedup_spans(ds, k=K, rebuild=mode).take_all()}
+        assert got == expected, mode
 
 
 def test_dedup_spans_no_duplicates_is_identity(ray_session):
