@@ -143,9 +143,9 @@ def cmd_export_json(args) -> int:
 
 def cmd_prepare(args) -> int:
     """Training-data hygiene flow over a documents/pages parquet: scrub ->
-    (paragraph dedup) -> (decontaminate) -> near-dup dedup -> (LM filter)
-    -> (cap) -> pack; writes clean docs + packed assignment, prints the
-    per-stage audit counts."""
+    (gopher cut) -> (paragraph dedup) -> (span removal) -> (decontaminate)
+    -> near-dup dedup -> (LM filter) -> (cap) -> pack; writes clean docs +
+    packed assignment, prints the per-stage audit counts."""
     ray = _init_ray()
     import ray.data as rd
 
@@ -160,7 +160,13 @@ def cmd_prepare(args) -> int:
         id_col=args.id_col, text_col=args.text_col,
         url_col=args.url_col, dedup_method=args.dedup_method,
         c4_rules=args.c4_rules,
+        gopher_rules=(
+            {k: v for k, v in (
+                ("min_stop_hits", args.gopher_stop_hits),
+                ("max_mean_word_len", args.gopher_max_mean_word_len),
+            ) if v is not None} or None),
         dedup_paragraphs=args.dedup_paragraphs,
+        span_k=args.span_k,
         min_lm_score_micro=args.min_lm_score_micro)
     res.clean_docs.write_parquet(os.path.join(args.out, "clean_docs"))
     res.packed.write_parquet(os.path.join(args.out, "packed"))
@@ -247,6 +253,13 @@ def main(argv=None) -> int:
                          "javascript lines; lorem-ipsum + brace pages)")
     pr.add_argument("--dedup-paragraphs", action="store_true",
                     help="CCNet paragraph-level boilerplate dedup")
+    pr.add_argument("--span-k", type=int, default=None,
+                    help="Lee et al. duplicated-span removal at this "
+                         "k-gram width (after the paragraph pass)")
+    pr.add_argument("--gopher-stop-hits", type=int, default=None,
+                    help="Gopher cut: required distinct stop-word hits")
+    pr.add_argument("--gopher-max-mean-word-len", type=float, default=None,
+                    help="Gopher cut: maximum mean word length")
     pr.add_argument("--min-lm-score-micro", type=int, default=None,
                     help="bigram-LM per-bigram avg threshold (micro-nats)")
     pr.set_defaults(fn=cmd_prepare)
