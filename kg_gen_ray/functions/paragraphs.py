@@ -122,11 +122,14 @@ def _md5_arr(paras: pa.Array) -> np.ndarray:
     for i, s in enumerate(uniq):
         h = cache.get(s)
         if h is None:
-            h = hashlib.md5(s.encode("utf-8")).hexdigest()
+            b = s.encode("utf-8")
+            h = hashlib.md5(b).hexdigest()
             if (len(s) <= _MD5_CACHE_MAX_LEN
                     and _md5_cache_bytes < _MD5_CACHE_MAX_BYTES):
                 cache[s] = h
-                _md5_cache_bytes += len(s) + 48  # str + digest overhead
+                # charge UTF-8 bytes, not code points: a CJK paragraph
+                # costs ~3x its len() on the heap
+                _md5_cache_bytes += len(b) + 48  # str + digest overhead
         out_u[i] = h
     if not len(out_u):
         return np.array([], dtype=object)

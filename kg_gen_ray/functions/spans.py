@@ -231,7 +231,6 @@ def _rebuild_batch(t: pa.Table, text_col: str, id_col: str, k: int,
     Exactly one of ``loser_pos_per_row`` (join dual) / ``sorted_encs``
     (broadcast dual) is given."""
     ids, flat, lengths, offsets = _doc_tokens(t, text_col, id_col)
-    total = int(lengths.sum())
     if sorted_encs is not None:
         lo = np.searchsorted(sorted_encs, ids * (_MAX_POS + 1))
         hi = np.searchsorted(sorted_encs, ids * (_MAX_POS + 1) + lengths)
@@ -315,12 +314,19 @@ def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
     local_losers, global_marked = _mine(docs, k, text_col, id_col,
                                         shuffle_partitions)
     global_marked = global_marked.materialize()
-    losers = local_losers.union(
-        global_marked.filter(expr="is_win == False")
-        .select_columns(["enc"])).materialize()
 
-    loser_fit = (losers.size_bytes() or 0) <= dual_limit(broadcast_limit)
-    if rebuild == "losers" or (rebuild == "auto" and loser_fit):
+    # each forced mode materializes ONLY the membership set it uses (the
+    # winners dual exists to avoid paying for the occurrence-sized loser
+    # set, so it must not build it)
+    losers = None
+    if rebuild in ("auto", "losers", "join"):
+        losers = local_losers.union(
+            global_marked.filter(expr="is_win == False")
+            .select_columns(["enc"])).materialize()
+
+    if rebuild == "losers" or (
+            rebuild == "auto"
+            and (losers.size_bytes() or 0) <= dual_limit(broadcast_limit)):
         encs = np.sort(np.concatenate(
             [b["enc"].to_numpy(zero_copy_only=False)
              for b in losers.iter_batches(batch_format="pyarrow",
@@ -334,9 +340,21 @@ def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
 
         return docs.map_batches(rebuild_l, batch_format="pyarrow")
 
-    dupw = global_marked \
-        .filter(expr="is_win == True").filter(expr="is_dup == True") \
-        .select_columns(["sh", "enc"]).materialize()
+    if rebuild == "join" and losers.count() == 0:
+        # nothing to remove: an all-empty blob side would carry
+        # schemaless blocks the left-outer join cannot key on (the
+        # Project does NOT stamp schemas onto a groupby lineage's empty
+        # blocks) — rebuild against the empty loser set directly, which
+        # is exact
+        empty = np.zeros(0, dtype=np.int64)
+        return docs.map_batches(
+            lambda t: _rebuild_batch(t, text_col, id_col, k, None, empty),
+            batch_format="pyarrow")
+
+    if rebuild in ("auto", "winners"):
+        dupw = global_marked \
+            .filter(expr="is_win == True").filter(expr="is_dup == True") \
+            .select_columns(["sh", "enc"]).materialize()
     if rebuild == "winners" or (
             rebuild == "auto"
             and (dupw.size_bytes() or 0) <= dual_limit(broadcast_limit)):

@@ -152,7 +152,9 @@ def _flat_codes(flat: pa.Array):
 
 
 def gopher_repetition(batch: pa.Table, text_col: str = "text",
-                      line_col: str | None = None) -> pa.Table:
+                      line_col: str | None = None,
+                      _toks: pa.Array | None = None,
+                      _lines: pa.Array | None = None) -> pa.Table:
     """Within-document repetition signals from the Gopher (Rae et al.
     2021, arXiv:2112.11446 §A1.1) web-curation rules, one row per doc:
 
@@ -177,7 +179,8 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
     ``Dataset.filter`` on the emitted fractions for the Gopher cut
     (dup_line_frac > 0.30 etc.).
     """
-    toks = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+    toks = _toks if _toks is not None else pc.split_pattern(
+        pc.cast(batch[text_col], pa.string()), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -224,8 +227,8 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
             frac5 = cov_chars / denom_chars
 
     # duplicate lines
-    lsrc = pc.cast(batch[line_col or text_col], pa.string())
-    lines = pc.split_pattern(lsrc, "\n")
+    lines = _lines if _lines is not None else pc.split_pattern(
+        pc.cast(batch[line_col or text_col], pa.string()), "\n")
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
@@ -261,7 +264,9 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_quality(batch: pa.Table, text_col: str = "text",
-                   line_col: str | None = None) -> pa.Table:
+                   line_col: str | None = None,
+                   _toks: pa.Array | None = None,
+                   _lines: pa.Array | None = None) -> pa.Table:
     """Non-repetition Gopher quality signals (Rae et al. 2021,
     arXiv:2112.11446 §A1.1), one row per doc:
 
@@ -281,7 +286,8 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
     no shuffle and no state, so at 100 TB this composes into the hygiene
     flow as a pure filter stage. Word counts themselves are already
     emitted by :func:`quality_score` (``n_tokens``)."""
-    toks = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+    toks = _toks if _toks is not None else pc.split_pattern(
+        pc.cast(batch[text_col], pa.string()), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -315,8 +321,8 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
             present[row_idx[m]] = True
             stop_hits += present
 
-    lsrc = pc.cast(batch[line_col or text_col], pa.string())
-    lines = pc.split_pattern(lsrc, "\n")
+    lines = _lines if _lines is not None else pc.split_pattern(
+        pc.cast(batch[line_col or text_col], pa.string()), "\n")
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \

@@ -46,6 +46,8 @@ _GOPHER_QUALITY_RULES = {
     "min_alpha_word_frac": ("alpha_word_frac", "ge"),
     "max_symbol_word_ratio": ("symbol_word_ratio", "le"),
     "min_stop_hits": ("stop_hits", "ge"),
+    "max_bullet_line_frac": ("bullet_line_frac", "le"),
+    "max_ellipsis_line_frac": ("ellipsis_line_frac", "le"),
 }
 _GOPHER_REPETITION_RULES = {
     "max_dup_line_frac": ("dup_line_frac", "le"),
@@ -76,17 +78,23 @@ def _gopher_filter(ds: "ray.data.Dataset", rules: dict,
     def keep(t, x=text_col, q_rules=q_rules, r_rules=r_rules):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         view = pa.table({
             "doc_id": pa.array(np.arange(t.num_rows), pa.int64()),
             "text": t[x]})
+        # tokenize/line-split ONCE and share across both kernels — the
+        # splits are the dominant cost of this streaming pass
+        text_arr = pc.cast(view["text"], pa.string())
+        toks = pc.split_pattern(text_arr, " ")
+        lines = pc.split_pattern(text_arr, "\n")
         ok = np.ones(t.num_rows, dtype=bool)
         for table, rule_map, fn in (
                 (q_rules, _GOPHER_QUALITY_RULES, gopher_quality),
                 (r_rules, _GOPHER_REPETITION_RULES, gopher_repetition)):
             if not table:
                 continue
-            sig = fn(view)
+            sig = fn(view, _toks=toks, _lines=lines)
             for key, thresh in table.items():
                 col, cmp = rule_map[key]
                 vals = sig[col].to_numpy(zero_copy_only=False)
@@ -124,7 +132,8 @@ def prepare_training_data(docs: "ray.data.Dataset",
     thresholds over the ``gopher_quality`` / ``gopher_repetition``
     columns (``min_mean_word_len``, ``max_mean_word_len``,
     ``min_alpha_word_frac``, ``max_symbol_word_ratio``,
-    ``min_stop_hits``, ``max_dup_line_frac``, ``max_dup_line_char_frac``,
+    ``min_stop_hits``, ``max_bullet_line_frac``,
+    ``max_ellipsis_line_frac``, ``max_dup_line_frac``, ``max_dup_line_char_frac``,
     ``max_top_2gram_char_frac``, ``max_top_3gram_char_frac``,
     ``max_dup_5gram_char_frac``); rows failing any rule drop in the same
     streaming pass, before any content hashing.

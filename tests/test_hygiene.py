@@ -159,7 +159,9 @@ def test_gopher_stage_in_composition(ray_session):
         "lang": pa.array(["en", "en", "en"], pa.string())}))
     res = prepare_training_data(
         docs, benchmark=None, per_group_cap=10, max_tokens=64,
-        gopher_rules={"min_stop_hits": 1, "max_mean_word_len": 6.0})
+        gopher_rules={"min_stop_hits": 1, "max_mean_word_len": 6.0,
+                      "max_ellipsis_line_frac": 1.0,
+                      "max_bullet_line_frac": 1.0})
     assert res.counts["scrubbed"] == 3
     assert res.counts["gopher_filtered"] == 1   # docs 1 (stops) + 2 (mwl)
     kept = res.clean_docs.take_all()

@@ -9,7 +9,8 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from kg_gen_ray.functions.spans import SPAN_K, dedup_spans, span_hash_coeffs
+from kg_gen_ray.functions.spans import (SPAN_K, dedup_spans,
+                                        span_hash_coeffs, span_losers)
 
 DOCS = [
     (1, "a b c d e f"),
@@ -28,8 +29,9 @@ def _table():
         "text": pa.array([d[1] for d in DOCS], pa.string())})
 
 
-def _serial_expected(docs, k):
-    """Plain-python replay of the span rule (same hash family)."""
+def _serial_losers(docs, k):
+    """Plain-python replay of the loser rule (same hash family):
+    doc_id -> list of losing span start positions."""
     C = 0x100000001B3
     occ: dict = {}
     for did, text in docs:
@@ -47,6 +49,12 @@ def _serial_expected(docs, k):
             for o in lst:
                 if o != w:
                     losers.setdefault(o[0], []).append(o[1])
+    return losers
+
+
+def _serial_expected(docs, k):
+    """Plain-python replay of the full span-removal rule."""
+    losers = _serial_losers(docs, k)
     out = {}
     for did, text in docs:
         toks = text.split(" ")
@@ -76,6 +84,23 @@ def test_dedup_spans_serial_parity_both_duals(ray_session):
         got = {r["doc_id"]: r["text"]
                for r in dedup_spans(ds, k=K, rebuild=mode).take_all()}
         assert got == expected, mode
+    # the public mining API agrees with the serial loser set
+    M = 1 << 21
+    got_losers = sorted(r["enc"] for r in span_losers(ds, k=K).take_all())
+    want = sorted(d * M + p for d, ps in _serial_losers(DOCS, K).items()
+                  for p in ps)
+    assert got_losers == want
+
+
+def test_forced_join_dual_with_no_duplicates(ray_session):
+    """rebuild='join' on a dup-free corpus must not choke on the empty
+    blob join side."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": pa.array(["one two three four", "five six seven eight"])}))
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_spans(ds, k=K, rebuild="join").take_all()}
+    assert out == {10: "one two three four", 11: "five six seven eight"}
 
 
 def test_dedup_spans_no_duplicates_is_identity(ray_session):
