@@ -130,13 +130,31 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
+# per-worker shingle -> (h0..h{n-1}) memo: boilerplate shingles repeat
+# across documents and batches, so each distinct shingle pays its
+# n_hashes md5 calls once per worker lifetime (same pattern as the fast
+# family's token memo). Entry-capped: ~250 B/entry -> <=64 MB.
+_SIG_MEMO: dict = {}
+_SIG_MEMO_CAP = 1 << 18
+
+
+def _shingle_sig(s: str, n_hashes: int) -> tuple:
+    v = _SIG_MEMO.get(s)
+    if v is None or len(v) < n_hashes:
+        v = tuple(_md5(f"{k}:{s}") for k in range(n_hashes))
+        if len(_SIG_MEMO) < _SIG_MEMO_CAP:
+            _SIG_MEMO[s] = v
+    return v
+
+
 def minhash_signature(text: str, n_hashes: int = N_HASHES) -> list:
     """Signature h_k = min over shingles of md5("{k}:{shingle}") (hex-string
     min — identical to DuckDB ``min(md5(k || ':' || shingle))``)."""
     sh = shingle_set(text)
     if not sh:
         return [""] * n_hashes
-    return [min(_md5(f"{k}:{s}") for s in sh) for k in range(n_hashes)]
+    sigs = [_shingle_sig(s, n_hashes) for s in sh]
+    return [min(t[k] for t in sigs) for k in range(n_hashes)]
 
 
 def minhash_signatures(batch: pa.Table) -> pa.Table:
