@@ -130,3 +130,26 @@ def test_span_hash_coeffs_closed_form():
     coeffs = span_hash_coeffs(len(hs))
     assert acc == sum(h * c for h, c in zip(hs, coeffs)) % (1 << 64)
     assert SPAN_K == 8
+
+
+def test_dedup_spans_randomized_serial_parity(ray_session):
+    """Randomized corpora (tiny vocab -> dense duplication, self-overlaps,
+    empty docs) against the serial reference, every rebuild mode."""
+    import random
+
+    rng = random.Random(23)
+    vocab = ["a", "bb", "c", "dd"]
+    for trial in range(4):
+        docs = []
+        for did in range(12):
+            n = rng.randrange(0, 14)
+            docs.append((did, " ".join(rng.choice(vocab)
+                                       for _ in range(n))))
+        expected = _serial_expected(docs, K)
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string())}))
+        for mode in ("auto", "losers", "winners", "join"):
+            got = {r["doc_id"]: r["text"]
+                   for r in dedup_spans(ds, k=K, rebuild=mode).take_all()}
+            assert got == expected, (trial, mode)
