@@ -452,7 +452,7 @@ def q_text_quality(sf_dir: str):
     fraction, symbol-to-word ratio, required-stopword hits, bullet /
     ellipsis line fractions) ride the same batch too."""
     from kg_gen_ray.functions.text_analysis import (
-        LangId, gopher_quality, gopher_repetition, quality_score)
+        LangId, gopher_signals, quality_score)
 
     class QualityLang:
         def __init__(self):
@@ -463,18 +463,12 @@ def q_text_quality(sf_dir: str):
             q = q.append_column("pred_lang", self.lang(t)["pred_lang"])
             tl = t.append_column("line_text", pc.replace_substring(
                 pc.cast(t["text"], pa.string()), " table ", "\n"))
-            # tokenize/line-split once, shared by both gopher kernels
-            toks = pc.split_pattern(pc.cast(t["text"], pa.string()), " ")
-            lines = pc.split_pattern(
-                pc.cast(tl["line_text"], pa.string()), "\n")
-            g = gopher_repetition(tl, line_col="line_text",
-                                  _toks=toks, _lines=lines)
+            # one shared tokenize/line-split for both gopher kernels
+            gq, g = gopher_signals(tl, line_col="line_text")
             for name in ("dup_line_frac", "dup_line_char_frac",
                          "top_2gram_char_frac", "top_3gram_char_frac",
                          "dup_5gram_char_frac"):
                 q = q.append_column(name, g[name])
-            gq = gopher_quality(tl, line_col="line_text",
-                                _toks=toks, _lines=lines)
             for name in ("mean_word_len", "alpha_word_frac",
                          "symbol_word_ratio", "stop_hits",
                          "bullet_line_frac", "ellipsis_line_frac"):

@@ -132,17 +132,23 @@ def _md5(s: str) -> str:
 
 # per-worker shingle -> (h0..h{n-1}) memo: boilerplate shingles repeat
 # across documents and batches, so each distinct shingle pays its
-# n_hashes md5 calls once per worker lifetime (same pattern as the fast
-# family's token memo). Entry-capped: ~250 B/entry -> <=64 MB.
+# n_hashes md5 calls once per worker lifetime. Clears at cap (like
+# fast_text's token memo) so late-arriving hot shingles still memoize,
+# and skips oversized keys — shingle_set falls back to the WHOLE
+# document text below SHINGLE_K tokens (CJK / no-whitespace docs), which
+# must never pin worker heap.
 _SIG_MEMO: dict = {}
-_SIG_MEMO_CAP = 1 << 18
+_SIG_MEMO_CAP = 1 << 18                 # ~600 B/entry -> ~150 MB worst case
+_SIG_MEMO_MAX_LEN = 256
 
 
 def _shingle_sig(s: str, n_hashes: int) -> tuple:
     v = _SIG_MEMO.get(s)
     if v is None or len(v) < n_hashes:
         v = tuple(_md5(f"{k}:{s}") for k in range(n_hashes))
-        if len(_SIG_MEMO) < _SIG_MEMO_CAP:
+        if len(s) <= _SIG_MEMO_MAX_LEN:
+            if len(_SIG_MEMO) >= _SIG_MEMO_CAP:
+                _SIG_MEMO.clear()
             _SIG_MEMO[s] = v
     return v
 

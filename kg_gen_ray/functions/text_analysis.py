@@ -151,6 +151,28 @@ def _flat_codes(flat: pa.Array):
     return codes, tlen
 
 
+def gopher_signals(batch: pa.Table, text_col: str = "text",
+                   line_col: str | None = None,
+                   quality: bool = True,
+                   repetition: bool = True) -> tuple:
+    """(quality_table, repetition_table) with the token/line splits done
+    ONCE and shared across both kernels — the splits are the dominant
+    cost of the streaming pass, so callers needing both families (the
+    hygiene Gopher cut, the combined text-quality query) should use this
+    instead of calling the kernels separately. Either element is None
+    when its flag is off. The ``_toks``/``_lines`` kwargs on the kernels
+    are private to this wrapper: it is the only safe sharer, because it
+    derives both arrays from the same batch/columns it passes down."""
+    toks = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+    lines = pc.split_pattern(
+        pc.cast(batch[line_col or text_col], pa.string()), "\n")
+    q = gopher_quality(batch, text_col, line_col,
+                       _toks=toks, _lines=lines) if quality else None
+    r = gopher_repetition(batch, text_col, line_col,
+                          _toks=toks, _lines=lines) if repetition else None
+    return q, r
+
+
 def gopher_repetition(batch: pa.Table, text_col: str = "text",
                       line_col: str | None = None,
                       _toks: pa.Array | None = None,

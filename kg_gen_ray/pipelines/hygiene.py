@@ -69,8 +69,7 @@ def _gopher_filter(ds: "ray.data.Dataset", rules: dict,
         - set(_GOPHER_REPETITION_RULES)
     if unknown:
         raise ValueError(f"unknown gopher_rules keys: {sorted(unknown)}")
-    from kg_gen_ray.functions.text_analysis import (
-        gopher_quality, gopher_repetition)
+    from kg_gen_ray.functions.text_analysis import gopher_signals
     q_rules = {k: v for k, v in rules.items() if k in _GOPHER_QUALITY_RULES}
     r_rules = {k: v for k, v in rules.items()
                if k in _GOPHER_REPETITION_RULES}
@@ -78,23 +77,16 @@ def _gopher_filter(ds: "ray.data.Dataset", rules: dict,
     def keep(t, x=text_col, q_rules=q_rules, r_rules=r_rules):
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         view = pa.table({
             "doc_id": pa.array(np.arange(t.num_rows), pa.int64()),
             "text": t[x]})
-        # tokenize/line-split ONCE and share across both kernels — the
-        # splits are the dominant cost of this streaming pass
-        text_arr = pc.cast(view["text"], pa.string())
-        toks = pc.split_pattern(text_arr, " ")
-        lines = pc.split_pattern(text_arr, "\n")
+        qt, rt = gopher_signals(view, quality=bool(q_rules),
+                                repetition=bool(r_rules))
         ok = np.ones(t.num_rows, dtype=bool)
-        for table, rule_map, fn in (
-                (q_rules, _GOPHER_QUALITY_RULES, gopher_quality),
-                (r_rules, _GOPHER_REPETITION_RULES, gopher_repetition)):
-            if not table:
-                continue
-            sig = fn(view, _toks=toks, _lines=lines)
+        for table, rule_map, sig in (
+                (q_rules, _GOPHER_QUALITY_RULES, qt),
+                (r_rules, _GOPHER_REPETITION_RULES, rt)):
             for key, thresh in table.items():
                 col, cmp = rule_map[key]
                 vals = sig[col].to_numpy(zero_copy_only=False)

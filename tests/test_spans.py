@@ -85,7 +85,8 @@ def test_dedup_spans_serial_parity_both_duals(ray_session):
                for r in dedup_spans(ds, k=K, rebuild=mode).take_all()}
         assert got == expected, mode
     # the public mining API agrees with the serial loser set
-    M = 1 << 21
+    from kg_gen_ray.functions.spans import _MAX_POS
+    M = _MAX_POS + 1
     got_losers = sorted(r["enc"] for r in span_losers(ds, k=K).take_all())
     want = sorted(d * M + p for d, ps in _serial_losers(DOCS, K).items()
                   for p in ps)
