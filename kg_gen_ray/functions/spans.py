@@ -249,15 +249,17 @@ def _rebuild_batch(t: pa.Table, text_col: str, id_col: str, k: int,
         pos = (np.concatenate(loser_pos_per_row)
                if len(loser_pos_per_row) else np.zeros(0, dtype=np.int64))
     start = offsets[row_of] + pos if len(pos) else pos
-    return _rebuild_from_starts(ids, flat, lengths, t.num_rows, k, start,
-                                text_col, id_col)
+    return _rebuild_from_starts(t, flat, lengths, k, start, text_col)
 
 
-def _rebuild_from_starts(ids, flat, lengths, n_rows: int, k: int,
-                         start: np.ndarray,
-                         text_col: str, id_col: str) -> pa.Table:
+def _rebuild_from_starts(t: pa.Table, flat, lengths, k: int,
+                         start: np.ndarray, text_col: str) -> pa.Table:
     """Shared rebuild tail: drop every token under a loser span starting
-    at the given flat indices, re-join each row's survivors."""
+    at the given flat indices, re-join each row's survivors, and replace
+    ``text_col`` IN PLACE — every other input column (ids in their
+    original dtype, metadata) passes through untouched, so the operator
+    composes without a reattach join."""
+    n_rows = t.num_rows
     total = int(lengths.sum())
     keep = np.ones(total, dtype=bool)
     if len(start):
@@ -276,10 +278,8 @@ def _rebuild_from_starts(ids, flat, lengths, n_rows: int, k: int,
     new_offsets = np.concatenate([[0], np.cumsum(new_lengths)])
     lst = pa.ListArray.from_arrays(
         pa.array(new_offsets, pa.int32()), kept)
-    return pa.table({
-        id_col: pa.array(ids, pa.int64()),
-        text_col: pc.binary_join(lst, " "),
-    })
+    return t.set_column(t.schema.get_field_index(text_col), text_col,
+                        pc.binary_join(lst, " "))
 
 
 def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
@@ -287,11 +287,13 @@ def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
                 broadcast_limit: int = 64 * 1024 * 1024,
                 shuffle_partitions=None,
                 rebuild: str = "auto") -> "ray.data.Dataset":
-    """(doc_id, text) with every duplicated k-token span removed except
-    its corpus-wide first occurrence. Documents are all kept (a fully
-    covered doc becomes the empty string — the caller decides whether to
-    drop it); untouched docs round-trip bit-identically (split/join on
-    single spaces is lossless).
+    """The input dataset with every duplicated k-token span removed from
+    ``text_col`` except its corpus-wide first occurrence; all OTHER
+    columns pass through untouched (text is replaced in place, so the
+    operator composes without a reattach join). Documents are all kept
+    (a fully covered doc becomes the empty string — the caller decides
+    whether to drop it); untouched docs round-trip bit-identically
+    (split/join on single spaces is lossless).
 
     THREE-way size-selected dual on the membership set the rebuild needs
     (mirrors ``paragraph_dedup``; force one with ``rebuild=``):
@@ -380,8 +382,8 @@ def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
             else:
                 lose = np.zeros(len(sh), dtype=bool)
             start = offsets[srow[lose]] + pos[lose]
-            return _rebuild_from_starts(ids, flat, lengths, t.num_rows,
-                                        k, start, text_col, id_col)
+            return _rebuild_from_starts(t, flat, lengths, k, start,
+                                        text_col)
 
         return docs.map_batches(rebuild_w, batch_format="pyarrow")
 
@@ -417,9 +419,7 @@ def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
     n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
     joined = docs.repartition(n_parts) \
         .join(blobs.repartition(n_parts), join_type="left_outer",
-              on=(id_col,), num_partitions=n_parts) \
-        .select_columns([id_col, text_col, "__posblob"]) \
-        .repartition(n_parts)
+              on=(id_col,), num_partitions=n_parts)
 
     def rebuild_joined(t: pa.Table) -> pa.Table:
         per_row = [

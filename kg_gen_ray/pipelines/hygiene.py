@@ -208,10 +208,12 @@ def prepare_training_data(docs: "ray.data.Dataset",
 
         # span removal REWRITES text too, so it also precedes content
         # fingerprinting; docs emptied by coverage stay (the near-dup
-        # stage collapses them into one survivor)
-        rewritten = dedup_spans(cur, k=span_k,
-                                text_col=text_col, id_col=id_col)
-        cur = note("span_deduped", reattach(rewritten, cur).materialize())
+        # stage collapses them into one survivor). dedup_spans replaces
+        # text in place and passes the other columns through, so no
+        # reattach join is needed
+        cur = note("span_deduped",
+                   dedup_spans(cur, k=span_k, text_col=text_col,
+                               id_col=id_col).materialize())
 
     if benchmark is not None:
         cur = note("decontaminated",

@@ -154,3 +154,17 @@ def test_dedup_spans_randomized_serial_parity(ray_session):
             got = {r["doc_id"]: r["text"]
                    for r in dedup_spans(ds, k=K, rebuild=mode).take_all()}
             assert got == expected, (trial, mode)
+
+
+def test_dedup_spans_passes_other_columns_through(ray_session):
+    """Text replaced in place; ids keep their dtype, metadata survives."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c d", "x a b c y"]),
+        "lang": pa.array(["en", "de"]),
+    }))
+    for mode in ("losers", "join"):
+        rows = sorted(dedup_spans(ds, k=K, rebuild=mode).take_all(),
+                      key=lambda r: r["doc_id"])
+        assert [r["lang"] for r in rows] == ["en", "de"], mode
+        assert rows[1]["text"] == "x y", mode
