@@ -229,8 +229,12 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
                     id_col: str = "doc_id",
                     broadcast_limit: int = 64 * 1024 * 1024,
                     shuffle_partitions=None) -> "ray.data.Dataset":
-    """(doc_id, text) with corpus-wide duplicate paragraphs removed
-    (first occurrence wins); documents left empty are dropped.
+    """The input dataset with corpus-wide duplicate paragraphs removed
+    from ``text_col`` (first occurrence wins); documents left empty are
+    dropped. Text is replaced IN PLACE: every other input column passes
+    through (directly on the broadcast duals, via an internal id-join on
+    the exploded dual), so the operator composes without a caller-side
+    reattach join.
 
     THREE-way size-selected dual on the membership set the rebuild needs:
 
@@ -263,11 +267,10 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
         kept = paras.filter(pa.array(keep))
         joined = pc.binary_join(
             pa.ListArray.from_arrays(pa.array(offsets), kept), _SEP)
-        nonempty = counts > 0
-        return pa.table({
-            id_col: pa.array(ids[nonempty], pa.int64()),
-            text_col: joined.filter(pa.array(nonempty)),
-        })
+        # in-place text replace + row filter: other columns pass through
+        nonempty = pa.array(counts > 0)
+        return t.set_column(t.schema.get_field_index(text_col), text_col,
+                            joined).filter(nonempty)
 
     def _sorted_encs(ds) -> np.ndarray:
         encs = [b["enc"].to_numpy(zero_copy_only=False)
@@ -340,6 +343,19 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
 
     # stamp schema on post-join blocks before the groupby (empty-block
     # gotcha), then one bucketed exchange rebuilds the documents
-    return survivors.select_columns(["enc", id_col, "__pidx", "__para"]) \
+    out = survivors.select_columns(["enc", id_col, "__pidx", "__para"]) \
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(regroup, batch_format="pandas")
+    other_cols = [c for c in docs.schema().names
+                  if c not in (id_col, text_col)]
+    if not other_cols:
+        return out
+    # the regroup rebuilt docs from exploded paragraph rows, so the other
+    # columns rejoin by id here (the broadcast duals never pay this join)
+    rest = docs.map_batches(
+        lambda t, keep=[id_col] + other_cols: t.select(list(keep)),
+        batch_format="pyarrow")
+    return out.select_columns([id_col, text_col]).repartition(n_parts) \
+        .join(rest.repartition(n_parts), join_type="inner", on=(id_col,),
+              num_partitions=n_parts) \
+        .select_columns([id_col, text_col] + other_cols)

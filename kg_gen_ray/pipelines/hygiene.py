@@ -197,11 +197,11 @@ def prepare_training_data(docs: "ray.data.Dataset",
         from kg_gen_ray.functions.paragraphs import paragraph_dedup
 
         # the CCNet boilerplate pass REWRITES text, so it must run
-        # before any content fingerprinting (it reads/emits the caller's
-        # own column names — no rename map that empty blocks could skip)
-        deduped = paragraph_dedup(cur, text_col=text_col, id_col=id_col)
+        # before any content fingerprinting; it replaces text in place
+        # and passes the other columns through, so no reattach join
         cur = note("paragraph_deduped",
-                   reattach(deduped, cur).materialize())
+                   paragraph_dedup(cur, text_col=text_col,
+                                   id_col=id_col).materialize())
 
     if span_k is not None:
         from kg_gen_ray.functions.spans import dedup_spans
