@@ -37,7 +37,9 @@ PAGE_DROP_RE = r"(?i)lorem ipsum|[{}]"
 def c4_clean(docs: "ray.data.Dataset", text_col: str = "text",
              id_col: str = "doc_id", min_words: int = 3,
              min_lines: int = 3) -> "ray.data.Dataset":
-    """(id, text) with C4 line rules applied; pages failing the page
+    """The input dataset with C4 line rules applied to ``text_col``
+    (replaced in place — every other column passes through, so the
+    operator composes without a reattach join); pages failing the page
     rules (or left with fewer than ``min_lines`` lines) are dropped."""
 
     def clean(t: pa.Table) -> pa.Table:
@@ -74,10 +76,9 @@ def c4_clean(docs: "ray.data.Dataset", text_col: str = "text",
         kept = flat.filter(pa.array(keep_line))
         joined = pc.binary_join(
             pa.ListArray.from_arrays(pa.array(offsets), kept), "\n")
-        keep_doc = (~page_bad) & (counts >= min_lines)
-        return pa.table({
-            id_col: pa.array(ids[keep_doc], pa.int64()),
-            text_col: joined.filter(pa.array(keep_doc)),
-        })
+        keep_doc = pa.array((~page_bad) & (counts >= min_lines))
+        # in-place text replace + row filter: other columns pass through
+        return t.set_column(t.schema.get_field_index(text_col), text_col,
+                            joined).filter(keep_doc)
 
     return docs.map_batches(clean, batch_format="pyarrow")

@@ -156,22 +156,9 @@ def prepare_training_data(docs: "ray.data.Dataset",
         return ds
 
     cur = note("input", docs)
-    other_cols = [c for c in docs.schema().names
-                  if c not in (id_col, text_col)]
-
-    def reattach(rewritten, source):
-        """A text-REWRITING stage returns only (id, text); join the
-        remaining columns back by id (inner: the stage may drop docs)."""
-        if not other_cols:
-            return rewritten
-        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
-        rest = source.map_batches(
-            lambda t, keep=[id_col] + other_cols: t.select(keep),
-            batch_format="pyarrow")
-        return rewritten.repartition(n_parts) \
-            .join(rest.repartition(n_parts), join_type="inner",
-                  on=(id_col,), num_partitions=n_parts) \
-            .select_columns([id_col, text_col] + other_cols)
+    # every text-REWRITING stage (C4, paragraph dedup, span removal)
+    # replaces text in place and passes the other columns through, so
+    # the flow needs no reattach joins
 
     if url_col is not None:
         url_losers = url_dedup_losers(cur, url_col, id_col)
@@ -182,10 +169,10 @@ def prepare_training_data(docs: "ray.data.Dataset",
 
         # cheapest content cut first: pure per-batch line rules, no
         # shuffle; pages and lines failing the C4 rules never reach the
-        # scrub/hash stages
-        cur = note("c4_cleaned",
-                   reattach(c4_clean(cur, text_col, id_col), cur)
-                   .materialize())
+        # scrub/hash stages. c4_clean replaces text in place (other
+        # columns pass through), so no reattach join and no materialize
+        # is forced here — it stays a streaming map
+        cur = note("c4_cleaned", c4_clean(cur, text_col, id_col))
 
     cur = note("scrubbed", scrub_pii(cur, text_col))
 
