@@ -44,7 +44,7 @@ def c4_clean(docs: "ray.data.Dataset", text_col: str = "text",
 
     def clean(t: pa.Table) -> pa.Table:
         text = pc.cast(t[text_col], pa.string())
-        ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        n_docs = t.num_rows
         page_bad = pc.fill_null(
             pc.match_substring_regex(text, PAGE_DROP_RE), True) \
             .to_numpy(zero_copy_only=False)
@@ -55,7 +55,7 @@ def c4_clean(docs: "ray.data.Dataset", text_col: str = "text",
         lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
         lens = np.nan_to_num(lens, nan=0).astype(np.int64)
         flat = lines.flatten()
-        doc_pos = np.repeat(np.arange(len(ids)), lens)
+        doc_pos = np.repeat(np.arange(n_docs), lens)
 
         terminal = pc.match_substring_regex(flat, TERMINAL_RE) \
             .to_numpy(zero_copy_only=False)
@@ -71,7 +71,7 @@ def c4_clean(docs: "ray.data.Dataset", text_col: str = "text",
                      & ~page_bad[doc_pos])
 
         pos = doc_pos[keep_line]
-        counts = np.bincount(pos, minlength=len(ids))
+        counts = np.bincount(pos, minlength=n_docs)
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
         kept = flat.filter(pa.array(keep_line))
         joined = pc.binary_join(

@@ -346,10 +346,20 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
     out = survivors.select_columns(["enc", id_col, "__pidx", "__para"]) \
         .map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(regroup, batch_format="pandas")
-    other_cols = [c for c in docs.schema().names
-                  if c not in (id_col, text_col)]
+    in_names = list(docs.schema().names)
+    id_type = docs.schema().types[in_names.index(id_col)]
+
+    # the regroup rebuilt ids through pandas as int64; cast back to the
+    # caller's dtype so the join key matches and the output schema is
+    # identical to the broadcast duals' pass-through
+    def restore_id(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(id_col)
+        return t.set_column(i, id_col, pc.cast(t[id_col], id_type))
+
+    out = out.map_batches(restore_id, batch_format="pyarrow")
+    other_cols = [c for c in in_names if c not in (id_col, text_col)]
     if not other_cols:
-        return out
+        return out.select_columns(in_names)
     # the regroup rebuilt docs from exploded paragraph rows, so the other
     # columns rejoin by id here (the broadcast duals never pay this join)
     rest = docs.map_batches(
@@ -358,4 +368,4 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
     return out.select_columns([id_col, text_col]).repartition(n_parts) \
         .join(rest.repartition(n_parts), join_type="inner", on=(id_col,),
               num_partitions=n_parts) \
-        .select_columns([id_col, text_col] + other_cols)
+        .select_columns(in_names)

@@ -391,6 +391,8 @@ def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
     # blob (pyarrow Dataset.join rejects list columns; int64 tobytes is
     # the documented workaround), left-outer join onto the corpus
     n_buckets = default_buckets()
+    id_names = list(docs.schema().names)
+    id_type = docs.schema().types[id_names.index(id_col)]
 
     def add_doc(t: pa.Table) -> pa.Table:
         enc = t["enc"].to_numpy(zero_copy_only=False)
@@ -408,7 +410,9 @@ def dedup_spans(docs: "ray.data.Dataset", k: int = SPAN_K,
                           % (_MAX_POS + 1))
             dids.append(int(did))
             blobs.append(pos.tobytes())
-        return pa.table({id_col: pa.array(dids, pa.int64()),
+        # cast back to the caller's id dtype so the left-outer join key
+        # matches docs (ids were re-derived from the packed int64 enc)
+        return pa.table({id_col: pa.array(dids, pa.int64()).cast(id_type),
                          "__posblob": pa.array(blobs, pa.binary())})
 
     blobs = losers.map_batches(add_doc, batch_format="pyarrow") \

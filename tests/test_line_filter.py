@@ -76,3 +76,18 @@ def test_rule_semantics(ray_session):
     assert "javascript" not in got[2]
     assert len(got[2].split("\n")) == 3
     assert len(got[6].split("\n")) == 3          # exactly at min_lines
+
+
+def test_string_ids_and_metadata_pass_through(ray_session):
+    """c4_clean never touches the id column: string ids (a url column,
+    the input_hint's natural key) and metadata flow through in place."""
+    docs = pa.table({
+        "url": pa.array([f"https://ex.org/{i}" for i in range(DOCS.num_rows)]),
+        "lang": pa.array(["en"] * DOCS.num_rows),
+        "text": DOCS["text"],
+    })
+    out = c4_clean(rd.from_arrow(docs).repartition(2), id_col="url")
+    assert out.schema().names == ["url", "lang", "text"]
+    want = oracle()
+    got = {r["url"]: r["text"] for r in out.take_all()}
+    assert got == {f"https://ex.org/{k}": v for k, v in want.items()}

@@ -109,3 +109,31 @@ def test_paragraph_dedup_winner_broadcast_path(ray_session):
     # paragraphs... (docs 1,2 keep their unseen rotations' heads)
     survivors = dict(want)
     assert 0 in survivors and survivors[0] == texts[0]
+
+
+def test_passthrough_schema_identical_across_duals(ray_session):
+    """The join dual (broadcast_limit=0) must emit the SAME schema as the
+    broadcast duals' in-place pass-through: caller's id dtype (int32
+    here), caller's column order, metadata columns intact."""
+    docs = pa.table({
+        "lang": pa.array(["en", "de", "fr", "en", "it", "pt"]),
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int32()),
+        "text": DOCS["text"],
+    })
+    ds = rd.from_arrow(docs).repartition(3)
+    ref = None
+    for kw in ({}, {"broadcast_limit": 0}):
+        out = paragraph_dedup(ds, **kw)
+        tbl = pa.Table.from_pylist(
+            sorted(out.take_all(), key=lambda r: r["doc_id"]),
+            schema=pa.schema([(n, docs.schema.field(n).type)
+                              for n in out.schema().names]))
+        assert out.schema().names == ["lang", "doc_id", "text"], kw
+        assert [str(t) for t in out.schema().types] == \
+            ["string", "int32", "string"], kw
+        if ref is None:
+            ref = tbl
+        else:
+            assert tbl.equals(ref), kw
+    langs = {r["doc_id"]: r["lang"] for r in ref.to_pylist()}
+    assert langs == {0: "en", 1: "de", 4: "it", 5: "pt"}

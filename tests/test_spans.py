@@ -157,14 +157,17 @@ def test_dedup_spans_randomized_serial_parity(ray_session):
 
 
 def test_dedup_spans_passes_other_columns_through(ray_session):
-    """Text replaced in place; ids keep their dtype, metadata survives."""
+    """Text replaced in place; ids keep their dtype (int32 here),
+    metadata survives — on ALL THREE rebuild duals, which must agree."""
     ds = rd.from_arrow(pa.table({
-        "doc_id": pa.array([1, 2], pa.int64()),
+        "doc_id": pa.array([1, 2], pa.int32()),
         "text": pa.array(["a b c d", "x a b c y"]),
         "lang": pa.array(["en", "de"]),
     }))
-    for mode in ("losers", "join"):
-        rows = sorted(dedup_spans(ds, k=K, rebuild=mode).take_all(),
-                      key=lambda r: r["doc_id"])
+    for mode in ("losers", "winners", "join"):
+        out = dedup_spans(ds, k=K, rebuild=mode)
+        assert [str(t) for t in out.schema().types] == \
+            ["int32", "string", "string"], mode
+        rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
         assert [r["lang"] for r in rows] == ["en", "de"], mode
         assert rows[1]["text"] == "x y", mode
