@@ -141,7 +141,7 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # EXACTLY 50 queries — the driver's correctness window — so every
+    # EXACTLY 52 queries — the driver's correctness window — so every
     # registry entry gets a driver row each round. Related operator
     # variants are merged into combined-output queries (each component
     # still oracle-checked via its own columns/rows); the merged-away
@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG pipeline chain (SURVEY.md §2: S1,M1,M2,X1/X2,A1,A2,A4,J1,T3,A6)
         "kg_pages": q_kg_pages,
+        "mint_doc_ids": q_mint_doc_ids,    # url -> packed-key int64 ids
         "kg_extract_text": q_kg_extract_text,
         "kg_chunks": q_kg_chunks,
         "kg_triples_raw": q_kg_triples_raw,
@@ -240,6 +241,22 @@ def q_kg_pages(sf_dir: str):
             "fname": sanitize_filenames(title),
         })
     return _pages(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+def q_mint_doc_ids(sf_dir: str):
+    """Deterministic int64 id minting for the url-keyed input_hint shape
+    (a real Common-Crawl page table has NO integer key, but every
+    packed-key operator — paragraph/span dedup, drop_ids — wants one):
+    bucket = md5-u32(url) mod 2^20 (the oracle-parity token-hash
+    family), rank = ascending url order within the bucket, minted_id =
+    bucket * 2^21 + rank. Collision-free at any scale, a pure function
+    of the url SET (partitioning-independent), ids < 2^41 — inside the
+    packed (doc_id, pos) budget. The oracle replays bucket + rank with
+    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY url)."""
+    from kg_gen_ray.functions.ids import mint_doc_ids
+    pages = _pages(sf_dir).map_batches(
+        lambda t: t.select(["url"]), batch_format="pyarrow")
+    return mint_doc_ids(pages, key_col="url", id_col="minted_id")
 
 
 def q_kg_extract_text(sf_dir: str):
@@ -1207,6 +1224,16 @@ def oracle_sql() -> dict[str, str]:
                                        '[^\\w\\s-]', '', 'g'), {_ws}),
                    '[-\\s]+', '_', 'g'), '_+', '_', 'g') AS fname
         FROM documents"""
+
+    sql["mint_doc_ids"] = f"""
+        WITH pages AS (SELECT {_URL} AS url FROM documents),
+        b AS (SELECT url,
+            ('0x'||substr(md5(url),1,8))::BIGINT % 1048576 AS bucket
+            FROM pages),
+        r AS (SELECT url, bucket,
+            ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY url) - 1
+                AS rnk FROM b)
+        SELECT url, (bucket * 2097152 + rnk)::BIGINT AS minted_id FROM r"""
 
     sql["kg_extract_text"] = f"""
         SELECT {_URL} AS url, text FROM documents"""

@@ -140,7 +140,12 @@ def prepare_training_data(docs: "ray.data.Dataset",
     in micro-nats falls below the threshold are dropped.
     ``count_stages=False`` skips the per-stage counts (each count
     executes the lineage prefix once — cheap at audit time, skippable
-    when only the final dataset matters)."""
+    when only the final dataset matters).
+
+    Tables without an integer ``id_col`` (the input_hint's url-keyed
+    Common-Crawl shape): mint one first with
+    ``functions.ids.mint_doc_ids`` — the paragraph/span stages pack
+    (doc_id, position) into int64 keys and need ids < 2^41."""
     from kg_gen_ray.functions.decontaminate import decontaminate
     from kg_gen_ray.functions.dedup import drop_ids, near_dup_losers
     from kg_gen_ray.functions.scrub import scrub_pii

@@ -1,0 +1,92 @@
+"""mint_doc_ids: oracle agreement, dual agreement, determinism, guards,
+and composition with the packed-key operators it exists to feed."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from kg_gen_ray.functions.ids import mint_doc_ids
+
+URLS = [f"https://example.org/{l}/doc-{i:06d}"
+        for i, l in zip(range(40), ["en", "de"] * 20)]
+TBL = pa.table({
+    "url": pa.array(URLS),
+    "text": pa.array([f"tok{i} tok{i} shared shared" for i in range(40)]),
+    "lang": pa.array((["en", "de"] * 20)),
+})
+
+
+def oracle(tbl: pa.Table, bucket_bits=20, rank_bits=21):
+    con = duckdb.connect()
+    con.register("pages", tbl)
+    return dict(con.execute(f"""
+        WITH b AS (SELECT url,
+            ('0x'||substr(md5(url),1,8))::BIGINT % {1 << bucket_bits}
+                AS bucket FROM pages),
+        r AS (SELECT url, bucket,
+            ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY url) - 1
+                AS rnk FROM b)
+        SELECT url, bucket * {1 << rank_bits} + rnk FROM r""").fetchall())
+
+
+def test_matches_oracle_both_duals_any_layout(ray_session):
+    want = oracle(TBL)
+    for parts in (1, 5):
+        ds = rd.from_arrow(TBL).repartition(parts)
+        for kw in ({}, {"broadcast_limit": 0}):
+            out = mint_doc_ids(ds, **kw)
+            assert out.schema().names == ["url", "text", "lang", "doc_id"]
+            got = {r["url"]: r["doc_id"] for r in out.take_all()}
+            assert got == want, (parts, kw)
+
+
+def test_ids_unique_and_inside_packed_budget(ray_session):
+    ids = [r["doc_id"]
+           for r in mint_doc_ids(rd.from_arrow(TBL)).take_all()]
+    assert len(set(ids)) == len(URLS)
+    assert 0 <= min(ids) and max(ids) < 1 << 41
+
+
+def test_small_bucket_space_forces_ranks(ray_session):
+    # 1 bucket bit -> every key collides into <=2 buckets, ranks do the
+    # separating; ids still unique and oracle-exact
+    want = oracle(TBL, bucket_bits=1, rank_bits=21)
+    got = {r["url"]: r["doc_id"]
+           for r in mint_doc_ids(rd.from_arrow(TBL),
+                                 bucket_bits=1).take_all()}
+    assert got == want
+    assert len(set(got.values())) == len(URLS)
+
+
+def test_rank_overflow_raises(ray_session):
+    with pytest.raises(Exception, match="raise bucket_bits"):
+        mint_doc_ids(rd.from_arrow(TBL), bucket_bits=1,
+                     rank_bits=4).materialize()
+
+
+def test_duplicate_key_raises(ray_session):
+    dup = pa.table({"url": pa.array(["a", "b", "a"]),
+                    "text": pa.array(["x", "y", "z"])})
+    with pytest.raises(Exception, match="unique keys"):
+        mint_doc_ids(rd.from_arrow(dup)).materialize()
+
+
+def test_existing_id_col_raises(ray_session):
+    with pytest.raises(ValueError, match="already exists"):
+        mint_doc_ids(rd.from_arrow(TBL), id_col="lang")
+
+
+def test_feeds_span_dedup_end_to_end(ray_session):
+    # the operator's purpose: url-keyed corpus -> packed-key span dedup
+    from kg_gen_ray.functions.spans import dedup_spans
+    out = dedup_spans(mint_doc_ids(rd.from_arrow(TBL).repartition(3)),
+                      k=2)
+    rows = {r["url"]: r["text"] for r in out.take_all()}
+    assert len(rows) == len(URLS)
+    # "shared shared" is a corpus-wide duplicated 2-gram: exactly one
+    # occurrence survives
+    survivors = sum("shared shared" in t for t in rows.values())
+    assert survivors == 1
