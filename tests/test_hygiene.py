@@ -190,3 +190,54 @@ def test_span_stage_in_composition(ray_session):
     kept = {r["doc_id"]: r["text"] for r in res.clean_docs.take_all()}
     assert kept[0].startswith("alpha beta gamma delta")
     assert "alpha" not in kept[1] and kept[1].startswith("intro")
+
+
+def test_input_hint_shape_end_to_end(ray_session):
+    """The switch-over path for a reference user: a Common-Crawl-style
+    table in exactly the input_hint schema (url, warc_ts, html, text,
+    lang) with NO integer key and one re-crawled url, driven through
+    extract-text -> id minting -> the full hygiene flow."""
+    import datetime as dt
+
+    from kg_gen_ray.functions.ids import mint_doc_ids
+    from kg_gen_ray.stages.extract_text import extract_text_stage
+
+    def page(i, body):
+        return ("<html><head><title>t</title></head><body>"
+                f"<p>{body}</p></body></html>").encode()
+
+    bodies = [
+        " ".join(f"w{i}" for i in range(40)),          # near-dup pair {0,1}
+        " ".join(f"w{i}" for i in range(40)) + " tail",
+        "email me at a@b.com " + " ".join(f"x{i}" for i in range(30)),
+        " ".join(f"y{i}" for i in range(40)),
+        " ".join(f"z{i}" for i in range(40)),
+    ]
+    urls = [f"https://site-{i}.org/a" for i in range(5)]
+    # re-crawl: url 4 captured twice; the later crawl must lose
+    urls.append(urls[4])
+    bodies.append(bodies[4] + " updated")
+    ts = [dt.datetime(2026, 1, 1, 0, 0, i) for i in range(5)] \
+        + [dt.datetime(2026, 1, 2)]
+    langs = ["en", "en", "en", "de", "de", "de"]
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "html": pa.array([page(i, b) for i, b in enumerate(bodies)],
+                         pa.binary()),
+        "text": pa.array([""] * 6),
+        "lang": pa.array(langs),
+    })).repartition(3)
+
+    docs = extract_text_stage(pages)          # html -> text, html dropped
+    minted = mint_doc_ids(docs, key_col="url", tiebreak_col="warc_ts")
+    res = prepare_training_data(minted, url_col="url", max_tokens=64)
+
+    assert res.counts["input"] == 6
+    assert res.counts["url_deduped"] == 5     # the re-crawl dropped
+    assert res.counts["deduped"] == 4         # near-dup pair collapsed
+    texts = {r["url"]: r["text"] for r in res.clean_docs.take_all()}
+    assert len(texts) == 4
+    # the re-crawled url survives via its EARLIEST crawl's text
+    assert texts[urls[4]].startswith("z0 ") and "updated" not in texts[urls[4]]
+    assert "<EMAIL>" in texts[urls[2]]

@@ -90,3 +90,62 @@ def test_feeds_span_dedup_end_to_end(ray_session):
     # occurrence survives
     survivors = sum("shared shared" in t for t in rows.values())
     assert survivors == 1
+
+
+def test_tiebreak_mints_recrawls(ray_session):
+    """Duplicate urls with distinct warc_ts mint via the composite key;
+    the earliest crawl of each url gets that url's smallest id."""
+    import datetime as dt
+    ts = [dt.datetime(2026, 1, 1, 0, 0, s) for s in (5, 2, 9)]
+    tbl = pa.table({
+        "url": pa.array(["https://a.org/x", "https://a.org/x",
+                         "https://b.org/y"]),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": pa.array(["v2", "v1", "solo"]),
+    })
+    ref = None
+    for kw in ({}, {"broadcast_limit": 0}):
+        out = mint_doc_ids(rd.from_arrow(tbl).repartition(2),
+                           tiebreak_col="warc_ts", **kw)
+        rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+        ids = [r["doc_id"] for r in rows]
+        assert len(set(ids)) == 3, kw
+        a = sorted((r for r in rows if r["url"] == "https://a.org/x"),
+                   key=lambda r: r["warc_ts"])
+        assert a[0]["doc_id"] < a[1]["doc_id"], kw  # earlier crawl -> smaller
+        assert a[0]["text"] == "v1", kw
+        key = {(r["url"], str(r["warc_ts"])): r["doc_id"] for r in rows}
+        if ref is None:
+            ref = key
+        else:
+            assert key == ref, kw
+
+
+def test_tiebreak_duplicate_pair_still_raises(ray_session):
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    dup = pa.table({"url": pa.array(["a", "a"]),
+                    "warc_ts": pa.array([t0, t0], pa.timestamp("us"))})
+    with pytest.raises(Exception, match="unique keys"):
+        mint_doc_ids(rd.from_arrow(dup),
+                     tiebreak_col="warc_ts").materialize()
+
+
+def test_minted_ids_feed_url_dedup(ray_session):
+    """The re-crawl flow the tiebreak exists for: mint over (url,
+    warc_ts), then url_dedup keeps the min id — the earliest crawl."""
+    import datetime as dt
+    from kg_gen_ray.functions.dedup import drop_ids
+    from kg_gen_ray.functions.web import url_dedup_losers
+    ts = [dt.datetime(2026, 1, 1, 0, 0, s) for s in (5, 2, 9)]
+    tbl = pa.table({
+        "url": pa.array(["https://a.org/x", "https://a.org/x",
+                         "https://b.org/y"]),
+        "warc_ts": pa.array(ts, pa.timestamp("us")),
+        "text": pa.array(["v2", "v1", "solo"]),
+    })
+    minted = mint_doc_ids(rd.from_arrow(tbl), tiebreak_col="warc_ts")
+    losers = url_dedup_losers(minted, "url", "doc_id")
+    kept = drop_ids(minted, losers, "doc_id")
+    texts = sorted(r["text"] for r in kept.take_all())
+    assert texts == ["solo", "v1"]     # the earliest crawl of a.org/x
