@@ -78,25 +78,10 @@ def _bigram_config():
 
 
 def _read_blocks(path: str) -> int:
-    """Size-aware read parallelism: ~2 MB of file or ~8k rows per block
-    (whichever implies more blocks), clamped to [4, cluster cores]. Ray's
-    own default over-fragments tiny files into hundreds of near-empty
-    blocks and every downstream shuffle pays per-block overhead; a flat
-    cores-sized override over-fragments them too. The row term matters for
-    heavily-compressed row-dense files (an aggregation's width follows
-    input blocks). At real scale files/row-groups set the floor and this
-    override is a no-op-ish hint."""
-    import os
-
-    import ray
-    cores = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    try:
-        size = os.path.getsize(path)
-        import pyarrow.parquet as pq
-        rows = pq.ParquetFile(path).metadata.num_rows
-    except OSError:
-        return cores
-    return max(4, min(cores, max((size >> 21) + 1, rows // 8192 + 1)))
+    """Size-aware read parallelism (shared engine helper; see
+    kg_gen_ray.stages.common.size_aware_read_blocks)."""
+    from kg_gen_ray.stages.common import size_aware_read_blocks
+    return size_aware_read_blocks(path)
 
 
 def _docs(sf_dir: str, columns=None):
@@ -1218,7 +1203,8 @@ def oracle_sql() -> dict[str, str]:
     _ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
     sql["kg_pages"] = f"""
         SELECT {_URL} AS url, lang, length(text)::BIGINT AS n_chars,
-               TIMESTAMP '2026-01-01' + doc_id * INTERVAL '1 second' AS warc_ts,
+               TIMESTAMP '2026-01-01'
+                   + (doc_id % 1000000000) * INTERVAL '1 second' AS warc_ts,
                regexp_replace(regexp_replace(
                    trim(regexp_replace(substr(text, 1, 24) || '!?',
                                        '[^\\w\\s-]', '', 'g'), {_ws}),

@@ -41,9 +41,16 @@ class KGResult:
         return graph_stats(self.triples, self.config.shuffle_partitions)
 
     def write(self, out_dir: str) -> dict:
-        counts = write_graph(self.triples, out_dir, self.config.sort_output,
-                             self.config.shuffle_partitions)
-        self.alias_map.write_parquet(f"{out_dir}/alias_map")
+        """Write the graph ATOMICALLY (temp dir + rename): write_parquet
+        into an existing directory appends new uniquely-named part files,
+        so a plain re-run onto the same --out would silently double
+        every table; the rename replaces the previous output instead."""
+        from kg_gen_ray.state.lineage import atomic_output_dir
+        with atomic_output_dir(out_dir) as tmp:
+            counts = write_graph(self.triples, tmp,
+                                 self.config.sort_output,
+                                 self.config.shuffle_partitions)
+            self.alias_map.write_parquet(f"{tmp}/alias_map")
         return counts
 
 

@@ -26,6 +26,11 @@ from kg_gen_ray.state import lineage
 def partition_inputs(input_files: list, n_partitions: int) -> list:
     """Deterministic round-robin file sharding (sorted for stability)."""
     files = sorted(input_files)
+    if not files:
+        # fail here with the actual problem; an empty partition would
+        # crash later inside ray.data.read_parquet([]) with an opaque
+        # internal error (wrong/empty input glob is a common mistake)
+        raise ValueError("no input files to partition")
     n_partitions = min(n_partitions, len(files)) or 1
     parts = [[] for _ in range(n_partitions)]
     for i, f in enumerate(files):
@@ -181,12 +186,9 @@ def run_partitioned(input_files: list, out_dir: str,
                             out_dir, "triples_raw", f"part-{pid:05d}", "*")))
     raw = ray.data.read_parquet(part_files)
     res = canonicalize_triples(raw, config)
-    # phase 2 is idempotent-by-rerun: write the graph ATOMICALLY (temp dir
-    # + rename) — write_parquet into an existing directory would append new
-    # part files and double every table on a re-run
-    graph_dir = os.path.join(out_dir, "graph")
-    with lineage.atomic_output_dir(graph_dir) as tmp:
-        counts = res.write(tmp)
+    # phase 2 is idempotent-by-rerun: KGResult.write is atomic (temp dir
+    # + rename), so a re-run replaces the graph instead of appending
+    counts = res.write(os.path.join(out_dir, "graph"))
     summary = {
         "completed_partitions": len(manifests),
         "total_partitions": len(parts),

@@ -134,6 +134,5 @@ def relevant_nodes(triples: "ray.data.Dataset", query: str, k: int = 8,
     ds = ray.data.from_arrow(ids)
     q = HashEmbedder(dim).embed_one(query).astype(np.float64)
     top = brute_force_topk(ds, q, k=k)
-    id2label = {i: m for i, m in zip(ids["vec_id"].to_pylist(),
-                                     ids["member"].to_pylist())}
-    return [id2label[i] for i in top["vec_id"]]
+    # vec_id IS the index into the sorted rows list
+    return [rows[i]["member"] for i in top["vec_id"]]

@@ -26,19 +26,11 @@ from kg_gen_ray.stages.common import dict_lookup, dual_limit, in_set_mask
 
 
 def _read(sf_dir: str, table: str, columns: list) -> "ray.data.Dataset":
-    import os
-
-    import pyarrow.parquet as pq
+    from kg_gen_ray.stages.common import size_aware_read_blocks
     path = f"{sf_dir}/{table}.parquet"
-    cores = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    try:
-        nb = max(4, min(cores, max(os.path.getsize(path) >> 21,
-                                   pq.ParquetFile(path).metadata.num_rows
-                                   // 8192) + 1))
-    except OSError:
-        nb = cores
-    return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=nb)
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=size_aware_read_blocks(path))
 
 
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"

@@ -14,6 +14,10 @@ import pyarrow as pa
 
 import ray.data
 
+# module-level import (pickle-by-value compatibility): worker-side UDF
+# bodies must not lazily import kg_gen_ray
+from kg_gen_ray.sources.pages import EPOCH, _wrap_html
+
 KEEP_ROLES = ("user", "assistant")
 
 
@@ -31,15 +35,24 @@ def flatten_messages(messages: list) -> str:
 
 
 def _flatten_batch(batch: pa.Table) -> pa.Table:
+    # full pages shape (url, warc_ts, html, text, lang): build_kg's first
+    # stage is extract_text_stage, which reads the html column
+    # unconditionally — a conversation "page" carries the same wrapper
+    # the synthetic corpus uses, so extract_text round-trips the
+    # flattened text byte-identically
     ids = batch["conv_id"].to_pylist()
     texts = [flatten_messages(m) for m in batch["messages"].to_pylist()]
     return pa.table({
         "url": pa.array([f"conv://{i}" for i in ids], pa.string()),
+        "warc_ts": pa.array([EPOCH] * len(ids)),
+        "html": pa.array([_wrap_html(i, t) for i, t in zip(ids, texts)],
+                         pa.binary()),
         "text": pa.array(texts, pa.large_string()),
         "lang": pa.array(["en"] * len(ids), pa.string()),
     })
 
 
 def conversations_to_pages(convs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """conversations(conv_id, messages) -> pages-shaped (url, text, lang)."""
+    """conversations(conv_id, messages) -> pages-shaped
+    (url, warc_ts, html, text, lang)."""
     return convs.map_batches(_flatten_batch, batch_format="pyarrow")

@@ -48,20 +48,38 @@ def _wrap_html(doc_id: int, text: str) -> bytes:
     return (HTML_PRE + str(doc_id) + HTML_MID + esc + HTML_POST).encode("utf-8")
 
 
+# warc_ts = EPOCH + (doc_id % _TS_MOD) seconds. The modulo keeps the
+# mapping inside the timestamp range at any doc_id (a raw doc_id
+# overflows datetime.max at ~2.5e11 — under the engine's own 10^12-doc
+# story); a no-op below 1e9, so small-scale oracle hashes are unchanged.
+# The SQL mirror applies the same modulo (see __ray_entry__ kg_pages).
+_TS_MOD = 1_000_000_000
+_EPOCH_US = int((EPOCH - datetime(1970, 1, 1)).total_seconds()) * 1_000_000
+
+
 def _pages_batch(batch: pa.Table) -> pa.Table:
-    doc_ids = batch["doc_id"].to_pylist()
-    texts = batch["text"].to_pylist()
-    langs = batch["lang"]
-    urls = [f"https://example.org/{l}/doc-{i:06d}"
-            for i, l in zip(doc_ids, batch["lang"].to_pylist())]
-    ts = [EPOCH + timedelta(seconds=int(i)) for i in doc_ids]
-    html = [_wrap_html(i, t) for i, t in zip(doc_ids, texts)]
+    """Vectorized documents -> pages mapping (Arrow kernels throughout:
+    this is the ingest path, so no per-row Python)."""
+    import numpy as np
+    ids = pc.cast(batch["doc_id"], pa.int64())
+    idstr = pc.cast(ids, pa.string())
+    text = pc.cast(batch["text"], pa.string())
+    urls = pc.binary_join_element_wise(
+        "https://example.org/", pc.cast(batch["lang"], pa.string()),
+        "/doc-", pc.utf8_lpad(idstr, 6, "0"), "")
+    ids_np = ids.to_numpy(zero_copy_only=False)
+    ts_us = _EPOCH_US + (ids_np % _TS_MOD) * 1_000_000
+    # same escape chain as _wrap_html (& first, then <)
+    esc = pc.replace_substring(
+        pc.replace_substring(text, "&", "&amp;"), "<", "&lt;")
+    html = pc.cast(pc.binary_join_element_wise(
+        HTML_PRE, idstr, HTML_MID, esc, HTML_POST, ""), pa.binary())
     return pa.table({
-        "url": pa.array(urls, pa.string()),
-        "warc_ts": pa.array(ts, pa.timestamp("us")),
-        "html": pa.array(html, pa.binary()),
+        "url": urls,
+        "warc_ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+        "html": html,
         "text": pc.cast(batch["text"], pa.large_string()),
-        "lang": langs,
+        "lang": batch["lang"],
     })
 
 
@@ -69,23 +87,15 @@ def pages_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """documents.parquet -> pages Dataset (input_hint shape).
 
     url = ``https://example.org/{lang}/doc-{doc_id:06d}``,
-    warc_ts = 2026-01-01 + doc_id seconds, html = minimal wrapper around
-    text. All columns SQL-derivable from the documents view.
+    warc_ts = 2026-01-01 + (doc_id % 1e9) seconds, html = minimal
+    wrapper around text. All columns SQL-derivable from the documents
+    view.
     """
-    import os
-
-    import ray as _ray
+    from kg_gen_ray.stages.common import size_aware_read_blocks
     path = f"{sf_dir}/documents.parquet"
-    # size-aware width (~2 MB/block, clamped to [4, cores]): tiny inputs
-    # don't get fragmented into per-block shuffle overhead, big inputs
-    # still fan out to every core
-    cores = max(8, int(_ray.cluster_resources().get("CPU", 8)))
-    try:
-        nb = max(4, min(cores, (os.path.getsize(path) >> 21) + 1))
-    except OSError:
-        nb = cores
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text", "lang"],
-                               override_num_blocks=nb)
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "text", "lang"],
+        override_num_blocks=size_aware_read_blocks(path))
     return ds.map_batches(_pages_batch, batch_format="pyarrow")
 
 

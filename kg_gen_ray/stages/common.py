@@ -171,3 +171,28 @@ def dual_limit(limit: int) -> int:
     if os.environ.get("KG_FORCE_JOIN_DUALS", "").strip() not in ("", "0"):
         return 0
     return limit
+
+
+def size_aware_read_blocks(path: str) -> int:
+    """Size-aware read parallelism for a single Parquet file: ~2 MB of
+    file or ~8k rows per block (whichever implies more blocks), clamped
+    to [4, cluster cores]. Ray's own default over-fragments tiny files
+    into hundreds of near-empty blocks and every downstream shuffle pays
+    per-block overhead; a flat cores-sized override over-fragments them
+    too. The row term matters for heavily-compressed row-dense files (an
+    aggregation's width follows input blocks). At real scale
+    files/row-groups set the floor and this override is a no-op-ish
+    hint. One definition shared by every single-file reader (the copies
+    had already drifted)."""
+    import os
+
+    import pyarrow.parquet as pq
+    cores = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    try:
+        size = os.path.getsize(path)
+        rows = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        # missing file or corrupt footer: fall back to cores and let
+        # read_parquet surface the real, diagnosable error
+        return cores
+    return max(4, min(cores, max((size >> 21) + 1, rows // 8192 + 1)))

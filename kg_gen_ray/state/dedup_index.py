@@ -181,17 +181,28 @@ class StreamingDedupIndex:
         the partitioned, resumable checkpoint layout. The manifest pins
         the shard count: routing is ``key % n_shards``, so restoring
         with a different count would silently send keys away from the
-        entries that hold them."""
+        entries that hold them.
+
+        The write is ATOMIC (temp dir + rename, the same contract as
+        ``lineage.atomic_output_dir``): a crash mid-save leaves the
+        previous checkpoint untouched rather than a mixed-generation
+        directory that ``load`` would validate and silently restore,
+        and re-saving with a different shard count replaces the whole
+        directory instead of leaving stale shard files behind."""
         import json
         import os
-        os.makedirs(path, exist_ok=True)
+
+        from kg_gen_ray.state.lineage import atomic_output_dir
         tables = ray.get([s.snapshot.remote() for s in self.shards])
-        for i, t in enumerate(tables):
-            pq.write_table(t, os.path.join(path, f"shard-{i:05d}.parquet"))
-        with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump({"n_shards": self.n_shards,
-                       "signatures": getattr(self.signatures, "__name__",
-                                             str(self.signatures))}, f)
+        with atomic_output_dir(path) as tmp:
+            for i, t in enumerate(tables):
+                pq.write_table(t, os.path.join(tmp,
+                                               f"shard-{i:05d}.parquet"))
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                json.dump({"n_shards": self.n_shards,
+                           "signatures": getattr(self.signatures,
+                                                 "__name__",
+                                                 str(self.signatures))}, f)
 
     @classmethod
     def load(cls, path: str, signatures=None) -> "StreamingDedupIndex":

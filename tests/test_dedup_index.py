@@ -208,3 +208,33 @@ def test_load_refuses_manifestless_checkpoint(ray_session, tmp_path):
     os.remove(os.path.join(ckpt, "manifest.json"))
     with pytest.raises(FileNotFoundError, match="manifest"):
         StreamingDedupIndex.load(ckpt)
+
+
+def test_resave_replaces_checkpoint_atomically(ray_session, tmp_path):
+    """Re-saving with a DIFFERENT shard count must replace the whole
+    directory: a plain overwrite would leave the wider generation's
+    stale shard files behind, making load() refuse a valid checkpoint
+    (or, torn the other way, silently restore a mixed-generation
+    index)."""
+    import os
+    base = " ".join(f"s{i}" for i in range(40))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([base], pa.string())}))
+    ckpt = str(tmp_path / "ck")
+    wide = StreamingDedupIndex(n_shards=8)
+    wide.filter_new(docs).count()
+    wide.save(ckpt)
+    narrow = StreamingDedupIndex(n_shards=2)
+    narrow.filter_new(docs).count()
+    narrow.save(ckpt)
+    assert sorted(f for f in os.listdir(ckpt)
+                  if f.startswith("shard-")) == \
+        ["shard-00000.parquet", "shard-00001.parquet"]
+    restored = StreamingDedupIndex.load(ckpt)
+    assert restored.n_shards == 2
+    # the restored index still knows the doc: a re-filter admits nothing new
+    dup = rd.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array([base], pa.string())}))
+    assert restored.filter_new(dup).count() == 0

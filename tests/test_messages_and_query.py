@@ -37,14 +37,19 @@ def test_conversations_to_pages_pipeline(ray_session):
     assert rows[0]["url"] == "conv://1"
     assert "user: The capital of France is Paris." in rows[0]["text"]
 
-    # conversations flow through the extraction pipeline; the pattern rules
-    # match inside the flattened lines via sentence splitting
+    # the full pages shape: extract_text_stage (build_kg's FIRST stage,
+    # which reads html unconditionally) must round-trip the flattened
+    # text byte-identically from the html wrapper
+    from kg_gen_ray.stages.extract_text import extract_text_stage
+    ext = extract_text_stage(pages).take_all()
+    assert ext[0]["text"] == rows[0]["text"]
+
+    # conversations flow through the extraction pipeline end to end,
+    # html first — the docstring's 'same pipeline' promise
     from kg_gen_ray.config import ExtractorConfig, PipelineConfig
-    from kg_gen_ray.stages.chunker import chunk_stage
-    from kg_gen_ray.stages.extract import extract_stage
+    from kg_gen_ray.pipelines.kg_pipeline import raw_triples
     cfg = PipelineConfig(chunk_size=500, extractor_concurrency=1)
-    chunks = chunk_stage(pages, 500)
-    triples = extract_stage(chunks, cfg).take_all()
+    triples = raw_triples(pages, cfg).take_all()
     got = {(r["subj"], r["pred"], r["obj"]) for r in triples}
     assert ("oak", "is a type of", "tree") in got
 

@@ -132,3 +132,15 @@ def test_write_graph(tmp_path, ray_session):
     assert os.path.isdir(tmp_path / "out" / "triples")
     t = rd.read_parquet(str(tmp_path / "out" / "triples")).take_all()
     assert {(r["subj"], r["pred"], r["obj"]) for r in t} == actual
+
+
+def test_write_is_idempotent_on_rerun(tmp_path, ray_session):
+    """Writing twice to the same --out must REPLACE the graph, not
+    append part files that silently double every table."""
+    res, actual, _ = run_corpus(n_pages=16)
+    out = str(tmp_path / "out")
+    res.write(out)
+    counts = res.write(out)
+    assert counts["triples"] == len(actual)
+    t = rd.read_parquet(out + "/triples").take_all()
+    assert len(t) == len(actual)
