@@ -151,7 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
         "kg_triples_routed": q_kg_triples_routed,
-        "kg_semantic_alias": q_kg_semantic_alias,     # rows-only (k-means + judge loop)
+        "kg_semantic_alias": q_kg_semantic_alias,     # value-oracled via the deterministic-judge reduction
         "kg_incremental": q_kg_incremental,
         "kg_triples_llm": q_kg_triples_llm,
         # --- training-data ops: text analysis
@@ -239,8 +239,17 @@ def q_mint_doc_ids(sf_dir: str):
     packed (doc_id, pos) budget. The oracle replays bucket + rank with
     ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY url)."""
     from kg_gen_ray.functions.ids import mint_doc_ids
-    pages = _pages(sf_dir).map_batches(
-        lambda t: t.select(["url"]), batch_format="pyarrow")
+
+    # derive urls directly from (doc_id, lang) — the full pages mapping
+    # would scan + entity-escape every text column only to drop it
+    def urls(t: pa.Table) -> pa.Table:
+        return pa.table({"url": pc.binary_join_element_wise(
+            "https://example.org/", pc.cast(t["lang"], pa.string()),
+            "/doc-", pc.utf8_lpad(
+                pc.cast(t["doc_id"], pa.string()), 6, "0"), "")})
+
+    pages = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        urls, batch_format="pyarrow")
     return mint_doc_ids(pages, key_col="url", id_col="minted_id")
 
 
@@ -426,7 +435,7 @@ def q_kg_triples_llm(sf_dir: str):
 def q_text_tokens(sf_dir: str):
     """Both tokenizer families in one pass: whitespace token stats AND the
     BPE-ish regex count (letter runs / digit runs / single non-space
-    symbols) — merged so each stays driver-oracled inside the 50-query
+    symbols) — merged so each stays driver-oracled inside the fixed-size
     window."""
     from kg_gen_ray.functions.text_analysis import (regex_token_stats,
                                                     token_stats)
@@ -593,7 +602,7 @@ def q_dedup_exact(sf_dir: str):
 def q_minhash_signatures(sf_dir: str):
     """md5-family MinHash signatures + the distinct-shingle count per doc
     (shingle_stats merged in so the shingling operator keeps its own
-    oracle-checked column inside the 50-query window)."""
+    oracle-checked column inside the fixed-size query window)."""
     from kg_gen_ray.functions.dedup import minhash_signatures, shingle_stats
 
     def both(t: pa.Table) -> pa.Table:
@@ -904,7 +913,7 @@ def q_token_quantiles(sf_dir: str):
 def q_events_windows(sf_dir: str):
     """Tumbling 1-hour windows AND 1-hour windows sliding every 30 min, in
     one unioned result keyed by ``window_kind`` (both window families stay
-    driver-oracled inside the 50-query window). value is converted to
+    driver-oracled inside the fixed-size query window). value is converted to
     integer cents PER ROW before the distributed Sum (same as
     pricing_summary), so float summation order cannot flip the hash at any
     scale — a float64 sum rounded after the fact diverges from the oracle
@@ -918,8 +927,11 @@ def q_events_windows(sf_dir: str):
         return pa.table({
             "event_type": t["event_type"],
             "ts": t["ts"],
+            # half AWAY from zero = DuckDB round(); the default
+            # half-to-even diverges on exact .5 cent values
             "cents": pc.cast(pc.round(
-                pc.multiply(t["value"], pa.scalar(100.0))), pa.int64()),
+                pc.multiply(t["value"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity"), pa.int64()),
         })
 
     cents = ds.map_batches(to_cents, batch_format="pyarrow")
@@ -949,7 +961,7 @@ def q_events_asof(sf_dir: str):
     """BOTH as-of directions in one unioned result keyed by ``direction``:
     backward (latest order by customer at or before the event) and forward
     (earliest order at or after) — the same bucketed merge_asof
-    composition, each direction staying driver-oracled inside the 50-query
+    composition, each direction staying driver-oracled inside the fixed-size
     window. Right side pre-reduced to one row per (custkey, orderdate) so
     the match is unambiguous."""
     import ray.data

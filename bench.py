@@ -35,7 +35,8 @@ BENCH_DIR = os.environ.get(
     "KG_BENCH_DIR", f"/tmp/kg_bench_corpus_v3_{BENCH_PAGES}")
 SHARD = 12_500
 
-# Registry names as of round 3's 50-query consolidation. Renames vs the
+# Registry names as of round 3's fixed-window consolidation (52 queries as
+# of round 4). Renames vs the
 # round-2 bench (for cross-round ratio reading): events_hourly +
 # events_sliding -> events_windows (one unioned query); events_sessions ->
 # events_session_assign (sessionize + range join merged); fused_text_fast
@@ -72,7 +73,14 @@ def ensure_corpus(out_dir: str | None = None, **synth_kwargs) -> str:
     n_shards = (BENCH_PAGES + SHARD - 1) // SHARD
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            cached = f.read().strip()
+        if cached == str(BENCH_PAGES):
+            return out_dir
+        # stale cache from a different KG_BENCH_PAGES: reusing it would
+        # silently report throughput against the wrong page count
+        import shutil
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     @ray.remote
@@ -187,9 +195,12 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as mod
 
-    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    # warm the OS page cache so we measure compute + shuffle, not cold
+    # disk — EVERY table a timed query reads (lineitem is the largest;
+    # leaving it cold skewed the relational queries' first-run numbers)
     import pyarrow.parquet as pq
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "lineitem", "orders",
+              "customer", "nation", "region"):
         pq.read_table(f"{SF_DIR}/{t}.parquet")
 
     t0 = time.time()
@@ -383,16 +394,28 @@ def run_hygiene() -> dict:
     corpus = ensure_corpus()
     warm_cluster(corpus)
 
-    def docs_ds():
-        pages = rd.read_parquet(corpus, columns=["url", "text", "lang"])
+    # the corpus repeats each url once per shard (url-dedup ops need the
+    # duplicates), so url-HASH ids would repeat across shards and every
+    # id-keyed stage (drop_ids, decontaminate, the dedup index) would
+    # alias drops across 32 unrelated rows. Derive UNIQUE (shard,
+    # url-tail) ids from the file path instead — shared by docs_ds and
+    # para_docs below.
+    def _unique_ids(t: pa.Table) -> pa.Array:
+        n = pc.cast(pc.struct_field(pc.extract_regex(
+            pc.cast(t["url"], pa.string()), r"-(?P<n>\d+)$"), "n"),
+            pa.int64())
+        shard = pc.cast(pc.struct_field(pc.extract_regex(
+            pc.cast(t["path"], pa.string()),
+            r"-(?P<s>\d+)\.parquet$"), "s"), pa.int64())
+        return pc.add(pc.multiply(shard, pa.scalar(1 << 22, pa.int64())), n)
 
-        def to_docs(t: pa.Table, base: int = 0) -> pa.Table:
-            import polars as pl
-            h = pl.from_arrow(
-                pc.cast(t["url"], pa.string()).combine_chunks()).hash(seed=0)
-            did = (h.to_numpy().astype("int64") & ((1 << 62) - 1))
+    def docs_ds():
+        pages = rd.read_parquet(corpus, columns=["url", "text", "lang"],
+                                include_paths=True)
+
+        def to_docs(t: pa.Table) -> pa.Table:
             return pa.table({
-                "doc_id": pa.array(did, pa.int64()),
+                "doc_id": _unique_ids(t),
                 "text": t["text"], "lang": t["lang"]})
 
         return pages.map_batches(to_docs, batch_format="pyarrow")
@@ -429,23 +452,12 @@ def run_hygiene() -> dict:
     from kg_gen_ray.functions.paragraphs import paragraph_dedup
 
     def para_docs():
-        # the corpus repeats each url once per shard (url-dedup ops need
-        # the duplicates), so url-derived ids are NOT unique — paragraph
-        # dedup requires unique doc ids (and raises otherwise). Derive
-        # (shard, url-tail) ids from the file path instead.
         pages = rd.read_parquet(corpus, columns=["url", "text"],
                                 include_paths=True)
 
         def to_paras(t: pa.Table) -> pa.Table:
-            n = pc.cast(pc.struct_field(pc.extract_regex(
-                pc.cast(t["url"], pa.string()), r"-(?P<n>\d+)$"), "n"),
-                pa.int64())
-            shard = pc.cast(pc.struct_field(pc.extract_regex(
-                pc.cast(t["path"], pa.string()),
-                r"-(?P<s>\d+)\.parquet$"), "s"), pa.int64())
             return pa.table({
-                "doc_id": pc.add(pc.multiply(
-                    shard, pa.scalar(1 << 22, pa.int64())), n),
+                "doc_id": _unique_ids(t),
                 "text": pc.replace_substring(
                     pc.cast(t["text"], pa.string()), ". ", "\n\n"),
             })

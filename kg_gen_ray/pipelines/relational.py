@@ -33,6 +33,14 @@ def _read(sf_dir: str, table: str, columns: list) -> "ray.data.Dataset":
         override_num_blocks=size_aware_read_blocks(path))
 
 
+def _half_away(v):
+    """Round half AWAY from zero (DuckDB round() semantics). np.rint /
+    pc.round default to half-to-even, which diverges from the oracle on
+    exact .5 values (12.5 cents -> 12 vs DuckDB's 13)."""
+    import numpy as np
+    return np.trunc(v + np.copysign(0.5, v))
+
+
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
                     ) -> "ray.data.Dataset":
     """TPC-H Q1 shape: shipdate filter -> per-batch partial sums ->
@@ -57,10 +65,10 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
         tmp = pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "qty": pa.array(np.rint(qty * 100.0).astype(np.int64)),
-            "base": pa.array(np.rint(price * 100.0).astype(np.int64)),
+            "qty": pa.array(_half_away(qty * 100.0).astype(np.int64)),
+            "base": pa.array(_half_away(price * 100.0).astype(np.int64)),
             "disc_price": pa.array(
-                np.rint(price * (1.0 - disc) * 10000.0).astype(np.int64)),
+                _half_away(price * (1.0 - disc) * 10000.0).astype(np.int64)),
         })
         agg = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
@@ -138,8 +146,8 @@ def revenue_by_region(sf_dir: str,
         names = dict_lookup(t["c_nationkey"], nk_to_name,
                             out_type=pa.string())
         # per-row cents (exact for 2-decimal money), integer sums
-        rev = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
-                      * 100.0).astype(np.int64)
+        rev = _half_away(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
         tmp = pa.table({
             "r_name": names,
             "rev": pa.array(rev),
@@ -171,7 +179,8 @@ def top_parts_by_quantity(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
 
     def neg(t: pa.Table) -> pa.Table:
         cents = pc.cast(pc.round(
-            pc.multiply(t["qty"], pa.scalar(100.0))), pa.int64())
+            pc.multiply(t["qty"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
         return pa.table({
             "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
             "qty_cents": cents,

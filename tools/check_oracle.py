@@ -76,6 +76,13 @@ def main():
     qs = mod.queries()
     oracles = mod.oracle_sql()
     only = set(sys.argv[2:])
+    unknown = only - set(qs)
+    if unknown:
+        # a misspelled name would otherwise match nothing, run zero
+        # queries and print ALL OK — a green run that checked nothing
+        print(f"unknown query name(s): {sorted(unknown)}; "
+              f"known: {sorted(qs)}")
+        sys.exit(2)
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
