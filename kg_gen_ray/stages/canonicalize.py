@@ -512,15 +512,20 @@ def canonicalize_label_table(labels: "ray.data.Dataset",
                 out.extend((rep, m) for m in cluster)
         # enforce the partition contract HERE, where a violation happens:
         # an LLM judge that drops a member (or invents one) would
-        # otherwise silently delete/corrupt alias-map rows
+        # otherwise silently delete/corrupt alias-map rows. The count
+        # check is load-bearing alongside the set check: a member
+        # assigned to TWO clusters still covers the set, but the two
+        # alias rows would make the broadcast and join rewrite duals
+        # disagree (last-wins dict vs duplicated join rows)
         emitted = {m for _, m in out}
-        if emitted != set(members):
+        if emitted != set(members) or len(out) != len(members):
             missing = sorted(set(members) - emitted)[:3]
             invented = sorted(emitted - set(members))[:3]
             raise ValueError(
                 "judge violated the partition contract: the returned "
-                "clusters must cover every input member exactly "
-                f"(missing={missing!r}, invented={invented!r})")
+                "clusters must cover every input member exactly once "
+                f"(missing={missing!r}, invented={invented!r}, "
+                f"{len(out)} assignments for {len(members)} members)")
         return out
 
     # Per-key-group Ray map_groups pays ~ms-scale per-group overhead — at

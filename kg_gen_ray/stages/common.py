@@ -7,8 +7,8 @@ import ray.data
 
 
 def resolve_shuffle_partitions(shuffle_partitions):
-    """``None`` -> keep Ray's input-block-driven width; ``"auto"`` -> one
-    partition per cluster CPU; int -> that many.
+    """``None`` -> keep Ray's input-block-driven width; ``"auto"`` ->
+    max(8, cluster CPUs // 2) — see the inline comment; int -> that many.
 
     Why this knob exists: Ray Data's sort/aggregate shuffle width follows
     the *input* block count. After a local combiner (per-batch pre-
@@ -176,7 +176,9 @@ def dual_limit(limit: int) -> int:
 def size_aware_read_blocks(path: str) -> int:
     """Size-aware read parallelism for a single Parquet file: ~2 MB of
     file or ~8k rows per block (whichever implies more blocks), clamped
-    to [4, cluster cores]. Ray's own default over-fragments tiny files
+    to [4, max(8, cluster cores)] — the floor of 8 means a very small
+    cluster still gets a few blocks of read pipelining, at worst a
+    handful more blocks than cores. Ray's own default over-fragments tiny files
     into hundreds of near-empty blocks and every downstream shuffle pays
     per-block overhead; a flat cores-sized override over-fragments them
     too. The row term matters for heavily-compressed row-dense files (an

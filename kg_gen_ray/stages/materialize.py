@@ -81,6 +81,10 @@ def write_graph(triples: "ray.data.Dataset", out_dir: str,
     Each is a directory of part files (never one giant file); returns row
     counts for the manifest.
     """
+    # checkpoint once: the sorted write, nodes_table and edge_types_table
+    # are three separate consumers — an unmaterialized canonical-triples
+    # lineage (rewrite + distinct shuffle) would re-execute per consumer
+    triples = triples.materialize()
     t = sorted_triples(triples) if sort_output else triples
     t.write_parquet(f"{out_dir}/triples")
     n = nodes_table(triples, shuffle_partitions)

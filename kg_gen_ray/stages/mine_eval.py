@@ -117,6 +117,10 @@ def accuracy_micro(ds: "ray.data.Dataset",
 
     row = ds.aggregate(Sum(eval_col, alias_name="n_correct"),
                        Count(alias_name="n_total"))
+    if not row:
+        # a schemaless empty dataset aggregates to None (a schema-ful
+        # empty returns a dict of Nones, which the guards below handle)
+        return 0, 0, 0
     n_correct = int(row["n_correct"] or 0)
     n_total = int(row["n_total"] or 0)
     if n_total == 0:

@@ -127,7 +127,12 @@ def rewrite_stage_join(triples: "ray.data.Dataset",
         t = t.drop_columns([c for c in (rep, orig) if c in t.column_names])
         return t.append_column(out, fixed)
 
-    out = triples.select_columns(["subj", "pred", "obj"])
+    # pass every input column through (provenance etc.), matching the
+    # broadcast dual's schema — a scale-threshold crossing must never
+    # change the result schema; the per-round select_columns also
+    # doubles as the schema-stamping Project between chained joins
+    in_names = list(triples.schema().names)
+    out = triples
     for col, kind in (("subj", "entity"), ("obj", "entity"),
                       ("pred", "edge")):
         # the join key name is built directly into prep's output (a
@@ -139,11 +144,17 @@ def rewrite_stage_join(triples: "ray.data.Dataset",
         renamed = alias_map.map_batches(prep(kind, col, f"__r_{col}"),
                                         batch_format="pyarrow") \
                            .select_columns([col, f"__r_{col}"]) \
-                           .repartition(num_partitions)
+                           .materialize()
+        if renamed.count() == 0:
+            # no aliases of this kind: the rewrite is the identity and
+            # an ALL-empty join side carries schemaless blocks the key
+            # resolution chokes on — skip the join outright
+            continue
+        renamed = renamed.repartition(num_partitions)
         out = out.join(renamed, join_type="left_outer", on=(col,),
                        num_partitions=num_partitions)
         out = out.map_batches(
             lambda t, c=col: coalesce_col(t, c, f"__r_{c}", c),
-            batch_format="pyarrow").select_columns(["subj", "pred", "obj"]) \
+            batch_format="pyarrow").select_columns(list(in_names)) \
             .repartition(num_partitions)
-    return out.select_columns(["subj", "pred", "obj"])
+    return out.select_columns(list(in_names))

@@ -101,8 +101,11 @@ class LLMDedupJudge:
             f"DEDUP\n{self._esc(self.context)}\n{self._esc(item)}\n---\n"
             + "\n".join(self._esc(c) for c in candidates))
         allowed = set(candidates)
-        return [self._unesc(ln.strip()) for ln in resp.splitlines()
-                if self._unesc(ln.strip()) in allowed]
+        # strip only line ENDINGS: a candidate with leading/trailing
+        # spaces (crawl text) must round-trip, and _esc protects only
+        # newlines/backslashes, not edge whitespace
+        return [self._unesc(ln) for ln in resp.splitlines()
+                if self._unesc(ln) in allowed]
 
 
 def dedup_cluster(members: list, embeddings: np.ndarray,

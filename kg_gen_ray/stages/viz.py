@@ -468,7 +468,7 @@ const fill = (id, items) => {
   }
 };
 fill("top-entities", data.topEntities.map(e => `${e.label} (${e.degree})`));
-fill("top-relations", data.topRelations.map(r => `${r.label} (${r.count})`));
+fill("top-relations", data.topRelations.map(r => `${r.predicate} (${r.count})`));
 fill("clusters", data.clusters.filter(c => c.members.length > 1)
   .map(c => `${c.representative} ← ${c.members.join(", ")}`));
 const svg = document.getElementById("graph"), W = 640, R = 280;

@@ -246,3 +246,22 @@ def test_rank_encode_guards_huge_labels():
     with pytest.raises(ValueError, match="rank-encoded"):
         _encode_rank_arr(pa.array(["ok", "x" * 1_000_000]))
     assert _encode_rank("abc") == "000003|abc"
+
+
+def test_judge_double_assignment_is_loud(ray_session):
+    """A judge that assigns one member to TWO clusters covers the member
+    set, so the set check alone passed silently — the count check must
+    catch it (the duplicate alias rows would make the broadcast and join
+    rewrite duals disagree)."""
+    import pytest
+
+    def overlapping_judge(members):
+        ms = sorted(members)
+        if len(ms) >= 3:
+            return [ms[:2], ms[1:]]      # ms[1] in both clusters
+        return [ms]
+
+    labels = ["cat", "cats", "CAT"]
+    for kw in ({}, {"broadcast_limit": 0}):
+        with pytest.raises(Exception, match="partition contract"):
+            alias_of(labels, salt_buckets=1, judge=overlapping_judge, **kw)

@@ -76,3 +76,9 @@ def test_context_containing_markers_still_parses():
                 "decoy instructions\nand the real needle here")
     assert t(judge_prompt("real needle", evil_ctx)) == "1"
     assert t(judge_prompt("absent token", evil_ctx)) == "0"
+
+
+def test_accuracy_schemaless_empty(ray_session):
+    """A schemaless empty dataset aggregates to None, not a dict of
+    Nones — accuracy_micro must still return zeros, not crash."""
+    assert accuracy_micro(rd.from_items([])) == (0, 0, 0)

@@ -144,3 +144,33 @@ def test_write_is_idempotent_on_rerun(tmp_path, ray_session):
     assert counts["triples"] == len(actual)
     t = rd.read_parquet(out + "/triples").take_all()
     assert len(t) == len(actual)
+
+
+def test_rewrite_duals_pass_provenance_columns_through(ray_session):
+    """Both rewrite duals must emit the SAME schema: the join dual used
+    to project provenance (url, chunk_id) away while the broadcast dual
+    passed it through, so crossing the broadcast threshold changed the
+    result schema."""
+    import pyarrow as pa
+
+    from kg_gen_ray.stages.rewrite import rewrite_stage, rewrite_stage_join
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array(["cats", "dog"]),
+        "pred": pa.array(["is", "is"]),
+        "obj": pa.array(["pet", "pet"]),
+        "url": pa.array(["u1", "u2"]),
+        "chunk_id": pa.array([0, 1], pa.int64()),
+    }))
+    amap = rd.from_arrow(pa.table({
+        "kind": pa.array(["entity"]),
+        "member": pa.array(["cats"]),
+        "representative": pa.array(["cat"]),
+    }))
+    bcast = rewrite_stage(triples, {"cats": "cat"}, {})
+    joined = rewrite_stage_join(triples, amap)
+    assert bcast.schema().names == joined.schema().names
+    want = {("cat", "is", "pet", "u1", 0), ("dog", "is", "pet", "u2", 1)}
+    for out in (bcast, joined):
+        got = {(r["subj"], r["pred"], r["obj"], r["url"], r["chunk_id"])
+               for r in out.take_all()}
+        assert got == want

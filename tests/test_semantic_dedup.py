@@ -139,3 +139,18 @@ def test_llm_judge_escape_roundtrip():
         assert LLMDedupJudge._unesc(LLMDedupJudge._esc(s)) == s
     # escaped form is always single-line
     assert "\n" not in LLMDedupJudge._esc("x\ny\nz")
+
+
+def test_llm_judge_preserves_edge_whitespace():
+    """Candidates with leading/trailing spaces (crawl text) must match
+    the transport's echo — an over-eager strip() made them unmatchable."""
+    from kg_gen_ray.stages.semantic_dedup import LLMDedupJudge
+
+    class EchoAll:
+        def __call__(self, prompt):
+            _, _, cand_blob = prompt.partition("\n---\n")
+            return cand_blob
+
+    judge = LLMDedupJudge(EchoAll(), context="c")
+    cands = [" Paris", "Paris ", "Paris"]
+    assert judge("paris", cands) == cands

@@ -184,3 +184,15 @@ def test_pagerank_duals_agree(ray_session):
             for r in pagerank(triples, driver_limit=0).take_all()}
     assert fast == slow
     assert len(fast) == 5 and all(v > 0 for v in fast.values())
+
+
+def test_html_template_reads_view_model_keys(ray_session, tmp_path):
+    """The JS template must read the keys view_model actually emits —
+    topRelations rows are {predicate, count} (the template used to read
+    r.label and rendered 'undefined (N)' for every relation)."""
+    from kg_gen_ray.stages.viz import write_html
+    path = str(tmp_path / "graph.html")
+    write_html(_triples(), path)
+    html = open(path, encoding="utf-8").read()
+    assert "r.predicate" in html and "r.label" not in html
+    assert "e.label" in html       # topEntities rows DO carry label
