@@ -29,8 +29,10 @@ from kg_gen_ray.stages.common import dual_limit
 def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     n = len(batch)
     if n == 0:
-        # reshape(0, -1) raises on empty input; width 0 is fine since no
-        # consumer touches columns of an empty matrix
+        # reshape(0, -1) raises on empty input. Consumers that matmul or
+        # broadcast against a (d,)-shaped side must short-circuit empty
+        # batches BEFORE calling _mat — a (0, 0) matrix cannot align
+        # with d columns
         return np.zeros((0, 0), dtype=np.float64)
     arr = batch[col]
     flat = np.asarray(arr.flatten().to_pylist() if not isinstance(arr, pa.ChunkedArray)
@@ -54,6 +56,11 @@ def brute_force_topk(embeddings: "ray.data.Dataset", query: np.ndarray,
     q_ref = ray.put(np.asarray(query, dtype=np.float64))
 
     def partial(batch: pa.Table, q_ref=q_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            # ivf_topk's probed filter legitimately empties blocks; the
+            # (0,0) matrix from _mat cannot matmul a (d,) query
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         q = ray.get(q_ref)
         block = _mat(batch)
         sims = _cosine(block, q)
@@ -100,6 +107,9 @@ def ivf_assign(embeddings: "ray.data.Dataset", centroids: np.ndarray,
     c_ref = ray.put(c_norm)
 
     def assign(batch: pa.Table, c_ref=c_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "centroid_id": pa.array([], pa.int64())})
         cn = ray.get(c_ref)
         block = _mat(batch)
         bn = block / np.maximum(np.linalg.norm(block, axis=1, keepdims=True), 1e-300)
@@ -174,6 +184,11 @@ def kmeans_centroids(embeddings: "ray.data.Dataset", n_centroids: int,
         c_ref = ray.put(cents)
 
         def partial_sums(batch: pa.Table, c_ref=c_ref) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "count": pa.array([], pa.int64()),
+                    "sum": pa.array([], pa.list_(pa.float64()))})
             c = ray.get(c_ref)
             block = _mat(batch)
             d = ((block[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)

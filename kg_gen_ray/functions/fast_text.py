@@ -94,8 +94,9 @@ def _fused_slice(batch: pa.Table, n_hashes: int,
 
     toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
+    lengths = np.nan_to_num(
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+        nan=0).astype(np.int64)    # null text -> 0 tokens
     flat = toks.flatten()
     th = _token_hashes(flat)
     row_idx = np.repeat(np.arange(n), lengths)
@@ -282,8 +283,9 @@ def _signatures_slice(batch: pa.Table, n_hashes: int,
         return pa.table(cols)
     toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
+    lengths = np.nan_to_num(
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+        nan=0).astype(np.int64)    # null text -> 0 tokens
     th = token_hash_fn(toks.flatten())
     row_idx = np.repeat(np.arange(n), lengths)
     mins = _minhash_core(th, row_idx, lengths, n, n_hashes,
@@ -340,8 +342,9 @@ def _winnow_slice(batch: pa.Table, window: int) -> pa.Table:
         return empty
     toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
+    lengths = np.nan_to_num(
+        pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+        nan=0).astype(np.int64)    # null text -> 0 tokens
     th = _md5_u32_hashes(toks.flatten())
     row_idx = np.repeat(np.arange(n), lengths)
     sh, srow = _shingle_rows(th, row_idx, _OC1, _OC2)

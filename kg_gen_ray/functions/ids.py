@@ -88,13 +88,30 @@ def mint_doc_ids(docs: "ray.data.Dataset", key_col: str = "url",
     n_outer = default_buckets()
     mint_cols = ([key_col] if tiebreak_col is None
                  else [key_col, tiebreak_col])
+    if tiebreak_col is not None:
+        tb_names = list(docs.schema().names)
+        tb_type = docs.schema().types[tb_names.index(tiebreak_col)]
+        tb_numeric = (pa.types.is_integer(tb_type)
+                      or pa.types.is_timestamp(tb_type)
+                      or pa.types.is_date(tb_type)
+                      or pa.types.is_time(tb_type))
+        if not (tb_numeric or pa.types.is_string(tb_type)
+                or pa.types.is_large_string(tb_type)):
+            raise ValueError(
+                f"tiebreak_col {tiebreak_col!r} has type {tb_type} — "
+                "only integer/timestamp/date/time (rendered as "
+                "zero-padded int64) and string tiebreaks order-preserve "
+                "through the composite key")
 
     def minted_key(t: pa.Table) -> pa.Array:
         """The unique-key rendering: the key itself, or key + NUL +
-        str(tiebreak). NUL sorts before every printable byte, so the
+        rendered tiebreak. NUL sorts before every printable byte, so the
         composite order is (key, tiebreak) and stays prefix-free; the
         same kernel runs on the mining AND attach sides, so the exact
-        string rendering of the tiebreak never needs to round-trip."""
+        rendering never needs to round-trip. Numeric/timestamp
+        tiebreaks render as ZERO-PADDED int64 so lexicographic order ==
+        numeric order ('earliest crawl gets the smallest id' holds for
+        epoch-integer warc_ts, not just fixed-width ISO strings)."""
         keys = pc.cast(t[key_col], pa.string())
         if keys.null_count:
             raise ValueError(f"null {key_col}: every row needs a key "
@@ -103,10 +120,21 @@ def mint_doc_ids(docs: "ray.data.Dataset", key_col: str = "url",
             keys = keys.combine_chunks()
         if tiebreak_col is None:
             return keys
-        tb = pc.cast(t[tiebreak_col], pa.string())
-        if tb.null_count:
-            raise ValueError(f"null {tiebreak_col}: tiebreak values are "
-                             "part of the minting key")
+        if tb_numeric:
+            tb64 = pc.cast(t[tiebreak_col], pa.int64())
+            if tb64.null_count:
+                raise ValueError(f"null {tiebreak_col}: tiebreak values "
+                                 "are part of the minting key")
+            if len(tb64) and pc.min(tb64).as_py() < 0:
+                raise ValueError(
+                    f"negative {tiebreak_col} cannot be rendered "
+                    "order-preserving; shift to a non-negative epoch")
+            tb = pc.utf8_lpad(pc.cast(tb64, pa.string()), 19, "0")
+        else:
+            tb = pc.cast(t[tiebreak_col], pa.string())
+            if tb.null_count:
+                raise ValueError(f"null {tiebreak_col}: tiebreak values "
+                                 "are part of the minting key")
         out = pc.binary_join_element_wise(keys, tb, "\x00")
         return (out.combine_chunks()
                 if isinstance(out, pa.ChunkedArray) else out)

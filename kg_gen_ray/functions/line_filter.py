@@ -72,10 +72,12 @@ def c4_clean(docs: "ray.data.Dataset", text_col: str = "text",
 
         pos = doc_pos[keep_line]
         counts = np.bincount(pos, minlength=n_docs)
-        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        # loud int32 construction: pa.array raises on overflow where
+        # astype would silently wrap past 2^31 entries
+        offsets = np.concatenate([[0], np.cumsum(counts)])
         kept = flat.filter(pa.array(keep_line))
         joined = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets), kept), "\n")
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept), "\n")
         keep_doc = pa.array((~page_bad) & (counts >= min_lines))
         # in-place text replace + row filter: other columns pass through
         return t.set_column(t.schema.get_field_index(text_col), text_col,

@@ -263,10 +263,12 @@ def paragraph_dedup(docs: "ray.data.Dataset", text_col: str = "text",
         # survivors per document -> new list offsets -> vectorized join
         pos = np.repeat(np.arange(len(ids)), lens)[keep]
         counts = np.bincount(pos, minlength=len(ids))
-        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        # loud int32 construction: pa.array raises on overflow where
+        # astype would silently wrap past 2^31 entries
+        offsets = np.concatenate([[0], np.cumsum(counts)])
         kept = paras.filter(pa.array(keep))
         joined = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets), kept), _SEP)
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept), _SEP)
         # in-place text replace + row filter: other columns pass through
         nonempty = pa.array(counts > 0)
         return t.set_column(t.schema.get_field_index(text_col), text_col,

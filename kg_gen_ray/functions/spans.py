@@ -83,8 +83,11 @@ def _doc_tokens(t: pa.Table, text_col: str, id_col: str):
     toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    lengths = pc.list_value_length(toks) \
-        .to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    # null text -> null length -> NaN; treat as 0 tokens (the
+    # paragraphs/_explode convention) instead of letting astype wrap NaN
+    # to -2^63 and crash np.repeat with a nameless error
+    lengths = np.nan_to_num(lengths, nan=0).astype(np.int64)
     if len(lengths):
         if int(lengths.max()) > _MAX_POS + 1:
             raise ValueError(

@@ -30,7 +30,9 @@ def _tok_codes(batch: pa.Table, col: str = "text"):
     toks = pc.split_pattern(pc.cast(batch[col], pa.string()), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(pc.list_value_length(toks)
+                            .to_numpy(zero_copy_only=False),
+                            nan=0).astype(np.int64)  # null text -> 0 tokens
     flat = toks.flatten()
     codes = flat.dictionary_encode().indices \
         .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -205,7 +207,9 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
         pc.cast(batch[text_col], pa.string()), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(pc.list_value_length(toks)
+                            .to_numpy(zero_copy_only=False),
+                            nan=0).astype(np.int64)  # null text -> 0 tokens
     n_rows = batch.num_rows
     codes, tlen = _flat_codes(toks.flatten())
     row_idx = np.repeat(np.arange(n_rows), lengths)
@@ -253,8 +257,9 @@ def gopher_repetition(batch: pa.Table, text_col: str = "text",
         pc.cast(batch[line_col or text_col], pa.string()), "\n")
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
-    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
+    n_lines = np.nan_to_num(pc.list_value_length(lines)
+                            .to_numpy(zero_copy_only=False),
+                            nan=0).astype(np.int64)  # null text -> 0 lines
     lcodes, llen = _flat_codes(lines.flatten())
     lrow = np.repeat(np.arange(n_rows), n_lines)
     n_distinct = np.zeros(n_rows, dtype=np.int64)
@@ -312,7 +317,9 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
         pc.cast(batch[text_col], pa.string()), " ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(pc.list_value_length(toks)
+                            .to_numpy(zero_copy_only=False),
+                            nan=0).astype(np.int64)  # null text -> 0 tokens
     n_rows = batch.num_rows
     row_idx = np.repeat(np.arange(n_rows), lengths)
     flat_arrow = toks.flatten()
@@ -329,9 +336,9 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
         np.add.at(alpha_cnt, row_idx[alpha], 1)
 
     text_arr = pc.cast(batch[text_col], pa.string())
-    n_sym = pc.count_substring(text_arr, "#") \
+    n_sym = pc.fill_null(pc.count_substring(text_arr, "#"), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    n_sym = n_sym + pc.count_substring(text_arr, "...") \
+    n_sym = n_sym + pc.fill_null(pc.count_substring(text_arr, "..."), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
 
     stop_hits = np.zeros(n_rows, dtype=np.int64)
@@ -347,8 +354,9 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
         pc.cast(batch[line_col or text_col], pa.string()), "\n")
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
-    n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
+    n_lines = np.nan_to_num(pc.list_value_length(lines)
+                            .to_numpy(zero_copy_only=False),
+                            nan=0).astype(np.int64)  # null text -> 0 lines
     lflat = lines.flatten()
     lrow = np.repeat(np.arange(n_rows), n_lines)
     bullet = pc.or_(pc.starts_with(lflat, "- "),
@@ -467,7 +475,10 @@ def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 20,
         toks = _pc.split_pattern(_pc.cast(t["text"], pa.string()), " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        lengths = _pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        import numpy as _np
+        lengths = _np.nan_to_num(
+            _pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+            nan=0).astype(_np.int64)  # null text -> 0 tokens
         flat = toks.flatten()
         total = len(flat)
         if total < n:
@@ -618,10 +629,30 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
                                  t["idf"]),
         })
 
-    def topk(g: _pd.DataFrame) -> _pd.DataFrame:
-        g = g.sort_values(["tfidf", "term"], ascending=[False, True],
-                          kind="stable").head(k)
-        return g[["doc_id", "term", "tfidf"]]
+    # bucket-hashed top-k: per-doc map_groups would pay ms-scale Python
+    # overhead per DOCUMENT — the exact cardinality this join dual
+    # exists to scale to; one bucket holds many docs and the per-doc
+    # head(k) is a vectorized pandas cumcount mask
+    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+    n_buckets = default_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", hash_bucket_array(t["doc_id"], n_buckets))
+
+    def topk(g: _pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "tfidf", "term"],
+                          ascending=[True, False, True], kind="stable")
+        g = g[g.groupby("doc_id", sort=False).cumcount() < k]
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype="int64"),
+                               pa.int64()),
+            "term": pa.array(g["term"].astype(str), pa.string()),
+            "tfidf": pa.array(g["tfidf"].to_numpy(dtype="float64"),
+                              pa.float64()),
+        })
 
     return joined.map_batches(score, batch_format="pyarrow") \
-        .groupby("doc_id").map_groups(topk, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(topk, batch_format="pandas") \
+        .select_columns(["doc_id", "term", "tfidf"])

@@ -68,9 +68,17 @@ def _norm_url_kernel(urls) -> pa.Array:
     canonical form under which re-crawls of one page collide."""
     st = pc.extract_regex(pc.cast(urls, pa.string()), pattern=URL_PATTERN)
     scheme = pc.utf8_lower(pc.struct_field(st, "scheme"))
-    host = pc.replace_substring_regex(
-        pc.utf8_lower(pc.struct_field(st, "hostport")),
-        pattern=r":(80|443)$", replacement="")
+    host = pc.utf8_lower(pc.struct_field(st, "hostport"))
+    # strip only the scheme's OWN default port: http://host:443/x is a
+    # different resource than http://host/x and must not collide
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, pattern=r":80$", replacement=""),
+        host)
+    host = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(host, pattern=r":443$", replacement=""),
+        host)
     host = pc.replace_substring_regex(host, pattern=r"^www\.",
                                       replacement="")
     path = pc.replace_substring_regex(pc.struct_field(st, "path"),
@@ -183,13 +191,29 @@ def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
     minima = coalesce(marked.filter(expr="is_min == True"),
                       shuffle_partitions)
 
-    def all_but_min(g):
-        import pandas as pd
-        ids = np.sort(np.asarray(g["doc_id"], dtype=np.int64))
-        return pd.DataFrame({"doc_id": pd.Series(ids[1:], dtype="int64")})
+    # bucket-hashed global min (the paragraphs._mark_occurrences shape):
+    # a per-distinct-URL map_groups would pay ms-scale Python overhead
+    # per URL — O(corpus distinct URLs) groups; one bucket holds many
+    # URL-groups and the all-but-min mask is a vectorized lexsort
+    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+    n_buckets = default_buckets()
 
-    global_losers = minima.groupby("norm_url").map_groups(
-        all_but_min, batch_format="pandas")
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", hash_bucket_array(t["norm_url"], n_buckets))
+
+    def all_but_min(g) -> "pa.Table":
+        urls = g["norm_url"].to_numpy()
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, urls))
+        su = urls[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = su[1:] != su[:-1]
+        return pa.table({"doc_id": pa.array(ids[order[~first]], pa.int64())})
+
+    global_losers = minima.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(all_but_min, batch_format="pandas") \
+        .select_columns(["doc_id"])
     return local_losers.union(global_losers)
 
 

@@ -121,3 +121,24 @@ def test_cosine_near_dup_canonical_matches_numpy_cc(ray_session):
     kept = {r["vec_id"] for r in cosine_near_dup_canonical(
         emb_ds(), threshold=0.3).take_all()}
     assert kept == expected
+
+
+def test_empty_blocks_from_probed_filter(ray_session):
+    """ivf_topk's probe filter legitimately empties blocks; the partial
+    top-k / assign / k-means kernels must short-circuit them instead of
+    matmul-ing a (0,0) matrix against a (d,) query."""
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(12)), pa.int64()),
+        "embedding": pa.array([[float(i), 1.0, 0.0, 0.0]
+                               for i in range(12)],
+                              pa.list_(pa.float32())),
+    })).repartition(6)
+    # a filter that empties most blocks
+    few = emb.filter(expr="vec_id >= 10")
+    q = np.asarray([1.0, 0.0, 0.0, 0.0], dtype=np.float64)
+    top = brute_force_topk(few, q, k=3)
+    assert len(top) == 2
+    cents = np.eye(2, 4)
+    assert ivf_assign(few, cents).count() == 2
+    c = kmeans_centroids(few, n_centroids=2, n_iter=2)
+    assert c.shape == (2, 4)

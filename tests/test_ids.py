@@ -149,3 +149,25 @@ def test_minted_ids_feed_url_dedup(ray_session):
     kept = drop_ids(minted, losers, "doc_id")
     texts = sorted(r["text"] for r in kept.take_all())
     assert texts == ["solo", "v1"]     # the earliest crawl of a.org/x
+
+
+def test_integer_tiebreak_orders_numerically(ray_session):
+    """Epoch-integer tiebreaks must order numerically, not as raw digit
+    strings ('999' vs '1000'): the zero-padded rendering guarantees the
+    earliest capture still gets the smallest id."""
+    tbl = pa.table({
+        "url": pa.array(["u", "u", "u"]),
+        "crawl_s": pa.array([999, 1000, 5], pa.int64()),
+        "text": pa.array(["mid", "late", "first"]),
+    })
+    out = sorted(mint_doc_ids(rd.from_arrow(tbl),
+                              tiebreak_col="crawl_s").take_all(),
+                 key=lambda r: r["doc_id"])
+    assert [r["text"] for r in out] == ["first", "mid", "late"]
+
+
+def test_float_tiebreak_rejected(ray_session):
+    tbl = pa.table({"url": pa.array(["a"]),
+                    "w": pa.array([1.5], pa.float64())})
+    with pytest.raises(ValueError, match="order-preserve"):
+        mint_doc_ids(rd.from_arrow(tbl), tiebreak_col="w")

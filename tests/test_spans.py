@@ -171,3 +171,17 @@ def test_dedup_spans_passes_other_columns_through(ray_session):
         rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
         assert [r["lang"] for r in rows] == ["en", "de"], mode
         assert rows[1]["text"] == "x y", mode
+
+
+def test_null_text_contributes_no_spans(ray_session):
+    """Null text -> 0 tokens (the paragraphs convention), rebuilt as the
+    empty string — not a NaN length wrapping to -2^63 and a nameless
+    np.repeat crash."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c d", None, "x a b c y"]),
+    }))
+    for mode in ("losers", "winners", "join"):
+        got = {r["doc_id"]: r["text"]
+               for r in dedup_spans(ds, k=K, rebuild=mode).take_all()}
+        assert got[2] == "" and got[3] == "x y", mode

@@ -236,3 +236,20 @@ def test_sanitize_filenames_matches_duckdb(ray_session):
         FROM t""").fetchall()]
     con.close()
     assert got == want
+
+
+def test_norm_url_strips_only_scheme_default_port(ray_session):
+    from kg_gen_ray.functions.web import _norm_url_kernel
+    import pyarrow as pa
+    got = _norm_url_kernel(pa.array([
+        "http://example.org:80/a",     # default -> stripped
+        "https://example.org:443/a",   # default -> stripped
+        "http://example.org:443/a",    # NOT http's default -> kept
+        "https://example.org:80/a",    # NOT https' default -> kept
+    ])).to_pylist()
+    assert got == [
+        "http://example.org/a",
+        "https://example.org/a",
+        "http://example.org:443/a",
+        "https://example.org:80/a",
+    ]
