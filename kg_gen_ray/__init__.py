@@ -36,10 +36,9 @@ _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 from kg_gen_ray.config import ExtractorConfig, PipelineConfig  # noqa: F401,E402
 
 
-def __getattr__(name):
-    # lazy public API: the heavy pipeline modules import Ray; keep
-    # `import kg_gen_ray` cheap until a symbol is actually used
-    _API = {
+# lazy public API table: the heavy pipeline modules import Ray; keep
+# `import kg_gen_ray` cheap until a symbol is actually used
+_API = {
         "build_kg": ("kg_gen_ray.pipelines.kg_pipeline", "build_kg"),
         "canonicalize_triples": ("kg_gen_ray.pipelines.kg_pipeline",
                                  "canonicalize_triples"),
@@ -92,7 +91,10 @@ def __getattr__(name):
         "pq_train": ("kg_gen_ray.functions.pq", "pq_train"),
         "pq_encode": ("kg_gen_ray.functions.pq", "pq_encode"),
         "pq_topk": ("kg_gen_ray.functions.pq", "pq_topk"),
-    }
+}
+
+
+def __getattr__(name):
     if name in _API:
         import importlib
         mod, attr = _API[name]

@@ -55,18 +55,33 @@ def _config(args) -> "object":
         default_extractor=ExtractorConfig(backend=args.backend),
         cluster=not args.no_cluster,
         salt_buckets=args.salt_buckets,
-        shuffle_partitions="auto",
+        shuffle_partitions=_parse_shuffle(args.shuffle_partitions),
     )
+
+
+def _parse_shuffle(v: str):
+    """"auto" (combiner-sized, the small/medium-corpus default) | "none"
+    (Ray's input-block-driven width — right when the post-combiner data
+    is still huge) | an explicit int."""
+    if v == "auto":
+        return "auto"
+    if v == "none":
+        return None
+    return int(v)
 
 
 def _input_files(spec: str) -> list:
     if os.path.isdir(spec):
-        return sorted(glob.glob(os.path.join(spec, "*.parquet")))
+        files = sorted(glob.glob(os.path.join(spec, "*.parquet")))
+        if not files:
+            # fail with the actual problem; read_parquet([]) dies deep
+            # inside Ray without naming the input path
+            raise SystemExit(f"no *.parquet files in directory {spec!r}")
+        return files
     return sorted(glob.glob(spec)) or [spec]
 
 
 def cmd_build(args) -> int:
-    ray = _init_ray()
     import ray.data as rd
 
     from kg_gen_ray.pipelines.kg_pipeline import build_kg
@@ -80,14 +95,15 @@ def cmd_build(args) -> int:
     else:
         pages = rd.read_parquet(files)
         result = build_kg(pages, _config(args))
-        result.write(args.out)
-        print(json.dumps({"out": args.out, "stats": result.stats()}))
-    ray.shutdown()
+        # write() already returns the row counts read from the written
+        # parquet; calling stats() here would re-execute the whole
+        # rewrite + distinct lineage a second time just to reprint them
+        counts = result.write(args.out)
+        print(json.dumps({"out": args.out, "counts": counts}))
     return 0
 
 
 def cmd_add(args) -> int:
-    ray = _init_ray()
     import ray.data as rd
 
     from kg_gen_ray.pipelines.incremental import add_pages, load_graph
@@ -98,25 +114,21 @@ def cmd_add(args) -> int:
     res = add_pages(existing, pages, _config(args))
     # write to a new versioned dir then report (caller swaps atomically)
     out = args.out or f"{args.graph}.new"
-    res.write(out)
-    print(json.dumps({"out": out, "stats": res.stats()}))
-    ray.shutdown()
+    counts = res.write(out)
+    print(json.dumps({"out": out, "counts": counts}))
     return 0
 
 
 def cmd_stats(args) -> int:
-    ray = _init_ray()
     from kg_gen_ray.pipelines.incremental import load_graph
     from kg_gen_ray.stages.viz import extended_stats
 
     triples = load_graph(args.graph)
     print(json.dumps(extended_stats(triples)))
-    ray.shutdown()
     return 0
 
 
 def cmd_export_json(args) -> int:
-    ray = _init_ray()
     import ray.data as rd
 
     from kg_gen_ray.pipelines.incremental import load_graph
@@ -129,15 +141,13 @@ def cmd_export_json(args) -> int:
     alias_dir = os.path.join(args.graph, "alias_map")
     ent_clusters = edge_clusters = None
     if os.path.isdir(alias_dir):
-        ent_clusters, edge_clusters = {}, {}
-        for r in rd.read_parquet(alias_dir).take_all():
-            tgt = ent_clusters if r["kind"] == "entity" else edge_clusters
-            tgt.setdefault(r["representative"], set()).add(r["member"])
+        from kg_gen_ray.stages.viz import cluster_maps
+        ent_clusters, edge_clusters = cluster_maps(
+            rd.read_parquet(alias_dir).take_all())
     write_graph_json(args.out, entities, rels, edges,
                      ent_clusters, edge_clusters)
     print(json.dumps({"out": args.out, "entities": len(entities),
                       "relations": len(rels)}))
-    ray.shutdown()
     return 0
 
 
@@ -146,7 +156,6 @@ def cmd_prepare(args) -> int:
     (gopher cut) -> (paragraph dedup) -> (span removal) -> (decontaminate)
     -> near-dup dedup -> (LM filter) -> (cap) -> pack; writes clean docs +
     packed assignment, prints the per-stage audit counts."""
-    ray = _init_ray()
     import ray.data as rd
 
     from kg_gen_ray.pipelines.hygiene import prepare_training_data
@@ -168,15 +177,17 @@ def cmd_prepare(args) -> int:
         dedup_paragraphs=args.dedup_paragraphs,
         span_k=args.span_k,
         min_lm_score_micro=args.min_lm_score_micro)
-    res.clean_docs.write_parquet(os.path.join(args.out, "clean_docs"))
-    res.packed.write_parquet(os.path.join(args.out, "packed"))
+    # atomic output (temp dir + rename): write_parquet into an existing
+    # directory would append part files and double the corpus on a rerun
+    from kg_gen_ray.state.lineage import atomic_output_dir
+    with atomic_output_dir(args.out) as tmp:
+        res.clean_docs.write_parquet(os.path.join(tmp, "clean_docs"))
+        res.packed.write_parquet(os.path.join(tmp, "packed"))
     print(json.dumps({"out": args.out, "counts": res.counts}))
-    ray.shutdown()
     return 0
 
 
 def cmd_visualize(args) -> int:
-    ray = _init_ray()
     import ray.data as rd
 
     from kg_gen_ray.pipelines.incremental import load_graph
@@ -187,7 +198,6 @@ def cmd_visualize(args) -> int:
     alias = rd.read_parquet(alias_dir) if os.path.isdir(alias_dir) else None
     out = write_html(triples, args.out, alias)
     print(json.dumps({"out": out}))
-    ray.shutdown()
     return 0
 
 
@@ -201,6 +211,9 @@ def main(argv=None) -> int:
                         default="pattern")
         sp.add_argument("--no-cluster", action="store_true")
         sp.add_argument("--salt-buckets", type=int, default=16)
+        sp.add_argument("--shuffle-partitions", default="auto",
+                        help='"auto" (combiner-sized) | "none" (input-'
+                             "block-driven; right for huge corpora) | int")
 
     b = sub.add_parser("build", help="pages parquet -> graph tables")
     b.add_argument("--input", required=True)
@@ -265,7 +278,14 @@ def main(argv=None) -> int:
     pr.set_defaults(fn=cmd_prepare)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    # one guarded session for every command, released even on error (a
+    # raising command must not leak a CLI-owned Ray runtime into an
+    # importing process)
+    session = _init_ray()
+    try:
+        return args.fn(args)
+    finally:
+        session.shutdown()
 
 
 if __name__ == "__main__":

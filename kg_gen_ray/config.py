@@ -62,11 +62,10 @@ class PipelineConfig:
         return self.lang_routes.get(lang, self.default_extractor)
 
     def config_hash(self) -> str:
-        """Stable hash for lineage manifests (stage-version fingerprint)."""
-        d = asdict(self)
-        d["lang_routes"] = {k: asdict(v) if not isinstance(v, dict) else v
-                            for k, v in self.lang_routes.items()}
-        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        """Stable hash for lineage manifests (stage-version fingerprint).
+        ``asdict`` already recursed into ``lang_routes`` values."""
+        blob = json.dumps(asdict(self), sort_keys=True,
+                          default=str).encode()
         return hashlib.md5(blob).hexdigest()
 
     def validate(self) -> None:

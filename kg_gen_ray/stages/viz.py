@@ -293,6 +293,19 @@ def extended_stats(triples: "ray.data.Dataset",
     }
 
 
+def cluster_maps(alias_rows) -> "tuple[dict, dict]":
+    """(entity_clusters, edge_clusters): representative -> set(members)
+    from alias-map rows — the one place that knows the alias-map row
+    shape (kind / representative / member), shared by the HTML view
+    model and the CLI's graph.json export."""
+    ent_clusters: dict = {}
+    edge_clusters: dict = {}
+    for r in alias_rows:
+        tgt = ent_clusters if r["kind"] == "entity" else edge_clusters
+        tgt.setdefault(r["representative"], set()).add(r["member"])
+    return ent_clusters, edge_clusters
+
+
 def view_model(triples: "ray.data.Dataset",
                alias_map: "ray.data.Dataset | None" = None,
                max_triples: int = 200_000) -> dict:
@@ -309,12 +322,8 @@ def view_model(triples: "ray.data.Dataset",
     rels = [(r["subj"], r["pred"], r["obj"])
             for r in triples.take_all()]
 
-    ent_clusters: dict = {}
-    edge_clusters: dict = {}
-    if alias_map is not None:
-        for r in alias_map.take_all():
-            tgt = ent_clusters if r["kind"] == "entity" else edge_clusters
-            tgt.setdefault(r["representative"], set()).add(r["member"])
+    ent_clusters, edge_clusters = cluster_maps(
+        alias_map.take_all() if alias_map is not None else ())
 
     from collections import Counter, defaultdict, deque
     degree: Counter = Counter()

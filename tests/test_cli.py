@@ -22,7 +22,7 @@ def test_cli_full_surface(pages_dir, tmp_path, capsys, ray_session):
     graph = str(tmp_path / "graph")
     assert main(["build", "--input", pages_dir, "--out", graph]) == 0
     built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert built["stats"]["n_triples"] > 0
+    assert built["counts"]["triples"] > 0
     assert os.path.isdir(os.path.join(graph, "triples"))
 
     assert main(["stats", "--graph", graph]) == 0
@@ -46,7 +46,7 @@ def test_cli_full_surface(pages_dir, tmp_path, capsys, ray_session):
                  "--out", out2]) == 0
     added = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # adding the same pages is idempotent on the triple set
-    assert added["stats"]["n_triples"] == built["stats"]["n_triples"]
+    assert added["counts"]["triples"] == built["counts"]["triples"]
 
 
 def test_cli_resumable_build(pages_dir, tmp_path, capsys, ray_session):
@@ -89,3 +89,23 @@ def test_cli_prepare(tmp_path, capsys, ray_session):
     # the shared footer survives in exactly one document
     assert sum(footer in t for t in texts) <= 1
     assert os.path.isdir(os.path.join(out, "packed"))
+
+
+def test_cli_prepare_rerun_replaces_output(tmp_path, capsys, ray_session):
+    """Re-running prepare onto the same --out must REPLACE the corpus,
+    not append part files that silently double every row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array([f"alpha beta w{i} gamma delta" for i in range(8)]),
+        "lang": pa.array(["en"] * 8),
+    }), os.path.join(d, "part-0.parquet"))
+    out = str(tmp_path / "prep")
+    for _ in range(2):
+        assert main(["prepare", "--input", d, "--out", out]) == 0
+        capsys.readouterr()
+    import ray.data as rd
+    assert rd.read_parquet(os.path.join(out, "clean_docs")).count() == 8
