@@ -171,3 +171,44 @@ def test_float_tiebreak_rejected(ray_session):
                     "w": pa.array([1.5], pa.float64())})
     with pytest.raises(ValueError, match="order-preserve"):
         mint_doc_ids(rd.from_arrow(tbl), tiebreak_col="w")
+
+
+def test_randomized_serial_parity(ray_session):
+    """Random key sets (unicode, spaces, empty string) against a plain
+    serial replay of bucket+rank, on both duals and layouts."""
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abπ☃ /:%.-_0ётxyz"
+    for trial in range(3):
+        n = rng.randrange(1, 60)
+        keys = set()
+        while len(keys) < n:
+            keys.add("".join(rng.choice(alphabet)
+                             for _ in range(rng.randrange(0, 24))))
+        keys = sorted(keys)
+        bb, rb = rng.choice([(20, 21), (3, 30), (1, 40)])
+
+        def serial(keys, bb=bb, rb=rb):
+            buckets = {}
+            for u in keys:
+                b = int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8],
+                        16) % (1 << bb)
+                buckets.setdefault(b, []).append(u)
+            out = {}
+            for b, us in buckets.items():
+                for rank, u in enumerate(sorted(us)):
+                    out[u] = b * (1 << rb) + rank
+            return out
+
+        want = serial(keys)
+        tbl = pa.table({"url": pa.array(keys),
+                        "x": pa.array(list(range(len(keys))), pa.int64())})
+        for parts in (1, 4):
+            ds = rd.from_arrow(tbl).repartition(parts)
+            for kw in ({}, {"broadcast_limit": 0}):
+                got = {r["url"]: r["doc_id"]
+                       for r in mint_doc_ids(ds, bucket_bits=bb,
+                                             rank_bits=rb, **kw).take_all()}
+                assert got == want, (trial, parts, kw)
