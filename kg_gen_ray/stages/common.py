@@ -38,8 +38,12 @@ def default_buckets() -> int:
 
 def hash_bucket_array(key_chunked, n_buckets: int):
     """Key column -> int64 bucket ids. Integer keys: masked modulo (the
-    mask clears the sign bit so negative keys bucket consistently); other
-    types: crc32 of the string form."""
+    mask clears the sign bit so negative keys bucket consistently);
+    other types: vectorized polars hash of the string form. Buckets are
+    an INTERNAL grouping surrogate (dropped after the groupby), so they
+    only need run-internal determinism — same key, same bucket in every
+    task of one run — not cross-version stability."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -49,9 +53,12 @@ def hash_bucket_array(key_chunked, n_buckets: int):
         kv = pc.fill_null(pc.cast(key_chunked, pa.int64()), 0) \
                .to_numpy(zero_copy_only=False)
         return pa.array((kv & ((1 << 62) - 1)) % n_buckets, pa.int64())
-    import zlib
-    return pa.array([zlib.crc32(str(k).encode()) % n_buckets
-                     for k in key_chunked.to_pylist()], pa.int64())
+    import polars as pl
+    arr = pc.fill_null(pc.cast(key_chunked, pa.string()), "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    h = pl.from_arrow(arr).hash(seed=0).to_numpy().view(np.int64)
+    return pa.array((h & ((1 << 62) - 1)) % n_buckets, pa.int64())
 
 
 def in_set_mask(col, ref, invert: bool = False):
