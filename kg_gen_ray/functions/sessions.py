@@ -313,6 +313,22 @@ def stratified_sample(ds: "ray.data.Dataset", group_col: str, cap: int,
                            batch_format="pyarrow")
 
 
+def greedy_pack(ns, max_tokens: int) -> "np.ndarray":
+    """The greedy packing fold itself (0-based sequence id per doc, in
+    the given order): a doc joins the running sequence while
+    run + n <= max_tokens, else opens the next; an oversize doc gets a
+    sequence of its own. Module-level so the property tests pin the
+    PRODUCT fold, not a reimplementation."""
+    seq = np.empty(len(ns), dtype=np.int64)
+    s, run = 0, 0
+    for i, n in enumerate(ns):
+        if run and run + n > max_tokens:
+            s, run = s + 1, 0
+        run += int(n)
+        seq[i] = s
+    return seq
+
+
 def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
                    group_col: str = "lang", id_col: str = "doc_id",
                    text_col: str = "text", token_col: str | None = None
@@ -353,16 +369,8 @@ def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="stable")
-        ns = g["n_tokens"].to_numpy()
-        seq = np.empty(len(ns), dtype=np.int64)
-        s, run = 0, 0
-        for i, n in enumerate(ns):
-            if run and run + n > max_tokens:
-                s, run = s + 1, 0
-            run += int(n)
-            seq[i] = s
         out = g.copy()
-        out["seq_id"] = seq
+        out["seq_id"] = greedy_pack(g["n_tokens"].to_numpy(), max_tokens)
         return out[[group_col, id_col, "seq_id", "n_tokens"]]
 
     return counted.groupby(group_col).map_groups(per_group,

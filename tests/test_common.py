@@ -43,12 +43,16 @@ def test_in_set_mask_type_mismatch_uint64(ray_session):
 def test_in_set_mask_cache_bounded(ray_session):
     col = pa.array([1], pa.int64())
     before = dict(common._VALSET_CACHE)
-    refs = [ray.put({i}) for i in range(common._VALSET_CACHE_MAX + 4)]
-    for r in refs:
-        in_set_mask(col, r)
-    assert len(common._VALSET_CACHE) <= common._VALSET_CACHE_MAX
-    # most-recent ref is cached, oldest evicted
-    assert refs[-1].hex() in common._VALSET_CACHE
-    assert refs[0].hex() not in common._VALSET_CACHE
-    common._VALSET_CACHE.clear()
-    common._VALSET_CACHE.update(before)
+    try:
+        refs = [ray.put({i}) for i in range(common._VALSET_CACHE_MAX + 4)]
+        for r in refs:
+            in_set_mask(col, r)
+        assert len(common._VALSET_CACHE) <= common._VALSET_CACHE_MAX
+        # most-recent ref is cached, oldest evicted
+        assert refs[-1].hex() in common._VALSET_CACHE
+        assert refs[0].hex() not in common._VALSET_CACHE
+    finally:
+        # restore even on failure: a polluted module cache would leak
+        # into every later in_set_mask test in the session
+        common._VALSET_CACHE.clear()
+        common._VALSET_CACHE.update(before)

@@ -119,7 +119,9 @@ def test_race_cannot_drop_both_copies(ray_session):
     _ray.get(idx.shards[0].check_add.remote(keys, flipped))
 
     kept = sorted(r["doc_id"] for r in idx.filter_new(docs).take_all())
-    assert 30 in kept          # lower id never flagged by the higher
+    # lower id never flagged by the higher owner; the HIGHER id IS
+    # flagged by 30's band ownership — the full post-race contract
+    assert kept == [30]
 
 
 def test_load_refuses_missing_or_torn_checkpoint(ray_session, tmp_path):

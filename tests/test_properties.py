@@ -213,12 +213,8 @@ def test_pack_fold_invariants(ns, max_tokens):
     exceed max unless the sequence is one oversize doc; seq ids are
     non-decreasing, start at 0, and step by at most 1; packing is maximal
     (a doc never fits the previous sequence it was excluded from)."""
-    seq, s, run = [], 0, 0
-    for n in ns:
-        if run and run + n > max_tokens:
-            s, run = s + 1, 0
-        run += n
-        seq.append(s)
+    from kg_gen_ray.functions.sessions import greedy_pack
+    seq = list(greedy_pack(np.asarray(ns, dtype=np.int64), max_tokens))
     assert seq[0] == 0
     totals = {}
     for sid, n in zip(seq, ns):
@@ -259,3 +255,10 @@ def test_bloom_bitset_never_false_negative(members, probes):
 
     bf.ref = bits.tobytes()   # raw-bytes ref: probes without a Ray session
     assert all(bf.contains_mask(arr).to_pylist())
+    # arbitrary probes (members and non-members alike): the mask is
+    # total, crash-free on negatives, and never a false negative
+    got = bf.contains_mask(pa.array(probes, pa.int64())).to_pylist()
+    assert len(got) == len(probes)
+    for pv, hit in zip(probes, got):
+        if pv in members:
+            assert hit, pv

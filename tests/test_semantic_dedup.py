@@ -75,9 +75,13 @@ def test_semantic_canonicalize_partitions_large_set(ray_session):
     rep_of = {r["member"]: r["representative"] for r in out}
     merged = sum(rep_of[f"label{i:03d}"] == rep_of[f"label{i:03d}s"]
                  for i in range(300))
-    # hash embeddings scatter variants across cells; merges only happen
-    # in-cell (reference trade-off) — but coverage must never be lost
-    assert merged >= 0
+    # hash embeddings scatter variants across cells ("label000" and
+    # "label000s" are different tokens, so near-orthogonal vectors) and
+    # merges only happen in-cell — the reference trade-off — so most of
+    # the 300 planted pairs never co-locate. The deterministic fixture
+    # co-locates 4 pairs; a broken judge wiring merges ZERO, which is
+    # what this floor catches (the old `>= 0` was a tautology)
+    assert merged >= 1, merged
     assert set(rep_of) == set(names)
 
 

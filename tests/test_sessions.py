@@ -283,13 +283,10 @@ def test_stratified_sample_null_text_and_null_group(ray_session):
     got = {r["lang"] if r["lang"] is not None else None for r in out}
     assert got == {"en", None}
     ids = sorted(r["doc_id"] for r in out)
-    # en keeps the two hashed rows (null-text row ranks last); the null
-    # group keeps both its rows (under cap)
-    import hashlib
-    h_aaa = hashlib.md5(b"aaa").hexdigest()
-    h_zzz = hashlib.md5(b"zzz").hexdigest()
-    keep_en = [0, 2] if h_aaa <= h_zzz else [0, 2]
-    assert ids == sorted(keep_en + [3, 4])
+    # en keeps the two hashed rows — the null-text row ranks last
+    # regardless of md5 order — and the null group keeps both its rows
+    # (under cap)
+    assert ids == sorted([0, 2] + [3, 4])
 
 
 def test_quantile_sketch_null_group(ray_session):

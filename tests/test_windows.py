@@ -24,7 +24,8 @@ def _events(rows):
 def test_tumbling_window(ray_session):
     ev = _events([(0, "a", 1.0), (59, "a", 2.0), (60, "a", 4.0),
                   (0, "b", 8.0)])
-    out = {(r["event_type"], r["window_start"].second // 60 + r["window_start"].minute):
+    out = {(r["event_type"],
+            int((r["window_start"] - T0).total_seconds()) // 60):
            (r["n_events"], r["sum_value"])
            for r in tumbling_window(ev, 60).take_all()}
     assert out[("a", 0)] == (2, 3.0)
