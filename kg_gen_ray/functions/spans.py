@@ -184,7 +184,10 @@ def _mine(docs: "ray.data.Dataset", k: int, text_col: str, id_col: str,
     marked = docs.map_batches(local, batch_format="pyarrow").materialize()
     local_losers = marked.filter(expr="is_min == False") \
                          .select_columns(["enc"])
-    minima = coalesce(marked.filter(expr="is_min == True"),
+    # slim the exchange: is_min is constant-true after the filter, so only
+    # (sh, enc, n_local) ride the shuffle
+    minima = coalesce(marked.filter(expr="is_min == True")
+                      .select_columns(["sh", "enc", "n_local"]),
                       shuffle_partitions)
     n_buckets = default_buckets()
 
@@ -192,25 +195,40 @@ def _mine(docs: "ray.data.Dataset", k: int, text_col: str, id_col: str,
         return t.append_column(
             "__bucket", hash_bucket_array(t["sh"], n_buckets))
 
-    def mark_min(g: pd.DataFrame) -> pa.Table:
-        if bool(g.duplicated(["sh", "enc"]).any()):
-            raise ValueError(_DUP_DOC_MSG)
+    def mark_min(t: pa.Table) -> pa.Table:
         # bucketing is by sh, so a hash group is complete inside its
         # bucket: the minimum occurrence per sh is the global winner
         # (including the sole occurrence of a globally-unique k-gram —
-        # it wins and nothing drops)
-        win = (g.sort_values("enc", kind="stable")
-                .groupby("sh", sort=False).cumcount() == 0).reindex(g.index)
-        total = g.groupby("sh", sort=False)["n_local"].transform("sum")
+        # it wins and nothing drops). Pure numpy on the Arrow columns —
+        # a pandas conversion would cost a copy and slower group kernels.
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        enc = t["enc"].to_numpy(zero_copy_only=False)
+        nl = t["n_local"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((enc, sh))
+        ss, se = sh[order], enc[order]
+        first = np.ones(len(order), dtype=bool)
+        if len(first) > 1:
+            first[1:] = ss[1:] != ss[:-1]
+            if bool((~first[1:] & (se[1:] == se[:-1])).any()):
+                raise ValueError(_DUP_DOC_MSG)
+        starts = np.nonzero(first)[0]
+        totals = (np.add.reduceat(nl[order], starts) if len(starts)
+                  else nl[:0])
+        grp = np.cumsum(first) - 1
+        # scatter verdicts back to input order (output rows align with t)
+        is_win = np.zeros(len(order), dtype=bool)
+        is_win[order[starts]] = True
+        is_dup = np.empty(len(order), dtype=bool)
+        is_dup[order] = (totals >= 2)[grp]
         return pa.table({
-            "sh": pa.array(g["sh"].to_numpy(dtype=np.int64), pa.int64()),
-            "enc": pa.array(g["enc"].to_numpy(dtype=np.int64), pa.int64()),
-            "is_win": pa.array(win.to_numpy(dtype=bool)),
-            "is_dup": pa.array((total >= 2).to_numpy(dtype=bool)),
+            "sh": pa.array(sh, pa.int64()),
+            "enc": pa.array(enc, pa.int64()),
+            "is_win": pa.array(is_win),
+            "is_dup": pa.array(is_dup),
         })
 
     global_marked = minima.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(mark_min, batch_format="pandas")
+        .groupby("__bucket").map_groups(mark_min, batch_format="pyarrow")
     return local_losers, global_marked
 
 
