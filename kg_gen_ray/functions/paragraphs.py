@@ -185,8 +185,9 @@ def _mark_occurrences(docs: "ray.data.Dataset", text_col: str,
 
     # bucket-hash the fp key so one Ray group holds many fp-groups and the
     # per-fp min runs in pandas' C groupby (per-key map_groups would pay
-    # ms-scale overhead per distinct paragraph)
-    n_buckets = default_buckets()
+    # ms-scale overhead per distinct paragraph). marked is materialized,
+    # so its known size lets the bucket count grow with exchange volume
+    n_buckets = default_buckets(marked.size_bytes())
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(

@@ -20,7 +20,8 @@ import ray.data
 
 def sessionize(events: "ray.data.Dataset", gap_sec: int,
                user_col: str = "user_id", ts_col: str = "ts",
-               id_col: str = "event_id") -> "ray.data.Dataset":
+               id_col: str = "event_id",
+               n_buckets: int | None = None) -> "ray.data.Dataset":
     """(user_id, session_id, session_start, session_end, n_events).
 
     ``session_id`` is the user's 0-based session ordinal. Partitioning
@@ -29,7 +30,9 @@ def sessionize(events: "ray.data.Dataset", gap_sec: int,
     replace this for pathological users)."""
     from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
     gap_us = gap_sec * 1_000_000
-    n_buckets = default_buckets()
+    # lazy input: callers that know their scale pass n_buckets (one
+    # bucket should stay under common.TARGET_BUCKET_BYTES of event rows)
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         uid = pc.cast(t[user_col], pa.int64()).to_numpy(zero_copy_only=False)

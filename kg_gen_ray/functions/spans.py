@@ -189,7 +189,9 @@ def _mine(docs: "ray.data.Dataset", k: int, text_col: str, id_col: str,
     minima = coalesce(marked.filter(expr="is_min == True")
                       .select_columns(["sh", "enc", "n_local"]),
                       shuffle_partitions)
-    n_buckets = default_buckets()
+    # marked is materialized, so its size is known: let the bucket count
+    # grow with exchange volume (marked bounds minima from above)
+    n_buckets = default_buckets(marked.size_bytes())
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(

@@ -185,7 +185,10 @@ def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
                  np.zeros((~first).sum(), dtype=bool)])),
         })
 
-    marked = ds.map_batches(local, batch_format="pyarrow")
+    # checkpoint before branching (the paragraphs/spans convention): the
+    # two filters below are separate lineage consumers, and without the
+    # materialize each would re-scan the input and re-run the normalize
+    marked = ds.map_batches(local, batch_format="pyarrow").materialize()
     local_losers = marked.filter(expr="is_min == False") \
                          .select_columns(["doc_id"])
     minima = coalesce(marked.filter(expr="is_min == True"),
@@ -194,9 +197,10 @@ def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
     # bucket-hashed global min (the paragraphs._mark_occurrences shape):
     # a per-distinct-URL map_groups would pay ms-scale Python overhead
     # per URL — O(corpus distinct URLs) groups; one bucket holds many
-    # URL-groups and the all-but-min mask is a vectorized lexsort
+    # URL-groups and the all-but-min mask is a vectorized lexsort.
+    # marked's materialized size lets the count grow with volume
     from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
-    n_buckets = default_buckets()
+    n_buckets = default_buckets(marked.size_bytes())
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(

@@ -151,7 +151,8 @@ def range_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
                key_col: str, ts_col: str,
                start_col: str, end_col: str,
                payload_cols: list,
-               interval_key_col: str | None = None) -> "ray.data.Dataset":
+               interval_key_col: str | None = None,
+               n_buckets: int | None = None) -> "ray.data.Dataset":
     """For each left row, attach the interval with the same key whose
     ``[start_col, end_col]`` contains ``ts_col`` (inclusive both ends).
     Missing match -> nulls. The third custom temporal operator next to
@@ -167,7 +168,10 @@ def range_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
     from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
 
     ikey = interval_key_col or key_col
-    n_buckets = default_buckets()
+    # inputs are lazy here, so volume isn't knowable without executing;
+    # callers that know their scale pass n_buckets (one bucket should
+    # stay under common.TARGET_BUCKET_BYTES of union rows)
+    n_buckets = n_buckets or default_buckets()
 
     iv_schema = intervals.schema()
     ptypes = {c: iv_schema.types[iv_schema.names.index(c)]
@@ -254,7 +258,8 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               right_value_cols: list, right_key_col: str | None = None,
               right_reduce=None,
               direction: str = "backward",
-              directions: tuple | None = None) -> "ray.data.Dataset":
+              directions: tuple | None = None,
+              n_buckets: int | None = None) -> "ray.data.Dataset":
     """For each left row, attach the right row with the same key and the
     greatest ``right_ts_col`` <= left ``ts_col`` (``direction="backward"``,
     the default) or the smallest ``right_ts_col`` >= left ``ts_col``
@@ -320,9 +325,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     # bucket keys instead of grouping per key: thousands of tiny per-key
     # pandas groups pay Python overhead per group; ~2x-cores buckets keep
     # the shuffle narrow and the per-bucket work one vectorized
-    # pandas.merge_asof(by=key) call
+    # pandas.merge_asof(by=key) call. Inputs are lazy, so volume isn't
+    # knowable here; callers that know their scale pass n_buckets (one
+    # bucket should stay under common.TARGET_BUCKET_BYTES of union rows)
     from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
-    n_buckets = default_buckets()
+    n_buckets = n_buckets or default_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(

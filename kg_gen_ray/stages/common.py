@@ -30,10 +30,26 @@ def resolve_shuffle_partitions(shuffle_partitions):
     return int(shuffle_partitions)
 
 
-def default_buckets() -> int:
-    """~2x cluster cores: enough buckets for parallelism, few enough that
-    per-bucket work amortizes Python/group overhead."""
-    return max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+# one bucket is one map_groups task's working set; pandas conversion and
+# the per-bucket sort cost ~2-3x this in heap, so 128 MB keeps a task
+# comfortably inside a worker even with several running per node
+TARGET_BUCKET_BYTES = 128 * 1024 * 1024
+
+
+def default_buckets(size_bytes: int | None = None) -> int:
+    """Bucket count for a hash-bucketed groupby exchange.
+
+    Base: ~2x cluster cores — enough buckets for parallelism, few enough
+    that per-bucket work amortizes Python/group overhead. With a
+    ``size_bytes`` hint (e.g. the materialized size of the dataset about
+    to be exchanged) the count GROWS past the base so one bucket stays
+    under :data:`TARGET_BUCKET_BYTES`: a constant 2x-cores at 100 TB
+    would put multi-GB groups in single tasks. The hint only ever widens
+    — at small scale the cores term wins and behavior is unchanged."""
+    base = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    if size_bytes:
+        return max(base, -(-int(size_bytes) // TARGET_BUCKET_BYTES))
+    return base
 
 
 def hash_bucket_array(key_chunked, n_buckets: int):

@@ -56,3 +56,18 @@ def test_in_set_mask_cache_bounded(ray_session):
         # into every later in_set_mask test in the session
         common._VALSET_CACHE.clear()
         common._VALSET_CACHE.update(before)
+
+
+def test_default_buckets_volume_aware(ray_session):
+    base = common.default_buckets()
+    assert base >= 4
+    # no hint / small hint: the cores term wins, behavior unchanged
+    assert common.default_buckets(None) == base
+    assert common.default_buckets(0) == base
+    assert common.default_buckets(1) == base
+    assert common.default_buckets(base * common.TARGET_BUCKET_BYTES) == base
+    # a large exchange widens past the base so one bucket stays under
+    # TARGET_BUCKET_BYTES (the 100 TB shape: buckets track volume)
+    big = 1000 * common.TARGET_BUCKET_BYTES
+    assert common.default_buckets(big) == 1000
+    assert common.default_buckets(big + 1) == 1001
