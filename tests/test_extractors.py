@@ -156,3 +156,52 @@ def test_llm_filter_requires_transport(ray_session):
     from kg_gen_ray.stages.extract import LLMFilter
     with pytest.raises(NotImplementedError):
         LLMFilter("q", None)
+
+
+def test_pattern_extractor_matches_python_re_replay():
+    """The vectorized RE2 rules must agree with a python-re first-match
+    replay — adversarial sentences exercise greedy-capture preference
+    (multiple ' is ', nested \"'s\"), rule precedence, role prefixes, and
+    non-matching shapes."""
+    import re
+
+    from kg_gen_ray.stages.chunker import split_sentences
+
+    texts = [
+        # greedy: subject takes the LAST ' is ' in both engines
+        "A is B is C's mother.",
+        # both kin and type could match pieces; kin wins by precedence
+        "X is a type of Y's friend.",
+        "The capital of The capital of A is B is C.",
+        "user: Linda is Josh's mother. assistant: oak is a type of tree.",
+        "Alpha is Beta's friend. The capital of X is Y. Nope here.",
+        "z is q's sister. not a rule.",  # near-miss kin keyword
+        "A is B's mother",               # no terminal period -> no match
+        "  The capital of  is P.",       # empty-ish captures still .+
+    ]
+    rules = [
+        (re.compile(r"^(.+) is (.+)'s (mother|brother|friend)\.$"),
+         lambda m: (m.group(1), f"is {m.group(3)} of", m.group(2))),
+        (re.compile(r"^The capital of (.+) is (.+)\.$"),
+         lambda m: (m.group(1), "has capital", m.group(2))),
+        (re.compile(r"^(.+) is a type of (.+)\.$"),
+         lambda m: (m.group(1), "is a type of", m.group(2))),
+    ]
+    role = re.compile(r"^(user|assistant): ")
+    expected = []
+    for i, text in enumerate(texts):
+        for sent in split_sentences(text):
+            sent = role.sub("", sent)
+            for rx, emit in rules:
+                m = rx.match(sent)
+                if m:
+                    s, p, o = emit(m)
+                    expected.append((s, p, o, f"u{i}", 0))
+                    break
+    b = chunk_batch([(f"u{i}", 0, t, "en") for i, t in enumerate(texts)])
+    out = PatternExtractor().extract_batch(b)
+    got = list(zip(out["subj"].to_pylist(), out["pred"].to_pylist(),
+                   out["obj"].to_pylist(), out["url"].to_pylist(),
+                   out["chunk_id"].to_pylist()))
+    assert got == expected
+    assert len(got) >= 6
