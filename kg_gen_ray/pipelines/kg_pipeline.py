@@ -58,7 +58,14 @@ def raw_triples(pages: "ray.data.Dataset", config: PipelineConfig
                 ) -> "ray.data.Dataset":
     """pages -> raw (pre-dedup) triples with (url, chunk_id) provenance."""
     text = extract_text_stage(pages)
-    chunks = chunk_stage(text, config.chunk_size)
+    # the pattern backend consumes sentences: carry the chunker's own
+    # sentence grouping through so extraction never re-splits (the split
+    # is the dominant extraction cost); other backends ignore the column
+    wants_sents = any(
+        cfg.backend == "pattern"
+        for cfg in [config.default_extractor, *config.lang_routes.values()])
+    chunks = chunk_stage(text, config.chunk_size,
+                         emit_sentences=wants_sents)
     return extract_stage(chunks, config)
 
 

@@ -126,24 +126,31 @@ def split_sentences(text: str) -> list[str]:
     return sents
 
 
-def chunk_text(text: str, max_chunk_size: int = 500) -> list[str]:
-    """Pure chunking function — reference packing arithmetic exactly
-    (``chunk_text.py:29-66``); empty chunks are dropped (see module
-    docstring)."""
+def chunk_text_sents(text: str, max_chunk_size: int = 500
+                     ) -> "list[list[str] | None]":
+    """Chunks as their SENTENCE lists — the packing fold's own grouping,
+    so a sentence-level consumer (the pattern extractor) never pays a
+    re-split of the joined chunk. Each chunk's text is exactly
+    ``" ".join(sents)``; a word-fallback piece of one oversize sentence
+    is a single-element list; the unbounded (``max_chunk_size <= 0``)
+    chunk keeps raw inter-sentence whitespace, so its sentence list is
+    ``None`` (consumers split it themselves)."""
     if max_chunk_size <= 0:
         stripped = text.strip()
-        return [stripped] if stripped else []
+        return [None] if stripped else []
 
-    chunks: list[str] = []
-    current = ""          # invariant: ends with " " when non-empty
+    chunks: list[list[str]] = []
+    current: list[str] = []
+    cur_len = 0           # len(" ".join(current)) + 1 trailing space
 
     for sentence in split_sentences(text):
-        if len(current) + len(sentence) + 1 <= max_chunk_size:
-            current += sentence + " "
+        if cur_len + len(sentence) + 1 <= max_chunk_size:
+            current.append(sentence)
+            cur_len += len(sentence) + 1
             continue
         if current:
-            chunks.append(current.strip())
-            current = ""
+            chunks.append(current)
+            current, cur_len = [], 0
         if len(sentence) > max_chunk_size:
             # word-split fallback (ref chunk_text.py:44-57)
             temp = ""
@@ -152,48 +159,74 @@ def chunk_text(text: str, max_chunk_size: int = 500) -> list[str]:
                     temp += word + " "
                 else:
                     if temp.strip():
-                        chunks.append(temp.strip())
+                        chunks.append([temp.strip()])
                     temp = word + " "
             if temp.strip():
-                chunks.append(temp.strip())
+                chunks.append([temp.strip()])
         else:
-            current = sentence + " "
+            current, cur_len = [sentence], len(sentence) + 1
     if current:
-        chunks.append(current.strip())
+        chunks.append(current)
     return chunks
 
 
-class _ChunkBatch:
-    """Row-expanding map: pages -> chunks(url, chunk_id, text, lang)."""
+def chunk_text(text: str, max_chunk_size: int = 500) -> list[str]:
+    """Pure chunking function — reference packing arithmetic exactly
+    (``chunk_text.py:29-66``); empty chunks are dropped (see module
+    docstring)."""
+    if max_chunk_size <= 0:
+        stripped = text.strip()
+        return [stripped] if stripped else []
+    return [" ".join(sents)
+            for sents in chunk_text_sents(text, max_chunk_size)]
 
-    def __init__(self, max_chunk_size: int):
+
+class _ChunkBatch:
+    """Row-expanding map: pages -> chunks(url, chunk_id, text, lang),
+    plus the per-chunk sentence lists when ``emit_sentences`` (an
+    internal pipeline wiring — the public chunk schema is unchanged by
+    default)."""
+
+    def __init__(self, max_chunk_size: int, emit_sentences: bool = False):
         self.max_chunk_size = max_chunk_size
+        self.emit_sentences = emit_sentences
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls, cids, texts, langs = [], [], [], []
+        urls, cids, texts, langs, sents = [], [], [], [], []
         lang_col = batch["lang"].to_pylist()
         for url, text, lang in zip(batch["url"].to_pylist(),
                                    batch["text"].to_pylist(), lang_col):
-            for cid, chunk in enumerate(chunk_text(text, self.max_chunk_size)):
+            for cid, ss in enumerate(
+                    chunk_text_sents(text, self.max_chunk_size)):
                 urls.append(url)
                 cids.append(cid)
-                texts.append(chunk)
+                texts.append(text.strip() if ss is None else " ".join(ss))
                 langs.append(lang)
-        return pa.table({
+                sents.append(ss)
+        cols = {
             "url": pa.array(urls, pa.string()),
             "chunk_id": pa.array(cids, pa.int32()),
             "text": pa.array(texts, pa.large_string()),
             "lang": pa.array(langs, pa.string()),
-        })
+        }
+        if self.emit_sentences:
+            cols["sents"] = pa.array(sents, pa.list_(pa.string()))
+        return pa.table(cols)
 
 
-def chunk_stage(pages: "ray.data.Dataset", max_chunk_size: int = 500
-                ) -> "ray.data.Dataset":
+def chunk_stage(pages: "ray.data.Dataset", max_chunk_size: int = 500,
+                emit_sentences: bool = False) -> "ray.data.Dataset":
     """pages(..., text, lang) -> chunks(url, chunk_id, text, lang).
 
     ``chunk_id`` is the ordinal within the page — deterministic provenance
     (the reference loses chunk identity in its set-union merge,
     ``kg_gen.py:233-236``; we keep it for lineage).
+
+    ``emit_sentences`` adds a ``sents`` list column carrying the packing
+    fold's own sentence grouping, so a sentence-level downstream (the
+    pattern extractor) skips a whole re-split of the chunk text — the
+    split is ~60% of extraction CPU. Off by default: the public chunk
+    schema (and the kg_chunks oracle) is unchanged.
     """
-    fn = _ChunkBatch(max_chunk_size)
+    fn = _ChunkBatch(max_chunk_size, emit_sentences)
     return pages.map_batches(fn, batch_format="pyarrow")

@@ -101,10 +101,19 @@ class PatternExtractor:
 
     def extract_batch(self, batch: pa.Table) -> pa.Table:
         subj, pred, obj, urls, cids = [], [], [], [], []
-        for url, cid, text in zip(batch["url"].to_pylist(),
-                                  batch["chunk_id"].to_pylist(),
-                                  batch["text"].to_pylist()):
-            for sent in split_sentences(text):
+        # chunker-provided sentence lists (chunk_stage emit_sentences)
+        # skip the re-split of text the chunker just joined; a null list
+        # entry (unbounded chunk) falls back to splitting here
+        pre_split = (batch["sents"].to_pylist()
+                     if "sents" in batch.column_names
+                     else [None] * batch.num_rows)
+        for url, cid, text, sents in zip(batch["url"].to_pylist(),
+                                         batch["chunk_id"].to_pylist(),
+                                         batch["text"].to_pylist(),
+                                         pre_split):
+            if sents is None:
+                sents = split_sentences(text)
+            for sent in sents:
                 sent = self._ROLE_PREFIX.sub("", sent)
                 for rx, emit in self._rules:
                     m = rx.match(sent)

@@ -289,3 +289,63 @@ def test_punkt_parity_scope_through_chunker():
     assert chunks[1] == "hours."   # fallback tail of the oversized sentence
     assert chunks[2] == 'Prof. Jones arrived at 3 p.m. with figs. ' \
                         '"Wonderful!" she said.'
+
+
+def test_chunk_text_sents_join_parity():
+    """chunk_text == ' '.join of chunk_text_sents on every family: packed
+    sentences, word-fallback pieces, unbounded, empty."""
+    from kg_gen_ray.stages.chunker import chunk_text, chunk_text_sents
+    texts = [
+        "Linda is Josh's mother. The capital of France is Paris. "
+        "oak is a type of tree. Nothing else here.",
+        "Dr. Smith visited the U.S. in Jan. 1999. He stayed a week.",
+        "word " * 200,                     # one oversize sentence
+        "Tiny.",
+        "",
+        "   ",
+        "A! B? C... d continues here. Done.",
+    ]
+    for text in texts:
+        for size in (0, 25, 80, 500):
+            chunks = chunk_text(text, size)
+            sent_lists = chunk_text_sents(text, size)
+            assert len(chunks) == len(sent_lists)
+            for chunk, sents in zip(chunks, sent_lists):
+                if sents is None:          # unbounded chunk: raw text
+                    assert chunk == text.strip()
+                else:
+                    assert chunk == " ".join(sents)
+
+
+def test_pattern_extractor_uses_chunker_sentences(ray_session):
+    """raw_triples with the pattern backend consumes the chunker's sents
+    column (no re-split) and matches the column-free replay."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.config import ExtractorConfig, PipelineConfig
+    from kg_gen_ray.pipelines.kg_pipeline import raw_triples
+    from kg_gen_ray.stages.chunker import chunk_stage
+    from kg_gen_ray.stages.extract import PatternExtractor
+
+    from kg_gen_ray.sources.pages import synthetic_pages_table
+    from kg_gen_ray.stages.extract_text import extract_text_stage
+
+    pages = rd.from_arrow(synthetic_pages_table(64, 1))
+    cfg = PipelineConfig(
+        chunk_size=300,
+        default_extractor=ExtractorConfig(backend="pattern"))
+    got = sorted(
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in raw_triples(pages, cfg).take_all())
+    # replay without the sents column: identical triples
+    chunks = chunk_stage(extract_text_stage(pages), 300)
+    assert "sents" not in chunks.schema().names
+    replay = PatternExtractor().extract_batch(
+        pa.table(chunks.take_batch(100000, batch_format="pyarrow")))
+    expected = sorted(zip(replay["subj"].to_pylist(),
+                          replay["pred"].to_pylist(),
+                          replay["obj"].to_pylist(),
+                          replay["url"].to_pylist()))
+    assert got == expected
+    assert len(got) > 0
