@@ -180,37 +180,48 @@ def _mark_occurrences(docs: "ray.data.Dataset", text_col: str,
     marked = docs.map_batches(local, batch_format="pyarrow").materialize()
     local_losers = marked.filter(expr="is_min == False") \
                          .select_columns(["enc"])
-    minima = coalesce(marked.filter(expr="is_min == True"),
+    # slim the exchange: is_min is constant-true after the filter
+    minima = coalesce(marked.filter(expr="is_min == True")
+                      .select_columns(["fp", "enc"]),
                       shuffle_partitions)
 
-    # bucket-hash the fp key so one Ray group holds many fp-groups and the
-    # per-fp min runs in pandas' C groupby (per-key map_groups would pay
-    # ms-scale overhead per distinct paragraph). marked is materialized,
-    # so its known size lets the bucket count grow with exchange volume
+    # bucket-hash the fp key so one Ray group holds many fp-groups (a
+    # per-key map_groups would pay ms-scale overhead per distinct
+    # paragraph). marked is materialized, so its known size lets the
+    # bucket count grow with exchange volume
     n_buckets = default_buckets(marked.size_bytes())
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
             "__bucket", hash_bucket_array(t["fp"], n_buckets))
 
-    def mark_min(g: pd.DataFrame) -> pa.Table:
-        # Arrow out: unions with local_losers' Arrow blocks must not mix
-        # block types. The cumcount Series is in SORTED row order —
-        # reindex it back to g's order before zipping with g's columns.
-        if bool(g.duplicated(["fp", "enc"]).any()):
+    def mark_min(t: pa.Table) -> pa.Table:
+        # Arrow C++ end to end (fp is a 32-char hex string — a numpy or
+        # pandas sort would compare Python objects): sort by (fp, enc),
+        # first-of-group is the winner, duplicates are adjacent. Output
+        # order within the bucket is free — downstream only filters.
+        if t.num_rows == 0:
+            return pa.table({"enc": pa.array([], pa.int64()),
+                             "is_win": pa.array([], pa.bool_())})
+        s = t.sort_by([("fp", "ascending"), ("enc", "ascending")])
+        fp = s["fp"].combine_chunks()
+        enc = s["enc"].combine_chunks()
+        n = len(fp)
+        same_fp = pc.equal(fp.slice(1), fp.slice(0, n - 1))
+        if n > 1 and pc.any(pc.and_(
+                same_fp, pc.equal(enc.slice(1),
+                                  enc.slice(0, n - 1)))).as_py():
             raise ValueError(
                 "duplicate doc_id: the same paragraph occurs twice under "
                 "one (doc_id, paragraph_index) key; paragraph dedup "
                 "requires unique document ids")
-        win = (g.sort_values("enc", kind="stable")
-                .groupby("fp", sort=False).cumcount() == 0).reindex(g.index)
-        return pa.table({
-            "enc": pa.array(g["enc"].to_numpy(dtype=np.int64), pa.int64()),
-            "is_win": pa.array(win.to_numpy(dtype=bool)),
-        })
+        is_win = pa.concat_arrays(
+            [pa.array([True]), pc.invert(same_fp)]) if n > 1 \
+            else pa.array([True])
+        return pa.table({"enc": enc, "is_win": is_win})
 
     global_marked = minima.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(mark_min, batch_format="pandas")
+        .groupby("__bucket").map_groups(mark_min, batch_format="pyarrow")
     return local_losers, global_marked
 
 

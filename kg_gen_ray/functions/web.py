@@ -191,7 +191,9 @@ def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
     marked = ds.map_batches(local, batch_format="pyarrow").materialize()
     local_losers = marked.filter(expr="is_min == False") \
                          .select_columns(["doc_id"])
-    minima = coalesce(marked.filter(expr="is_min == True"),
+    # slim the exchange: is_min is constant-true after the filter
+    minima = coalesce(marked.filter(expr="is_min == True")
+                      .select_columns(["norm_url", "doc_id"]),
                       shuffle_partitions)
 
     # bucket-hashed global min (the paragraphs._mark_occurrences shape):
@@ -206,17 +208,22 @@ def url_dedup_losers(ds: "ray.data.Dataset", url_col: str = "url",
         return t.append_column(
             "__bucket", hash_bucket_array(t["norm_url"], n_buckets))
 
-    def all_but_min(g) -> "pa.Table":
-        urls = g["norm_url"].to_numpy()
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        order = np.lexsort((ids, urls))
-        su = urls[order]
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = su[1:] != su[:-1]
-        return pa.table({"doc_id": pa.array(ids[order[~first]], pa.int64())})
+    def all_but_min(t: pa.Table) -> pa.Table:
+        # Arrow C++ end to end (norm_url is a string — numpy/pandas would
+        # sort Python objects): after a (url, id) sort, losers are every
+        # row whose url equals its predecessor's
+        if t.num_rows <= 1:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        s = t.sort_by([("norm_url", "ascending"), ("doc_id", "ascending")])
+        u = s["norm_url"].combine_chunks()
+        d = s["doc_id"].combine_chunks()
+        same = pc.equal(u.slice(1), u.slice(0, len(u) - 1))
+        return pa.table({
+            "doc_id": pc.cast(d.slice(1).filter(same), pa.int64())})
 
     global_losers = minima.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(all_but_min, batch_format="pandas") \
+        .groupby("__bucket").map_groups(all_but_min,
+                                        batch_format="pyarrow") \
         .select_columns(["doc_id"])
     return local_losers.union(global_losers)
 

@@ -170,14 +170,18 @@ def chunk_text_sents(text: str, max_chunk_size: int = 500
     return chunks
 
 
+def _chunk_str(text: str, sents: "list[str] | None") -> str:
+    """One chunk's text from its sentence list (``None`` = the unbounded
+    chunk, which keeps raw inter-sentence whitespace) — the single
+    decoder for ``chunk_text_sents``' convention."""
+    return text.strip() if sents is None else " ".join(sents)
+
+
 def chunk_text(text: str, max_chunk_size: int = 500) -> list[str]:
     """Pure chunking function — reference packing arithmetic exactly
     (``chunk_text.py:29-66``); empty chunks are dropped (see module
     docstring)."""
-    if max_chunk_size <= 0:
-        stripped = text.strip()
-        return [stripped] if stripped else []
-    return [" ".join(sents)
+    return [_chunk_str(text, sents)
             for sents in chunk_text_sents(text, max_chunk_size)]
 
 
@@ -200,7 +204,7 @@ class _ChunkBatch:
                     chunk_text_sents(text, self.max_chunk_size)):
                 urls.append(url)
                 cids.append(cid)
-                texts.append(text.strip() if ss is None else " ".join(ss))
+                texts.append(_chunk_str(text, ss))
                 langs.append(lang)
                 sents.append(ss)
         cols = {

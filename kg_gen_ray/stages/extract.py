@@ -144,9 +144,10 @@ class BigramExtractor:
         n = batch.num_rows
         if n == 0:
             return _triples_table([], [], [], [], [])
-        toks = pc.split_pattern(pc.cast(batch["text"], pa.string()), " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
+        # table columns are always ChunkedArray; combine once and the
+        # kernels below all return plain Arrays (pyarrow >= 16)
+        toks = pc.split_pattern(
+            pc.cast(batch["text"], pa.string()), " ").combine_chunks()
         # tokens stay an Arrow StringArray end to end: a to_pylist here
         # would allocate one Python str per token occurrence — measured
         # ~3x the whole stage's cost at ~190 tokens/chunk
@@ -154,11 +155,8 @@ class BigramExtractor:
         m = len(flat)
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         row_idx = np.repeat(np.arange(n), lengths)
-        lang = pc.cast(batch["lang"], pa.string()).combine_chunks() \
-            if isinstance(batch["lang"], pa.ChunkedArray) \
-            else pc.cast(batch["lang"], pa.string())
-        url = batch["url"].combine_chunks() \
-            if isinstance(batch["url"], pa.ChunkedArray) else batch["url"]
+        lang = pc.cast(batch["lang"], pa.string()).combine_chunks()
+        url = batch["url"].combine_chunks()
         cid_np = batch["chunk_id"].to_numpy(zero_copy_only=False)
 
         # rule A: adjacent pairs within the same row
@@ -169,22 +167,20 @@ class BigramExtractor:
         adj_mask = pa.array(adj)
         a_subj = flat.slice(0, max(m - 1, 0)).filter(adj_mask)
         a_obj = flat.slice(1).filter(adj_mask)
-        a_rows = row_idx[:-1][adj]
         # rule B: every token occurrence -> its page language
         b_obj = lang.take(pa.array(row_idx, pa.int64()))
 
-        rows = pa.array(np.concatenate([a_rows, row_idx]), pa.int64())
+        rows_np = np.concatenate([row_idx[:-1][adj], row_idx])
+        rows = pa.array(rows_np, pa.int64())
         subj = pa.concat_arrays([a_subj, flat])
-        obj = pa.concat_arrays([a_obj] + b_obj.chunks) \
-            if isinstance(b_obj, pa.ChunkedArray) \
-            else pa.concat_arrays([a_obj, b_obj])
+        obj = pa.concat_arrays([a_obj, b_obj])
         pred = pa.concat_arrays([
             _const_str("precedes", len(a_subj)),
             _const_str("written_in", m)])
         return pa.table({
             "subj": subj, "pred": pred, "obj": obj,
             "url": url.take(rows),
-            "chunk_id": pa.array(cid_np[np.asarray(rows)], pa.int32()),
+            "chunk_id": pa.array(cid_np[rows_np], pa.int32()),
         }).cast(TRIPLES_SCHEMA)
 
 

@@ -158,17 +158,15 @@ def test_llm_filter_requires_transport(ray_session):
         LLMFilter("q", None)
 
 
-def test_pattern_extractor_matches_python_re_replay():
-    """The vectorized RE2 rules must agree with a python-re first-match
-    replay — adversarial sentences exercise greedy-capture preference
-    (multiple ' is ', nested \"'s\"), rule precedence, role prefixes, and
-    non-matching shapes."""
-    import re
-
+def test_pattern_extractor_matches_serial_replay():
+    """The batch extractor must agree with a serial first-match replay of
+    the PRODUCT's own rule table (not a copy) — adversarial sentences
+    exercise greedy-capture preference (multiple ' is ', nested \"'s\"),
+    rule precedence, role prefixes, and non-matching shapes."""
     from kg_gen_ray.stages.chunker import split_sentences
 
     texts = [
-        # greedy: subject takes the LAST ' is ' in both engines
+        # greedy: the subject takes the LAST ' is '
         "A is B is C's mother.",
         # both kin and type could match pieces; kin wins by precedence
         "X is a type of Y's friend.",
@@ -179,20 +177,12 @@ def test_pattern_extractor_matches_python_re_replay():
         "A is B's mother",               # no terminal period -> no match
         "  The capital of  is P.",       # empty-ish captures still .+
     ]
-    rules = [
-        (re.compile(r"^(.+) is (.+)'s (mother|brother|friend)\.$"),
-         lambda m: (m.group(1), f"is {m.group(3)} of", m.group(2))),
-        (re.compile(r"^The capital of (.+) is (.+)\.$"),
-         lambda m: (m.group(1), "has capital", m.group(2))),
-        (re.compile(r"^(.+) is a type of (.+)\.$"),
-         lambda m: (m.group(1), "is a type of", m.group(2))),
-    ]
-    role = re.compile(r"^(user|assistant): ")
+    ext = PatternExtractor()
     expected = []
     for i, text in enumerate(texts):
         for sent in split_sentences(text):
-            sent = role.sub("", sent)
-            for rx, emit in rules:
+            sent = PatternExtractor._ROLE_PREFIX.sub("", sent)
+            for rx, emit in ext._rules:
                 m = rx.match(sent)
                 if m:
                     s, p, o = emit(m)
