@@ -125,16 +125,33 @@ def _ngram_groups(codes: np.ndarray, row_idx: np.ndarray, n: int):
     if not len(starts):
         e = np.empty(0, dtype=np.int64)
         return e, e, e, np.empty(0, dtype=bool)
-    # np.lexsort: LAST key is primary -> (row, w1, .., wn) ordering
-    keys = tuple(codes[starts + j] for j in reversed(range(n))) \
-        + (row_idx[starts],)
-    order = np.lexsort(keys)
-    so = starts[order]
-    diff = row_idx[so[1:]] != row_idx[so[:-1]]
-    for j in range(n):
-        diff = diff | (codes[so[1:] + j] != codes[so[:-1] + j])
-    new = np.ones(len(so), dtype=bool)
-    new[1:] = diff
+    vocab = int(codes.max()) + 1
+    n_rows = int(row_idx.max()) + 1
+    # (row, w1, .., wn) packs into ONE int64 whenever rows * vocab^n
+    # fits 62 bits (each code < vocab, so the radix pack preserves the
+    # exact lexicographic order): one argsort instead of n+1 stable
+    # lexsort passes — the dominant cost of this kernel. n=2 fits for
+    # any realistic batch; n>=4 on a huge-vocabulary batch falls back.
+    if n_rows * vocab ** n < (1 << 62):
+        key = row_idx[starts]
+        for j in range(n):
+            key = key * vocab + codes[starts + j]
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        so = starts[order]
+        new = np.ones(len(so), dtype=bool)
+        new[1:] = sk[1:] != sk[:-1]
+    else:
+        # np.lexsort: LAST key is primary -> (row, w1, .., wn) ordering
+        keys = tuple(codes[starts + j] for j in reversed(range(n))) \
+            + (row_idx[starts],)
+        order = np.lexsort(keys)
+        so = starts[order]
+        diff = row_idx[so[1:]] != row_idx[so[:-1]]
+        for j in range(n):
+            diff = diff | (codes[so[1:] + j] != codes[so[:-1] + j])
+        new = np.ones(len(so), dtype=bool)
+        new[1:] = diff
     grp = np.cumsum(new) - 1
     counts = np.bincount(grp)
     return so, grp, counts, new

@@ -330,3 +330,27 @@ ORDER BY doc_id""").fetchdf().reset_index(drop=True)
         g = got[col].tolist()
         w = want[col].tolist()
         assert all(abs(a - b) < 1e-12 for a, b in zip(g, w)), col
+
+
+def test_ngram_groups_pack_matches_lexsort_fallback():
+    """The radix-packed single-argsort path and the multi-key lexsort
+    fallback must produce IDENTICAL groupings — adding a constant offset
+    to every code preserves groups and order but inflates the vocabulary
+    past the 62-bit capacity check, forcing the fallback."""
+    import numpy as np
+
+    from kg_gen_ray.functions.text_analysis import _ngram_groups
+
+    rng = np.random.RandomState(7)
+    for n in (2, 3, 4):
+        for trial in range(20):
+            n_rows = rng.randint(1, 6)
+            lens = rng.randint(0, 12, size=n_rows)
+            row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            codes = rng.randint(0, 9, size=lens.sum()).astype(np.int64)
+            fast = _ngram_groups(codes, row_idx, n)
+            # offset inflates vocab so vocab**n >= 2**62 -> lexsort path
+            offset = (1 << 62) // 2
+            slow = _ngram_groups(codes + offset, row_idx, n)
+            for a, b in zip(fast, slow):
+                assert np.array_equal(a, b), (n, trial)
