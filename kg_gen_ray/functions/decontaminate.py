@@ -115,20 +115,35 @@ def contaminated_ids(docs: "ray.data.Dataset",
             or [np.zeros(0, dtype=np.uint64)]))
         ref = ray.put(arr)
 
-        def flag(t: pa.Table, ref=ref) -> pa.Table:
+        def explode_flag(t: pa.Table, ref=ref) -> pa.Table:
+            # fused explode + probe: the per-doc k-gram hashes stay a
+            # numpy scratch array inside this task — a ~370-rows-per-doc
+            # exploded Arrow table never gets built just to be flagged
+            empty = pa.table({id_col: pa.array([], pa.int64())})
             bench_sorted = ray.get(ref)
-            sh = t["sh"].to_numpy(zero_copy_only=False)
-            if not len(bench_sorted) or not len(sh):
-                return pa.table({id_col: pa.array([], pa.int64())})
+            if t.num_rows == 0 or not len(bench_sorted):
+                return empty
+            toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            lengths = pc.list_value_length(toks) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            th = _token_hashes(toks.flatten())
+            row_idx = np.repeat(np.arange(t.num_rows), lengths)
+            sh, srow = _kgram_hashes(th, row_idx, k)
+            if not len(sh):
+                return empty
+            sh = sh.view(np.int64)
             pos = np.searchsorted(bench_sorted, sh)
             pos[pos == len(bench_sorted)] = 0
             hit = bench_sorted[pos] == sh
-            ids = np.unique(
-                t[id_col].to_numpy(zero_copy_only=False)[hit])
+            ids = np.unique(pc.cast(t[id_col], pa.int64())
+                            .to_numpy(zero_copy_only=False)[srow[hit]])
             return pa.table({id_col: pa.array(ids, pa.int64())})
 
         return _distinct(
-            doc_rows.map_batches(flag, batch_format="pyarrow"), [id_col])
+            docs.map_batches(explode_flag, batch_format="pyarrow"),
+            [id_col])
 
     # oversized benchmark: bloom prefilter, then exact semi-join
     from kg_gen_ray.functions.sketch import bloom_build
