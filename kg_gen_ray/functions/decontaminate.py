@@ -55,6 +55,23 @@ def _kgram_hashes(th: np.ndarray, row_idx: np.ndarray, k: int):
     return acc[same], row_idx[:n_out][same]
 
 
+def _batch_kgrams(t: pa.Table, text_col: str, k: int):
+    """One batch -> (u64 k-gram hashes, int64 source-row indices).
+
+    The single tokenize+hash+shingle kernel behind both the exploded
+    (id, sh) rows and the fused broadcast probe — fixes land once. NULL
+    text contributes no k-grams (``fill_null(0)`` keeps the repeat
+    lengths aligned with ``flatten()``, which skips null list slots)."""
+    toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.fill_null(pc.list_value_length(toks), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    th = _token_hashes(toks.flatten())
+    row_idx = np.repeat(np.arange(t.num_rows), lengths)
+    return _kgram_hashes(th, row_idx, k)
+
+
 def doc_kgram_rows(ds: "ray.data.Dataset", k: int = 8,
                    id_col: str = "doc_id", text_col: str = "text"
                    ) -> "ray.data.Dataset":
@@ -65,14 +82,7 @@ def doc_kgram_rows(ds: "ray.data.Dataset", k: int = 8,
                           "sh": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lengths = pc.list_value_length(toks) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        th = _token_hashes(toks.flatten())
-        row_idx = np.repeat(np.arange(t.num_rows), lengths)
-        sh, srow = _kgram_hashes(th, row_idx, k)
+        sh, srow = _batch_kgrams(t, text_col, k)
         if not len(sh):
             return empty
         ids = pc.cast(t[id_col], pa.int64()) \
@@ -106,8 +116,6 @@ def contaminated_ids(docs: "ray.data.Dataset",
         doc_kgram_rows(bench, k, id_col, text_col)
         .select_columns(["sh"]), ["sh"]).materialize()
 
-    doc_rows = doc_kgram_rows(docs, k, id_col, text_col)
-
     if (bench_sh.size_bytes() or 0) <= dual_limit(broadcast_limit):
         arr = np.sort(np.concatenate(
             [b["sh"].to_numpy(zero_copy_only=False)
@@ -123,14 +131,7 @@ def contaminated_ids(docs: "ray.data.Dataset",
             bench_sorted = ray.get(ref)
             if t.num_rows == 0 or not len(bench_sorted):
                 return empty
-            toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            lengths = pc.list_value_length(toks) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
-            th = _token_hashes(toks.flatten())
-            row_idx = np.repeat(np.arange(t.num_rows), lengths)
-            sh, srow = _kgram_hashes(th, row_idx, k)
+            sh, srow = _batch_kgrams(t, text_col, k)
             if not len(sh):
                 return empty
             sh = sh.view(np.int64)
@@ -148,6 +149,7 @@ def contaminated_ids(docs: "ray.data.Dataset",
     # oversized benchmark: bloom prefilter, then exact semi-join
     from kg_gen_ray.functions.sketch import bloom_build
     bloom = bloom_build(bench_sh, "sh")
+    doc_rows = doc_kgram_rows(docs, k, id_col, text_col)
     maybe = doc_rows.map_batches(
         lambda t, bloom=bloom: t.filter(bloom.contains_mask(t["sh"])),
         batch_format="pyarrow")

@@ -54,6 +54,32 @@ def test_kgram_rows_count_and_short_rows(ray_session):
     assert len({r["sh"] for r in rows}) == 2
 
 
+def test_null_text_contributes_no_kgrams(ray_session):
+    """A NULL text row (expected corpus condition) must not crash either
+    path and must contribute zero k-grams — regression for the
+    float64-NaN-length -> negative-repeats crash."""
+    leak = "intro text " + BENCH_Q + " tail"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([leak, None, "clean words only here"],
+                         pa.string())}))
+    bench = rd.from_arrow(pa.table({"text": pa.array([BENCH_Q, None],
+                                                     pa.string())}))
+    # exploded rows: null doc emits nothing
+    assert sorted({r["doc_id"]
+                   for r in doc_kgram_rows(docs, k=8).take_all()}) == [0]
+    # fused broadcast probe and bloom dual agree
+    bcast = sorted(r["doc_id"] for r in
+                   contaminated_ids(docs, bench, k=8).take_all())
+    dual = sorted(r["doc_id"] for r in
+                  contaminated_ids(docs, bench, k=8,
+                                   broadcast_limit=0).take_all())
+    assert bcast == dual == [0]
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(docs, bench, k=8).take_all())
+    assert kept == [1, 2]
+
+
 def test_empty_benchmark_flags_nothing(ray_session):
     docs, _ = tables()
     bench = rd.from_arrow(pa.table({"text": pa.array(["short one"],

@@ -1,5 +1,7 @@
 """Extractor backends: pattern rules, vectorized bigram, LLM retry ladder."""
 
+import re
+
 import pyarrow as pa
 import pytest
 
@@ -159,8 +161,11 @@ def test_llm_filter_requires_transport(ray_session):
 
 
 def test_pattern_extractor_matches_serial_replay():
-    """The batch extractor must agree with a serial first-match replay of
-    the PRODUCT's own rule table (not a copy) — adversarial sentences
+    """The batch extractor must agree with an INDEPENDENT serial replay —
+    the rule table below is a second, hand-written copy of the FIXTURES.md
+    §2 template grammar (NOT the product's ``_rules`` objects), so a
+    regression in the product table (swapped capture groups, predicate
+    typo, broken role prefix) diverges here. Adversarial sentences
     exercise greedy-capture preference (multiple ' is ', nested \"'s\"),
     rule precedence, role prefixes, and non-matching shapes."""
     from kg_gen_ray.stages.chunker import split_sentences
@@ -177,12 +182,22 @@ def test_pattern_extractor_matches_serial_replay():
         "A is B's mother",               # no terminal period -> no match
         "  The capital of  is P.",       # empty-ish captures still .+
     ]
-    ext = PatternExtractor()
+    # independent oracle: re-declared from the fixture grammar, first
+    # match wins, kin > capital > type precedence
+    oracle_rules = [
+        (re.compile(r"^(.+) is (.+)'s (mother|brother|friend)\.$"),
+         lambda m: (m.group(1), "is %s of" % m.group(3), m.group(2))),
+        (re.compile(r"^The capital of (.+) is (.+)\.$"),
+         lambda m: (m.group(1), "has capital", m.group(2))),
+        (re.compile(r"^(.+) is a type of (.+)\.$"),
+         lambda m: (m.group(1), "is a type of", m.group(2))),
+    ]
+    role_prefix = re.compile(r"^(user|assistant): ")
     expected = []
     for i, text in enumerate(texts):
         for sent in split_sentences(text):
-            sent = PatternExtractor._ROLE_PREFIX.sub("", sent)
-            for rx, emit in ext._rules:
+            sent = role_prefix.sub("", sent)
+            for rx, emit in oracle_rules:
                 m = rx.match(sent)
                 if m:
                     s, p, o = emit(m)
