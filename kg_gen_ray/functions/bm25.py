@@ -39,8 +39,10 @@ B = 0.75
 EPSILON = 0.25
 
 
-def _tokens(text: str) -> list[str]:
-    return text.lower().split()
+def _tokens(text: str | None) -> list[str]:
+    # null text -> 0 tokens (the engine-wide convention): the row still
+    # counts toward n_docs but contributes no terms and zero doc length
+    return text.lower().split() if text is not None else []
 
 
 def okapi_scores(corpus_tokens: list, query_tokens: list,

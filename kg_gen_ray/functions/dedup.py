@@ -66,7 +66,9 @@ def exact_dedup(docs: "ray.data.Dataset", text_col: str = "text",
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingle_set(text: str, k: int = SHINGLE_K) -> set:
+def shingle_set(text: str | None, k: int = SHINGLE_K) -> set:
+    if text is None:        # null text -> 0 shingles (engine convention)
+        return set()
     toks = text.split(" ")
     if len(toks) < k:
         return {text} if text else set()
@@ -371,9 +373,9 @@ def _simhash_pack(acc: np.ndarray) -> int:
     return int((bits << np.arange(64, dtype=np.uint64)).sum())
 
 
-def simhash64(text: str) -> int:
+def simhash64(text: str | None) -> int:
     """64-bit SimHash over whitespace tokens (md5-derived bit vectors)."""
-    toks = text.split(" ")
+    toks = text.split(" ") if text is not None else []
     if not toks or toks == [""]:
         return 0
     acc = _simhash_accumulate(toks, np.zeros(64, dtype=np.int64))
@@ -404,7 +406,8 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     """Vectorized batch SimHash: one md5 per unique token in the batch,
     then a single matrix accumulate per document."""
     texts = batch["text"].to_pylist()
-    tok_lists = [t.split(" ") for t in texts]
+    # null text tokenizes like "" (0 contributing tokens -> simhash 0)
+    tok_lists = [t.split(" ") if t is not None else [] for t in texts]
     flat = [w for toks in tok_lists for w in toks]
     hs = []
     if flat:
@@ -422,6 +425,8 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
                 acc = (contrib[nz] * counts[nz, None]).sum(axis=0)
                 hs.append(_simhash_pack(acc))
             pos += n
+    else:
+        hs = [0] * len(texts)   # all-null/empty batch: rows still emitted
     return pa.table({
         "doc_id": pc.cast(batch["doc_id"], pa.int64()),
         "simhash": pa.array([np.uint64(h) for h in hs], pa.uint64()),

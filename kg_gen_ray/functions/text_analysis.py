@@ -90,7 +90,8 @@ def quality_score(batch: pa.Table) -> pa.Table:
         so, grp, counts, new = _ngram_groups(codes, row_idx, 2)
         if len(so):
             np.maximum.at(top_bigram, row_idx[so[new]], counts)
-    n_chars = pc.utf8_length(pc.cast(batch["text"], pa.string())) \
+    n_chars = pc.fill_null(    # null text -> 0 chars (not a NaN cast)
+        pc.utf8_length(pc.cast(batch["text"], pa.string())), 0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
         "doc_id": pc.cast(batch["doc_id"], pa.int64()),
@@ -400,8 +401,9 @@ def gopher_quality(batch: pa.Table, text_col: str = "text",
 def fingerprint(batch: pa.Table, col: str = "text",
                 id_col: str = "doc_id") -> pa.Table:
     """(doc_id, fp) — md5 content fingerprint (mirrors DuckDB ``md5``)."""
-    fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
-           for t in batch[col].to_pylist()]
+    # md5(NULL) IS NULL in the DuckDB mirror — propagate, don't coerce
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None
+           else None for t in batch[col].to_pylist()]
     return pa.table({
         id_col: pc.cast(batch[id_col], pa.int64()),
         "fp": pa.array(fps, pa.string()),
@@ -446,8 +448,9 @@ class LangId:
         self.markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
         self.word_re = re.compile(r"[a-zA-Z]+")
 
-    def predict(self, text: str) -> str:
-        toks = [w.lower() for w in self.word_re.findall(text)]
+    def predict(self, text: str | None) -> str:
+        toks = ([w.lower() for w in self.word_re.findall(text)]
+                if text is not None else [])
         if not toks:
             return "unknown"
         best, best_hits = "unknown", 0
@@ -562,7 +565,8 @@ def tfidf_top_terms(docs: "ray.data.Dataset", k: int = 3,
         toks = pc.utf8_split_whitespace(texts)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lengths = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)  # null text -> 0
         flat = toks.flatten()
         if not len(flat):
             return empty

@@ -200,6 +200,8 @@ class _ChunkBatch:
         lang_col = batch["lang"].to_pylist()
         for url, text, lang in zip(batch["url"].to_pylist(),
                                    batch["text"].to_pylist(), lang_col):
+            if text is None:    # null text -> no chunks (same as empty)
+                continue
             for cid, ss in enumerate(
                     chunk_text_sents(text, self.max_chunk_size)):
                 urls.append(url)

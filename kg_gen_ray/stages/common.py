@@ -6,6 +6,59 @@ import ray
 import ray.data
 
 
+def _patch_hash_shuffle_schema_broadcast() -> None:
+    """Work around a Ray 2.49 hash-shuffle schema-broadcast loss.
+
+    ``_shuffle_block`` (ray/data/_internal/execution/operators/
+    hash_shuffle.py:223) returns early for an EMPTY input block without
+    sending the schema-bearing empty shards, but ``_do_add_input_inner``
+    (ibid.:548,589) still consumes the one-shot per-sequence
+    ``_has_schemas_broadcasted`` flag. If the first block an operator
+    happens to shuffle for one join side is empty (tiny inputs after a
+    ``repartition``, or a ``map_batches`` kernel that legitimately emits
+    zero rows for some blocks), every partition that then receives no
+    real rows for that side finalizes a ZERO-COLUMN table and pyarrow's
+    acero join aborts the run with ``No match or multiple matches for
+    key field reference ... side of the join``.
+
+    Driver-side fix (the shuffle submit loop runs in the driver's
+    executor thread): feed the original method one block at a time and
+    let only a block KNOWN NON-EMPTY consume the broadcast flag. Empty
+    shards are then still disseminated by the first non-empty block, as
+    the operator intends. A side with zero rows overall never
+    broadcasts, same as stock Ray — callers guard that separately.
+    """
+    try:
+        from ray.data._internal.execution.interfaces import RefBundle
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase)
+    except ImportError:          # internals moved — newer Ray fixed this
+        return
+    orig = HashShufflingOperatorBase._do_add_input_inner
+    if getattr(orig, "_kg_schema_broadcast_patch", False):
+        return
+
+    def _do_add_input_inner(self, input_bundle, input_index):
+        blocks = list(zip(input_bundle.block_refs, input_bundle.metadata))
+        for ref, md in blocks:
+            sub = (input_bundle if len(blocks) == 1 else
+                   RefBundle(blocks=((ref, md),),
+                             schema=input_bundle.schema,
+                             owns_blocks=input_bundle.owns_blocks))
+            consumed = not self._has_schemas_broadcasted[input_index]
+            orig(self, sub, input_index)
+            if consumed and md.num_rows == 0:
+                # the empty block sent nothing — leave the broadcast
+                # for the next (non-empty) block
+                self._has_schemas_broadcasted[input_index] = False
+
+    _do_add_input_inner._kg_schema_broadcast_patch = True
+    HashShufflingOperatorBase._do_add_input_inner = _do_add_input_inner
+
+
+_patch_hash_shuffle_schema_broadcast()
+
+
 def resolve_shuffle_partitions(shuffle_partitions):
     """``None`` -> keep Ray's input-block-driven width; ``"auto"`` ->
     max(8, cluster CPUs // 2) — see the inline comment; int -> that many.

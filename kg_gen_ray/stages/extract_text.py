@@ -110,7 +110,9 @@ _MODES = {"paragraphs": extract_text, "general": extract_text_general}
 
 def _extract_batch(batch: pa.Table, mode: str = "paragraphs") -> pa.Table:
     fn = _MODES[mode]
-    texts = pa.array([fn(h) for h in batch["html"].to_pylist()],
+    # null html -> empty text (engine-wide null-text convention)
+    texts = pa.array([fn(h) if h is not None else ""
+                      for h in batch["html"].to_pylist()],
                      pa.large_string())
     # drop the (potentially MBs-wide) html column immediately so downstream
     # blocks stay narrow (SURVEY.md §7.5 risk 6)
