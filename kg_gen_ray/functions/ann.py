@@ -35,10 +35,27 @@ def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
         # with d columns
         return np.zeros((0, 0), dtype=np.float64)
     arr = batch[col]
+    if arr.null_count:
+        # a null list flattens to NOTHING, silently misaligning the
+        # reshape against the id column — refuse loudly; operator entry
+        # points drop null vectors first (_drop_null_vectors)
+        raise ValueError(f"null {col!r} rows must be dropped before _mat")
     flat = np.asarray(arr.flatten().to_pylist() if not isinstance(arr, pa.ChunkedArray)
                       else arr.combine_chunks().flatten().to_pylist(),
                       dtype=np.float64)
     return flat.reshape(n, -1)
+
+
+def _drop_null_vectors(embeddings: "ray.data.Dataset",
+                       col: str = "embedding") -> "ray.data.Dataset":
+    """Rows whose vector is NULL carry no position in the space: drop
+    them once at operator entry. SQL mirror: arithmetic on a NULL list
+    is NULL and falls out of every top-k / threshold predicate.
+    ``null_count``-gated, so a null-free block passes through untouched
+    (and Ray fuses this map with the consumer stage)."""
+    def drop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[col])) if t[col].null_count else t
+    return embeddings.map_batches(drop, batch_format="pyarrow")
 
 
 def _cosine(block: np.ndarray, q: np.ndarray) -> np.ndarray:
@@ -53,6 +70,7 @@ def brute_force_topk(embeddings: "ray.data.Dataset", query: np.ndarray,
                      k: int = 10, id_col: str = "vec_id") -> pd.DataFrame:
     """Exact cosine top-k -> DataFrame(vec_id, score), deterministic order
     (score desc, vec_id asc)."""
+    embeddings = _drop_null_vectors(embeddings)
     q_ref = ray.put(np.asarray(query, dtype=np.float64))
 
     def partial(batch: pa.Table, q_ref=q_ref) -> pa.Table:
@@ -102,6 +120,7 @@ def ivf_assign(embeddings: "ray.data.Dataset", centroids: np.ndarray,
     (``/root/reference/experiments/wikiqa/utils/cluster_and_deduplication.py:151-243``
     re-expressed without FAISS).
     """
+    embeddings = _drop_null_vectors(embeddings)
     c = np.asarray(centroids, dtype=np.float64)
     c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
     c_ref = ray.put(c_norm)
@@ -132,6 +151,7 @@ def ivf_topk(embeddings: "ray.data.Dataset", centroids: np.ndarray,
     assignment map ever reaches the driver. In a real deployment the
     assignment would be a precomputed partition column and this filter a
     partition prune."""
+    embeddings = _drop_null_vectors(embeddings)
     c = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     probe = np.sort(np.argsort(-_cosine(c, q))[:n_probe]).astype(np.int64)
@@ -165,6 +185,7 @@ def kmeans_centroids(embeddings: "ray.data.Dataset", n_centroids: int,
     sums per cluster (map_batches combiner) -> tiny driver reduce. Mirrors
     the reference's FAISS ``niter=20`` k-means partitioner, Ray-Data-first.
     """
+    embeddings = _drop_null_vectors(embeddings)
     import pyarrow.compute as _pc
 
     def seed_partial(t: pa.Table) -> pa.Table:
@@ -264,7 +285,7 @@ def cosine_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
     O(n^2) compute by definition; :func:`lsh_near_dup_pairs` is the
     sub-quadratic approximate path.
     """
-    mat = embeddings.materialize()
+    mat = _drop_null_vectors(embeddings).materialize()
 
     if (mat.size_bytes() or 0) <= dual_limit(broadcast_limit):
         rows = []
@@ -346,6 +367,7 @@ def lsh_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
     seeded random projections; exact cosine verification runs only within
     buckets (groupby). Recall < 1 by design — the 100 TB path.
     """
+    embeddings = _drop_null_vectors(embeddings)
     first = embeddings.take(1)
     if not first:
         return ray.data.from_arrow(pa.table({

@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray.data
 
 # module-level (not lazy in worker-side fns): pickle-by-value compatibility
-from kg_gen_ray.functions.ann import _mat
+from kg_gen_ray.functions.ann import _drop_null_vectors, _mat
 
 K1 = 1.5
 B = 0.75
@@ -195,6 +195,7 @@ def rank_fusion_topk(docs: "ray.data.Dataset",
     import ray
 
     bm25 = bm25_scores(docs, query)
+    embeddings = _drop_null_vectors(embeddings)
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)

@@ -35,7 +35,7 @@ import ray
 import ray.data
 
 # module-level (pickle-by-value compatibility)
-from kg_gen_ray.functions.ann import _mat
+from kg_gen_ray.functions.ann import _drop_null_vectors, _mat
 
 
 def _nearest_centroid(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
@@ -96,7 +96,8 @@ def pq_train(embeddings: "ray.data.Dataset", m: int = 4,
             "per subspace); encoding would silently wrap indices mod 256 "
             "and corrupt every search result")
     sample = _mat(pa.table({col: pa.array(
-        [r[col] for r in embeddings.limit(sample_rows).take_all()])}), col)
+        [r[col] for r in _drop_null_vectors(embeddings, col)
+         .limit(sample_rows).take_all()])}), col)
     n, d = sample.shape
     if d % m:
         raise ValueError(f"embedding dim {d} not divisible by m={m}")
@@ -113,6 +114,7 @@ def pq_encode(embeddings: "ray.data.Dataset", codebooks: np.ndarray,
     """(id, codes) with ``codes`` an m-byte binary column — each byte the
     nearest centroid of that subspace. One (n, 256) matmul per subspace
     per batch; codebooks broadcast once via ``ray.put``."""
+    embeddings = _drop_null_vectors(embeddings, col)
     cb_ref = ray.put(codebooks)
     m, _k, sub = codebooks.shape
 
@@ -204,7 +206,8 @@ def ivfpq_train(embeddings: "ray.data.Dataset", centroids: np.ndarray,
             "per subspace)")
     cents = np.asarray(centroids, dtype=np.float64)
     sample = _mat(pa.table({col: pa.array(
-        [r[col] for r in embeddings.limit(sample_rows).take_all()])}), col)
+        [r[col] for r in _drop_null_vectors(embeddings, col)
+         .limit(sample_rows).take_all()])}), col)
     n, d = sample.shape
     if d % m:
         raise ValueError(f"embedding dim {d} not divisible by m={m}")
@@ -223,6 +226,7 @@ def ivfpq_encode(embeddings: "ray.data.Dataset", centroids: np.ndarray,
     residual. One streaming pass; coarse centroids + codebooks broadcast
     once together. ``list_id`` is the partition key a real deployment
     writes the codes table partitioned by."""
+    embeddings = _drop_null_vectors(embeddings, col)
     ref = ray.put((np.asarray(centroids, dtype=np.float64), codebooks))
     m, _k, sub = codebooks.shape
 

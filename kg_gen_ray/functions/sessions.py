@@ -28,7 +28,9 @@ def sessionize(events: "ray.data.Dataset", gap_sec: int,
     assumption: one user's events fit in one hash bucket (per-user event
     counts are bounded in practice; a timestamp-range repartition would
     replace this for pathological users)."""
+    from kg_gen_ray.functions.windows import _drop_null_ts
     from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+    events = _drop_null_ts(events, ts_col)  # unknown time -> no session
     gap_us = gap_sec * 1_000_000
     # lazy input: callers that know their scale pass n_buckets (one
     # bucket should stay under common.TARGET_BUCKET_BYTES of event rows)

@@ -36,10 +36,25 @@ def _ts_us(arr: "pa.ChunkedArray") -> np.ndarray:
              .to_numpy(zero_copy_only=False)
 
 
+def _drop_null_ts(events: "ray.data.Dataset",
+                  ts_col: str) -> "ray.data.Dataset":
+    """An event with an unknown timestamp cannot be assigned a window,
+    session, or as-of match: drop such rows at operator entry (the
+    streaming-engine convention for invalid event time; for the joins it
+    is also exactly SQL — every time predicate on NULL is NULL and the
+    row falls out). ``null_count``-gated, so a null-free block passes
+    through untouched and Ray fuses the map with the consumer stage."""
+    def drop(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.is_valid(t[ts_col]))
+                if t[ts_col].null_count else t)
+    return events.map_batches(drop, batch_format="pyarrow")
+
+
 def tumbling_window(events: "ray.data.Dataset", window_sec: int,
                     ts_col: str = "ts", key_col: str = "event_type",
                     value_col: str = "value") -> "ray.data.Dataset":
     """(key, window_start, n_events, sum_<value_col>) — fixed windows."""
+    events = _drop_null_ts(events, ts_col)
     w_us = window_sec * US
 
     def bucket(t: pa.Table) -> pa.Table:
@@ -66,6 +81,7 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
     to every window with start in (t - window, t], start ≡ 0 mod slide."""
     if window_sec % slide_sec != 0:
         raise ValueError("window_sec must be a multiple of slide_sec")
+    events = _drop_null_ts(events, ts_col)
     w_us, s_us = window_sec * US, slide_sec * US
     k = window_sec // slide_sec   # windows covering each row
 
@@ -113,6 +129,7 @@ def multi_window(events: "ray.data.Dataset",
         if w_sec % s_sec != 0:
             raise ValueError(
                 f"window_sec must be a multiple of slide_sec ({kind})")
+    events = _drop_null_ts(events, ts_col)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -178,6 +195,13 @@ def range_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
               for c in payload_cols}
     left_schema = left.schema()
     ltypes = dict(zip(left_schema.names, left_schema.types))
+    # an interval with a null bound can't satisfy the containment
+    # predicate: dropping it is output-equivalent and keeps nulls out of
+    # the per-bucket start-sorted searchsorted. Applied AFTER the schema
+    # reads so plain reads still resolve from file metadata. Left rows
+    # are NOT dropped — left-join semantics keep a null-ts row with null
+    # payload (handled in the bucket kernel).
+    intervals = _drop_null_ts(_drop_null_ts(intervals, start_col), end_col)
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {
@@ -285,7 +309,6 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     for d in dirs:
         if d not in ("backward", "forward"):
             raise ValueError("direction must be 'backward' or 'forward'")
-
     # the union below needs one schema: type the left side's (all-null)
     # right-payload columns from the right schema, and vice versa for the
     # right side's left-payload columns
@@ -294,6 +317,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               for c in right_value_cols}
     left_schema = left.schema()
     ltypes = dict(zip(left_schema.names, left_schema.types))
+    # null handling is INTERNAL here (left-join semantics: a null-ts /
+    # null-key left row is kept with null payload; null right rows match
+    # nothing) — pinned by test_asof_join_null_keys_and_ts. No entry
+    # drop: it would delete left rows a LEFT join must keep, and a
+    # right-side drop would change right_reduce's input.
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {

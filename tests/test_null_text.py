@@ -127,6 +127,52 @@ def test_paragraph_dedup_null_text(ray_session):
     assert "shared para" not in out[2]      # doc 0 (lower id) keeps it
 
 
+def _events_with_null_ts():
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([1000, 2000, 1500, None], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+        "value": pa.array([1.0, None, 3.0, 4.0], pa.float64())}))
+
+
+def test_null_ts_rows_excluded_from_time_operators(ray_session):
+    from kg_gen_ray.functions.sessions import sessionize
+    from kg_gen_ray.functions.windows import asof_join, multi_window
+    win = multi_window(_events_with_null_ts(),
+                       [("tumbling", 60, 60)]).take_all()
+    # 3 timestamped events, all inside one 60s window per key
+    assert sum(r["n_events"] for r in win) == 3
+    # null value still counts the event; Arrow/SQL sum skips the null
+    a_row = next(r for r in win if r["event_type"] == "a")
+    assert a_row["n_events"] == 2 and a_row["sum_value"] == 1.0
+    sess = sessionize(_events_with_null_ts(), 1800).take_all()
+    assert sum(r["n_events"] for r in sess) == 3
+    # asof is a LEFT join: the null-ts left row is KEPT with null
+    # payload (test_asof_join_null_keys_and_ts pins the full matrix);
+    # null-ts RIGHT rows match nothing.
+    asof = asof_join(_events_with_null_ts(), _events_with_null_ts(),
+                     "user_id", "ts", "ts", ["value"]).take_all()
+    assert len(asof) == 4
+    import pandas as pd
+    null_row = next(r for r in asof if r["l_event_id"] == 4)
+    assert pd.isna(null_row["r_value"])
+
+
+def test_null_embedding_rows_excluded(ray_session):
+    import numpy as np
+
+    from kg_gen_ray.functions.ann import brute_force_topk, ivf_assign
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.5, 0.5], None],
+                              pa.list_(pa.float32()))}))
+    top = brute_force_topk(emb, np.array([1.0, 0.0]), k=3)
+    assert list(top["vec_id"]) == [0, 1]    # null vector never scores
+    assign = ivf_assign(emb, np.array([[1.0, 0.0], [0.0, 1.0]])).take_all()
+    assert {r["vec_id"] for r in assign} == {0, 1}
+
+
 def test_quality_and_tokens_null_text(ray_session):
     from kg_gen_ray.functions.text_analysis import (
         quality_score, token_stats)
