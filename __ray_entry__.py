@@ -1749,7 +1749,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql["dedup_exact"] = """
         SELECT min(doc_id)::BIGINT AS doc_id, md5(text) AS fp
-        FROM documents GROUP BY md5(text)"""
+        FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+        UNION ALL
+        -- NULL text is not *equal* to anything (NULL = NULL is NULL):
+        -- every null-text row survives dedup with a NULL fingerprint
+        SELECT doc_id::BIGINT AS doc_id, NULL AS fp
+        FROM documents WHERE text IS NULL"""
 
     # Lee et al. duplicated-span removal: md5-u32 Horner k-gram hashes
     # (closed-form coefficients — same family as _FSH), global min-enc

@@ -48,14 +48,10 @@ def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
 
 def _drop_null_vectors(embeddings: "ray.data.Dataset",
                        col: str = "embedding") -> "ray.data.Dataset":
-    """Rows whose vector is NULL carry no position in the space: drop
-    them once at operator entry. SQL mirror: arithmetic on a NULL list
-    is NULL and falls out of every top-k / threshold predicate.
-    ``null_count``-gated, so a null-free block passes through untouched
-    (and Ray fuses this map with the consumer stage)."""
-    def drop(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_valid(t[col])) if t[col].null_count else t
-    return embeddings.map_batches(drop, batch_format="pyarrow")
+    """A NULL vector carries no position in the space: drop such rows
+    once at operator entry (shared kernel: ``common.drop_null_rows``)."""
+    from kg_gen_ray.stages.common import drop_null_rows
+    return drop_null_rows(embeddings, col)
 
 
 def _cosine(block: np.ndarray, q: np.ndarray) -> np.ndarray:

@@ -46,20 +46,47 @@ def exact_dedup(docs: "ray.data.Dataset", text_col: str = "text",
 
     Partial min per batch (combiner) before the groupby shrinks the shuffle
     to one row per (batch, fp).
+
+    NULL text is NOT deduplicated: unknown content is not *equal* content
+    (SQL ``NULL = NULL`` is NULL), so every null-text row survives with a
+    NULL ``fp`` — collapsing a corpus's fetch-error rows into one would be
+    silent data loss. Mechanically, each null row gets a UNIQUE surrogate
+    exchange key (``'n:'+id``) so neither the per-batch combiner nor the
+    global groupby (both of which group NULLs together, the GROUP BY
+    convention) can merge them; real hashes ride under ``'v:'+fp``.
     """
     from kg_gen_ray.functions.text_analysis import fingerprint
     from kg_gen_ray.stages.common import coalesce
 
     def local_min(t: pa.Table) -> pa.Table:
         fp = fingerprint(t, text_col, id_col)
-        return fp.group_by(["fp"]).aggregate([(id_col, "min")]) \
-                 .rename_columns(["fp", id_col])
+        col = fp["fp"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        key = pc.if_else(
+            pc.is_valid(col),
+            pc.binary_join_element_wise(
+                pa.scalar("v:", pa.string()), col, pa.scalar("")),
+            pc.binary_join_element_wise(
+                pa.scalar("n:", pa.string()),
+                pc.cast(fp[id_col], pa.string()), pa.scalar("")))
+        keyed = pa.table({"__k": key, id_col: fp[id_col]})
+        return keyed.group_by(["__k"]).aggregate([(id_col, "min")]) \
+                    .rename_columns(["__k", id_col])
 
     partial = coalesce(docs.map_batches(local_min, batch_format="pyarrow"),
                        shuffle_partitions)
     from ray.data.aggregate import Min
-    out = partial.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
-    return out.select_columns([id_col, "fp"])
+    out = partial.groupby("__k").aggregate(Min(id_col, alias_name=id_col))
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["__k"], pa.string())
+        fp = pc.if_else(pc.starts_with(k, "v:"),
+                        pc.utf8_slice_codeunits(k, 2),
+                        pa.scalar(None, pa.string()))
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()), "fp": fp})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

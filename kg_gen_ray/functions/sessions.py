@@ -89,11 +89,13 @@ def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,
     md5 hex digit of ``text_col`` mod ``mod`` < ``keep_mod`` (SQL-mirrored
     by DuckDB md5). Reproducible across engines and runs — the property a
     training-data sampler needs (`random_shuffle`-based sampling is not
-    replayable)."""
+    replayable). NULL text is excluded: md5(NULL) is NULL and a NULL
+    predicate fails the SQL WHERE — same as the mirror."""
     import hashlib
 
     def keep(t: pa.Table) -> pa.Table:
         mask = pa.array([
+            s is not None and
             int(hashlib.md5(s.encode("utf-8")).hexdigest()[0], 16) % mod
             < keep_mod
             for s in pc.cast(t[text_col], pa.string()).to_pylist()])
@@ -360,7 +362,10 @@ def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
     if token_col is None:
         def with_tokens(t: pa.Table) -> pa.Table:
             toks = pc.split_pattern(pc.cast(t[text_col], pa.string()), " ")
-            n = pc.cast(pc.list_value_length(toks), pa.int64())
+            # null text -> 0 tokens (engine convention); an unfilled NULL
+            # count would become pandas NaN and crash greedy_pack's int()
+            n = pc.cast(pc.fill_null(pc.list_value_length(toks), 0),
+                        pa.int64())
             return pa.table({
                 group_col: t[group_col], id_col: t[id_col],
                 "n_tokens": n})
@@ -369,7 +374,8 @@ def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
         def rename(t: pa.Table) -> pa.Table:
             return pa.table({
                 group_col: t[group_col], id_col: t[id_col],
-                "n_tokens": pc.cast(t[token_col], pa.int64())})
+                "n_tokens": pc.fill_null(           # null count -> 0 tokens
+                    pc.cast(t[token_col], pa.int64()), 0)})
         counted = ds.map_batches(rename, batch_format="pyarrow")
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:

@@ -39,15 +39,11 @@ def _ts_us(arr: "pa.ChunkedArray") -> np.ndarray:
 def _drop_null_ts(events: "ray.data.Dataset",
                   ts_col: str) -> "ray.data.Dataset":
     """An event with an unknown timestamp cannot be assigned a window,
-    session, or as-of match: drop such rows at operator entry (the
-    streaming-engine convention for invalid event time; for the joins it
-    is also exactly SQL — every time predicate on NULL is NULL and the
-    row falls out). ``null_count``-gated, so a null-free block passes
-    through untouched and Ray fuses the map with the consumer stage."""
-    def drop(t: pa.Table) -> pa.Table:
-        return (t.filter(pc.is_valid(t[ts_col]))
-                if t[ts_col].null_count else t)
-    return events.map_batches(drop, batch_format="pyarrow")
+    session, or as-of match: drop such rows at operator entry — the
+    streaming-engine convention for invalid event time (shared kernel:
+    ``common.drop_null_rows``)."""
+    from kg_gen_ray.stages.common import drop_null_rows
+    return drop_null_rows(events, ts_col)
 
 
 def tumbling_window(events: "ray.data.Dataset", window_sec: int,
@@ -200,8 +196,15 @@ def range_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
     # the per-bucket start-sorted searchsorted. Applied AFTER the schema
     # reads so plain reads still resolve from file metadata. Left rows
     # are NOT dropped — left-join semantics keep a null-ts row with null
-    # payload (handled in the bucket kernel).
-    intervals = _drop_null_ts(_drop_null_ts(intervals, start_col), end_col)
+    # payload (handled in the bucket kernel). One fused pass over both
+    # bound columns (not two chained drops).
+    def drop_null_bounds(t: pa.Table) -> pa.Table:
+        if t[start_col].null_count or t[end_col].null_count:
+            return t.filter(pc.and_(pc.is_valid(t[start_col]),
+                                    pc.is_valid(t[end_col])))
+        return t
+    intervals = intervals.map_batches(drop_null_bounds,
+                                      batch_format="pyarrow")
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {

@@ -2,8 +2,23 @@
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
 import ray
 import ray.data
+
+
+def drop_null_rows(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+    """Drop rows whose ``col`` is NULL — the shared entry-point filter for
+    operators where a null value has no meaning (a null embedding has no
+    position in the space; a null timestamp belongs to no window/session).
+    SQL mirror: arithmetic/comparison on NULL is NULL and the row falls
+    out of every predicate. ``null_count``-gated so a null-free block
+    passes through untouched (and Ray fuses the map with the consumer)."""
+    def drop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t[col])) if t[col].null_count else t
+    return ds.map_batches(drop, batch_format="pyarrow")
 
 
 def _patch_hash_shuffle_schema_broadcast() -> None:
@@ -34,8 +49,22 @@ def _patch_hash_shuffle_schema_broadcast() -> None:
             HashShufflingOperatorBase)
     except ImportError:          # internals moved — newer Ray fixed this
         return
-    orig = HashShufflingOperatorBase._do_add_input_inner
+    orig = getattr(HashShufflingOperatorBase, "_do_add_input_inner", None)
+    if orig is None:             # method renamed — don't patch blind
+        return
     if getattr(orig, "_kg_schema_broadcast_patch", False):
+        return
+    # the wrapper below resets an instance flag the 2.49 implementation
+    # keeps; if a future Ray renames it, patching would turn into an
+    # AttributeError inside every shuffle — verify it is still there
+    # (source inspection: the flag is per-instance, so there is nothing
+    # to getattr on the class) and otherwise treat the drift like the
+    # ImportError above: assume the release reworked (and fixed) the path
+    import inspect
+    try:
+        if "_has_schemas_broadcasted" not in inspect.getsource(orig):
+            return
+    except (OSError, TypeError):
         return
 
     def _do_add_input_inner(self, input_bundle, input_index):

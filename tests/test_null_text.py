@@ -173,6 +173,39 @@ def test_null_embedding_rows_excluded(ray_session):
     assert {r["vec_id"] for r in assign} == {0, 1}
 
 
+def test_exact_dedup_keeps_every_null_text_row(ray_session):
+    """Unknown content is not *equal* content (SQL NULL = NULL is NULL):
+    null-text rows are never merged, each survives with fp NULL, while
+    real duplicates still collapse to the min id."""
+    from kg_gen_ray.functions.dedup import exact_dedup
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c", None, "d e", None, "a b c"],
+                         pa.string())}))
+    out = {r["doc_id"]: r["fp"] for r in exact_dedup(docs).take_all()}
+    assert sorted(out) == [0, 1, 2, 3]      # 4 deduped into 0; 1,3 kept
+    assert out[1] is None and out[3] is None
+    assert out[0] is not None and out[0] == out[0]
+
+
+def test_hash_sample_and_pack_sequences_null_text(ray_session):
+    """hash_sample: md5(NULL) fails the SQL WHERE -> row excluded.
+    pack_sequences: null text packs as a 0-token document (no NaN
+    crash in the greedy fold)."""
+    from kg_gen_ray.functions.sessions import hash_sample, pack_sequences
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+        "text": pa.array(["w x y z", None, "p q"], pa.string())}))
+    sampled = {r["doc_id"]
+               for r in hash_sample(docs, keep_mod=10).take_all()}
+    assert sampled == {0, 2}                # keep-all mod never keeps NULL
+    packed = {r["doc_id"]: (r["seq_id"], r["n_tokens"])
+              for r in pack_sequences(docs, max_tokens=4).take_all()}
+    assert packed[1][1] == 0                # null text -> 0 tokens
+    assert len(packed) == 3                 # the row itself survives
+
+
 def test_quality_and_tokens_null_text(ray_session):
     from kg_gen_ray.functions.text_analysis import (
         quality_score, token_stats)
