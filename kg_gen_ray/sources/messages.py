@@ -23,7 +23,12 @@ KEEP_ROLES = ("user", "assistant")
 
 def flatten_messages(messages: list) -> str:
     """Validate + flatten one conversation (reference rules: every message
-    must be a dict with 'role' and 'content'; only user/assistant kept)."""
+    must be a dict with 'role' and 'content'; only user/assistant kept).
+    A NULL messages cell fails validation like any malformed conversation
+    (clean ValueError, not a TypeError from iterating None)."""
+    if messages is None:
+        raise ValueError(
+            "Each message must be a dict with 'role' and 'content' keys")
     lines = []
     for m in messages:
         if not isinstance(m, dict) or "role" not in m or "content" not in m:

@@ -286,7 +286,8 @@ class LLMFilter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keep = [
-            self.transport(f"FILTER\n{self.question}\n---\n{txt}")
+            # null text judges as empty — never the literal string "None"
+            self.transport(f"FILTER\n{self.question}\n---\n{txt or ''}")
             .strip().upper().startswith("Y")
             for txt in batch[self.text_col].to_pylist()
         ]

@@ -66,7 +66,8 @@ class AnswerJudge:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         evals = [
-            int(self.transport(judge_prompt(ans, ctx)).strip())
+            # null answer/context judge as empty strings — never "None"
+            int(self.transport(judge_prompt(ans or "", ctx or "")).strip())
             for ans, ctx in zip(batch[self.answer_col].to_pylist(),
                                 batch[self.context_col].to_pylist())
         ]

@@ -25,6 +25,8 @@ import pyarrow as pa
 
 import ray.data
 
+from kg_gen_ray.stages.common import drop_null_rows
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("media_type", pa.string()),      # "image/png", "audio/wav", ...
@@ -197,6 +199,7 @@ class FrameSample:
 def probe_stage(media: "ray.data.Dataset", concurrency: int = 2,
                 batch_size: int = 32,
                 codec_cls=FakeCodec) -> "ray.data.Dataset":
+    media = drop_null_rows(media, "content")   # null payload: undecodable
     return media.map_batches(MediaProbe, batch_format="pyarrow",
                              fn_constructor_kwargs={"codec_cls": codec_cls},
                              batch_size=batch_size, concurrency=concurrency,
@@ -206,6 +209,7 @@ def probe_stage(media: "ray.data.Dataset", concurrency: int = 2,
 def features_stage(media: "ray.data.Dataset", dim: int = 16,
                    concurrency: int = 2, batch_size: int = 32,
                    codec_cls=FakeCodec) -> "ray.data.Dataset":
+    media = drop_null_rows(media, "content")   # null payload: undecodable
     return media.map_batches(MediaFeatures, batch_format="pyarrow",
                              fn_constructor_kwargs={"dim": dim,
                                                     "codec_cls": codec_cls},
@@ -216,6 +220,7 @@ def features_stage(media: "ray.data.Dataset", dim: int = 16,
 def resize_stage(media: "ray.data.Dataset", width: int, height: int,
                  concurrency: int = 2, batch_size: int = 16,
                  codec_cls=FakeCodec) -> "ray.data.Dataset":
+    media = drop_null_rows(media, "content")   # null payload: undecodable
     return media.map_batches(MediaResize, batch_format="pyarrow",
                              fn_constructor_args=(width, height),
                              fn_constructor_kwargs={"codec_cls": codec_cls},
@@ -226,6 +231,7 @@ def resize_stage(media: "ray.data.Dataset", width: int, height: int,
 def frame_sample_stage(media: "ray.data.Dataset", n_frames: int,
                        concurrency: int = 2, batch_size: int = 8,
                        codec_cls=FakeCodec) -> "ray.data.Dataset":
+    media = drop_null_rows(media, "content")   # null payload: undecodable
     return media.map_batches(FrameSample, batch_format="pyarrow",
                              fn_constructor_args=(n_frames,),
                              fn_constructor_kwargs={"codec_cls": codec_cls},

@@ -206,6 +206,21 @@ def test_hash_sample_and_pack_sequences_null_text(ray_session):
     assert len(packed) == 3                 # the row itself survives
 
 
+def test_multimodal_null_payload_rows_dropped(ray_session):
+    """A NULL binary payload cannot be decoded: every codec stage drops
+    such rows at entry instead of crashing md5/PIL on None."""
+    from kg_gen_ray.stages.multimodal import (
+        features_stage, frame_sample_stage, probe_stage)
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "media_type": pa.array(["image/png", "image/png"], pa.string()),
+        "content": pa.array([b"payload-bytes", None], pa.binary())}))
+    assert [r["media_id"] for r in probe_stage(media).take_all()] == [0]
+    assert [r["media_id"] for r in features_stage(media).take_all()] == [0]
+    frames = frame_sample_stage(media, n_frames=3).take_all()
+    assert {r["media_id"] for r in frames} == {0} and len(frames) == 3
+
+
 def test_quality_and_tokens_null_text(ray_session):
     from kg_gen_ray.functions.text_analysis import (
         quality_score, token_stats)
