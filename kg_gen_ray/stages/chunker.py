@@ -65,7 +65,12 @@ def _prev_token(text: str, end: int) -> str:
     """The whitespace-delimited token ending at ``end`` (exclusive),
     without the final terminator run. The backward character loop is
     O(token), measured 15x faster than a ``\\S+\\Z`` regex search, which
-    scans forward from position 0 on every call."""
+    scans forward from position 0 on every call. Two more rejected
+    variants (measured on the 400k-page corpus, outputs identical):
+    capturing the token in the boundary regex itself via a lazy
+    ``\\S*?`` group is 2x SLOWER end-to-end (the lazy group backtracks
+    per boundary), and a windowed ``str.rsplit(None, 1)`` is 1.0x —
+    tokens are short, so the Python loop is already at the floor."""
     i = end
     while i > 0 and not text[i - 1].isspace():
         i -= 1
