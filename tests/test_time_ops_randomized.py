@@ -63,6 +63,48 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
                 assert g == price, (trial, eid, g, price)
 
 
+def test_range_join_matches_serial_replay(ray_session):
+    rng = np.random.default_rng(23)
+    n_l, n_keys = 400, 10
+    left = _random_events(rng, n_l, n_users=n_keys)
+    # non-overlapping intervals per key (the documented partitioning
+    # assumption), some with null bounds (must match nothing)
+    ks, ss, es, sids = [], [], [], []
+    for k in range(n_keys):
+        edges = np.sort(rng.choice(5_000_000, size=8, replace=False))
+        for i in range(0, 8, 2):
+            ks.append(k)
+            ss.append(int(edges[i]))
+            es.append(int(edges[i + 1]))
+            sids.append(k * 100 + i)
+    ss[3] = None                      # a null start bound
+    es[7] = None                      # a null end bound
+    ivs = pa.table({
+        "user_id": pa.array(ks, pa.int64()),
+        "s": pa.array(ss, pa.timestamp("us")),
+        "e": pa.array(es, pa.timestamp("us")),
+        "session_id": pa.array(sids, pa.int64())})
+
+    from kg_gen_ray.functions.windows import range_join
+    out = range_join(rd.from_arrow(left).repartition(7),
+                     rd.from_arrow(ivs).repartition(3),
+                     "user_id", "ts", "s", "e",
+                     ["session_id"]).take_all()
+    got = {r["l_event_id"]: r["p_session_id"] for r in out}
+    assert len(out) == n_l            # left-outer: every row once
+
+    ldf = left.to_pandas()
+    idf = ivs.to_pandas().dropna(subset=["s", "e"])
+    for _, row in ldf.iterrows():
+        hits = idf[(idf["user_id"] == row["user_id"]) &
+                   (idf["s"] <= row["ts"]) & (row["ts"] <= idf["e"])]
+        g = got[row["event_id"]]
+        if pd.isna(row["ts"]) or hits.empty:
+            assert pd.isna(g), row["event_id"]
+        else:
+            assert g == hits.iloc[0]["session_id"], row["event_id"]
+
+
 def test_sessionize_matches_serial_replay(ray_session):
     rng = np.random.default_rng(11)
     gap_sec = 600
