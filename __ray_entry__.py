@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,       # probed-list ANN search (X5+T1)
         "near_dup_cosine": q_near_dup_cosine,
         # --- multimodal (binary payload plumbing; FakeCodec determinism)
         "media_frames": q_media_frames,                # frames ⋈ probe dims
@@ -832,6 +833,21 @@ def q_ivf_assign(sf_dir: str):
         np.asarray(r["embedding"], dtype=np.float64)
         for r in emb.filter(expr="vec_id < 8").sort("vec_id").take_all()])
     return ivf_assign(emb, cents)
+
+
+def q_ivf_topk(sf_dir: str):
+    """X5/T1 composed: probe the 3 centroids nearest the query, search
+    only vectors ASSIGNED to those lists (assignment + filter fused in
+    one broadcast map pass — ``functions/ann.py:ivf_topk``), exact
+    cosine top-k over the survivors. The oracle replays probe ->
+    assignment -> restricted top-k in SQL."""
+    from kg_gen_ray.functions.ann import get_query_vector, ivf_topk
+    emb = _embeddings(sf_dir)
+    q = get_query_vector(emb, 0)
+    cents = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(expr="vec_id < 8").sort("vec_id").take_all()])
+    return ivf_topk(emb, cents, q, k=10, n_probe=3)[["vec_id"]]
 
 
 def q_near_dup_cosine(sf_dir: str):
@@ -2007,6 +2023,30 @@ def oracle_sql() -> dict[str, str]:
                    DESC, c.centroid_id) AS rn
           FROM embeddings e CROSS JOIN c)
         WHERE rn = 1"""
+
+    sql["ivf_topk"] = """
+        WITH c AS (SELECT vec_id AS centroid_id,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8),
+             q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+             probe AS (SELECT centroid_id FROM c, q
+                       ORDER BY list_cosine_similarity(cv, qv) DESC,
+                                centroid_id LIMIT 3),
+             assign AS (SELECT vec_id, centroid_id FROM (
+               SELECT e.vec_id, c.centroid_id,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), c.cv)
+                        DESC, c.centroid_id) AS rn
+               FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+        SELECT e.vec_id FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        JOIN probe p ON a.centroid_id = p.centroid_id
+        CROSS JOIN q
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.qv) DESC, e.vec_id
+        LIMIT 10"""
 
     sql["near_dup_cosine"] = """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -150,7 +150,10 @@ def ivf_topk(embeddings: "ray.data.Dataset", centroids: np.ndarray,
     embeddings = _drop_null_vectors(embeddings)
     c = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
-    probe = np.sort(np.argsort(-_cosine(c, q))[:n_probe]).astype(np.int64)
+    # stable argsort: a cosine tie keeps the LOWER centroid id in the
+    # probe set — the same tie-break the SQL mirror's ORDER BY applies
+    probe = np.sort(np.argsort(-_cosine(c, q),
+                               kind="stable")[:n_probe]).astype(np.int64)
 
     c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
     ref = ray.put((c_norm, probe))
