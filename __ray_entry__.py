@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,                # quality scores + lang-id
         "paragraph_dedup": q_paragraph_dedup,          # CCNet boilerplate pass
         "lm_score": q_lm_score,                        # CCNet perplexity filter
+        "ppl_buckets": q_ppl_buckets,          # CCNet head/middle/tail split
         # (top_bigrams rotated out for hygiene_counts: its groupby-count +
         # deterministic top-k ordering shape stays oracled via
         # kg_top and tfidf_top_terms; top_ngrams remains
@@ -525,6 +526,15 @@ def q_lm_score(sf_dir: str):
     oracle-checked pred_lang column."""
     from kg_gen_ray.functions.lm import lm_score
     return lm_score(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_ppl_buckets(sf_dir: str):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    per-language perplexity terciles over the bigram-LM score —
+    ``functions/lm.py:perplexity_buckets`` (integer mean micro-nats,
+    exact per-language quantile_disc thresholds broadcast once)."""
+    from kg_gen_ray.functions.lm import perplexity_buckets
+    return perplexity_buckets(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
 def q_top_bigrams(sf_dir: str):
@@ -1511,6 +1521,56 @@ def oracle_sql() -> dict[str, str]:
                count(s.s)::BIGINT AS n_bigrams
         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         GROUP BY d.doc_id"""
+
+    # CCNet head/middle/tail: the lm_score CTEs + integer per-bigram mean
+    # (floor of the double quotient is exact at document scale — see
+    # functions/lm.py:perplexity_buckets) + per-language quantile_disc
+    # terciles + ascending CASE. Self-trained like lm_score, so every
+    # bigram is in-model and no backoff branch is needed here.
+    sql["ppl_buckets"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ), t AS (
+            SELECT doc_id, unnest(ts) AS w, generate_subscripts(ts, 1) AS i
+            FROM toks
+        ), bi AS (
+            SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ), c2 AS (
+            SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w AS w1, count(*) AS c1 FROM t GROUP BY 1
+        ), v AS (
+            SELECT count(DISTINCT w) AS v FROM t
+        ), s AS (
+            SELECT bi.doc_id,
+                   CAST(floor(ln((c2.c2 + 1.0) / (c1.c1 + v.v)) * 1000000)
+                        AS BIGINT) AS s
+            FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        ), score AS (
+            SELECT d.doc_id, d.lang,
+                   COALESCE(sum(s.s), 0)::BIGINT AS total,
+                   count(s.s)::BIGINT AS nb
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            GROUP BY d.doc_id, d.lang
+        ), m AS (
+            SELECT doc_id, lang,
+                   CASE WHEN nb > 0 THEN
+                        CAST(floor(total / (nb * 1.0)) AS BIGINT)
+                   END AS mean_micro
+            FROM score
+        ), th AS (
+            SELECT lang,
+                   quantile_disc(mean_micro, 1.0/3.0) AS t33,
+                   quantile_disc(mean_micro, 2.0/3.0) AS t66
+            FROM m WHERE mean_micro IS NOT NULL GROUP BY lang
+        )
+        SELECT m.doc_id, m.lang, m.mean_micro,
+               CASE WHEN m.mean_micro IS NULL THEN NULL
+                    WHEN m.mean_micro <= th.t33 THEN 'tail'
+                    WHEN m.mean_micro <= th.t66 THEN 'middle'
+                    ELSE 'head' END AS ppl_bucket
+        FROM m LEFT JOIN th USING (lang)"""
 
     # text_quality carries the merged lang-id column: marker-word voting
     # with the LangId actor's exact tiebreak (strictly more hits wins, ties

@@ -320,3 +320,91 @@ def lm_score(docs: "ray.data.Dataset", text_col: str = "text",
     shorts = docs.map_batches(zeros_for_short, batch_format="pyarrow")
     return scored_ids.select_columns(
         [id_col, "lm_score_micro", "n_bigrams"]).union(shorts)
+
+
+def perplexity_buckets(docs: "ray.data.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id", group_col: str = "lang",
+                       model=None,
+                       broadcast_limit: int = 64 * 1024 * 1024,
+                       shuffle_partitions=None) -> "ray.data.Dataset":
+    """(doc_id, lang, mean_micro, ppl_bucket) — CCNet's head/middle/tail
+    corpus split (Wenzek et al. 2020 §4.3: per-language perplexity
+    terciles over the LM score; the reference deployment trains the LM on
+    a clean corpus via ``model=`` and buckets the crawl).
+
+    ``mean_micro`` is the per-bigram mean of :func:`lm_score`'s integer
+    micro-nats, as an exact integer ``floor(total / n_bigrams)`` —
+    identical in numpy (``floor_divide``) and the DuckDB mirror
+    (``floor(total / (nb * 1.0))``; the double quotient is floor-exact
+    while ``n_bigrams < 2**52 / |total|``, i.e. any real document).
+    NULL for a doc with no bigrams, and such docs take a NULL bucket.
+    Higher mean log-prob = lower perplexity, so ascending terciles read
+    ``tail`` (m <= t33), ``middle`` (m <= t66), ``head``.
+
+    Scale shape: the score->lang attach is a hash join of two NARROW
+    tables (ids + two ints / id + lang); thresholds are ONE ROW PER
+    LANGUAGE — driver-collected and broadcast, never a per-doc
+    structure. The tercile pass is :func:`~kg_gen_ray.functions.
+    sessions.grouped_quantiles` (exact, one language's means fit a
+    worker — at 100 TB swap in ``grouped_quantiles_sketch``, the same
+    trade documented on the quantile operators themselves)."""
+    from kg_gen_ray.functions.sessions import grouped_quantiles
+
+    scores = lm_score(docs, text_col, id_col, model, broadcast_limit,
+                      shuffle_partitions)
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def lang_of(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         group_col: pc.cast(t[group_col], pa.string())})
+
+    joined = scores.repartition(n_parts).join(
+        docs.map_batches(lang_of, batch_format="pyarrow")
+            .repartition(n_parts),
+        join_type="inner", on=(id_col,), num_partitions=n_parts)
+
+    def add_mean(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["lm_score_micro"], pa.int64()) \
+              .to_numpy(zero_copy_only=False)
+        b = pc.cast(t["n_bigrams"], pa.int64()) \
+              .to_numpy(zero_copy_only=False)
+        m = np.floor_divide(a, np.maximum(b, 1))
+        mean = pc.if_else(pa.array(b > 0), pa.array(m, pa.int64()),
+                          pa.scalar(None, pa.int64()))
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         group_col: t[group_col],
+                         "mean_micro": mean})
+
+    with_mean = joined.map_batches(add_mean,
+                                   batch_format="pyarrow").materialize()
+
+    from kg_gen_ray.stages.common import drop_null_rows
+    th_rows = grouped_quantiles(
+        drop_null_rows(with_mean, "mean_micro")
+        .select_columns([group_col, "mean_micro"]),
+        group_col, "mean_micro", qs=(1 / 3, 2 / 3)).take_all()
+    th = {r[group_col]: (r["p33"], r["p66"]) for r in th_rows}
+    ref = ray.put(th)
+
+    def assign(t: pa.Table, ref=ref) -> pa.Table:
+        th = ray.get(ref)
+        col = t["mean_micro"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        m = col.fill_null(0).to_numpy(zero_copy_only=False)
+        langs = t[group_col].to_pylist()
+        out = np.full(t.num_rows, None, dtype=object)
+        # vectorize per distinct language (few) instead of per row
+        for lg in set(langs):
+            if lg is None or lg not in th:
+                continue
+            t33, t66 = th[lg]
+            sel = np.fromiter((x == lg for x in langs), bool,
+                              t.num_rows) & valid
+            out[sel & (m <= t33)] = "tail"
+            out[sel & (m > t33) & (m <= t66)] = "middle"
+            out[sel & (m > t66)] = "head"
+        return t.append_column("ppl_bucket", pa.array(out, pa.string()))
+
+    return with_mean.map_batches(assign, batch_format="pyarrow")

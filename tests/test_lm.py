@@ -111,3 +111,46 @@ def test_control_char_tokens_dual_agreement(ray_session):
     assert got["{}"] == got["{'broadcast_limit': 0}"]
     # the \x1f docs are distinct bigrams, never merged
     assert got["{}"][0] != got["{}"][2]
+
+
+def test_perplexity_buckets_terciles_and_nulls(ray_session):
+    """Per-language ascending terciles over mean micro-nats: within each
+    language the bucket order follows the mean score; null/short text
+    takes a NULL bucket; both lm_score duals agree."""
+    from kg_gen_ray.functions.lm import perplexity_buckets
+    texts, langs = [], []
+    # 6 'en' docs with increasing repetition (higher mean log-prob),
+    # 3 'de' docs, one null and one single-token doc
+    for i in range(6):
+        texts.append(" ".join(["common"] * (i + 1) + [f"rare{i}", "tail"]))
+        langs.append("en")
+    for i in range(3):
+        texts.append(" ".join(["der"] * (i + 1) + [f"wort{i}"]))
+        langs.append("de")
+    texts += [None, "solo"]
+    langs += ["en", "en"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string())}))
+
+    got = {}
+    for kw in ({}, {"broadcast_limit": 0}):
+        rows = perplexity_buckets(docs.repartition(3), **kw).take_all()
+        got[str(kw)] = {r["doc_id"]: (r["mean_micro"], r["ppl_bucket"])
+                        for r in rows}
+    assert got["{}"] == got["{'broadcast_limit': 0}"]
+    out = got["{}"]
+    assert len(out) == len(texts)
+    assert out[9][1] is None and out[10][1] is None   # no bigrams
+    # every language shows all three buckets, tercile-sized
+    en = [out[i][1] for i in range(6)]
+    de = [out[i][1] for i in range(6, 9)]
+    assert sorted(en) == ["head", "head", "middle", "middle",
+                          "tail", "tail"]
+    assert sorted(de) == ["head", "middle", "tail"]
+    # ascending mean_micro never maps a later tercile before an earlier
+    order = {"tail": 0, "middle": 1, "head": 2}
+    for group in (range(6), range(6, 9)):
+        pairs = sorted((out[i][0], order[out[i][1]]) for i in group)
+        assert [b for _, b in pairs] == sorted(b for _, b in pairs)
