@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,          # CCNet boilerplate pass
         "lm_score": q_lm_score,                        # CCNet perplexity filter
         "ppl_buckets": q_ppl_buckets,          # CCNet head/middle/tail split
+        "dsir_weights": q_dsir_weights,        # DSIR importance resampling
         # (top_bigrams rotated out for hygiene_counts: its groupby-count +
         # deterministic top-k ordering shape stays oracled via
         # kg_top and tfidf_top_terms; top_ngrams remains
@@ -535,6 +536,23 @@ def q_ppl_buckets(sf_dir: str):
     exact per-language quantile_disc thresholds broadcast once)."""
     from kg_gen_ray.functions.lm import perplexity_buckets
     return perplexity_buckets(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): log-likelihood ratio of
+    each document under a TARGET-corpus vs SOURCE-corpus add-one unigram
+    model, in exact integer micro-nats — ``functions/lm.py:dsir_weights``.
+    Target = the deterministic ``doc_id % 10 == 0`` slice of documents."""
+    from kg_gen_ray.functions.lm import dsir_weights
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tgt(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    return dsir_weights(docs, docs.map_batches(tgt,
+                                               batch_format="pyarrow"))
 
 
 def q_top_bigrams(sf_dir: str):
@@ -1521,6 +1539,37 @@ def oracle_sql() -> dict[str, str]:
                count(s.s)::BIGINT AS n_bigrams
         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         GROUP BY d.doc_id"""
+
+    # DSIR: per-token delta = floor-quantized target log-prob minus
+    # floor-quantized source log-prob (add-one unigram models, shared
+    # V = source vocab here since target ⊂ source), summed per doc as
+    # integers. string_split(NULL) unnests to nothing -> (0, 0) rows.
+    sql["dsir_weights"] = """
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ), tt AS (
+            SELECT w FROM t WHERE doc_id % 10 = 0
+        ), cs AS (
+            SELECT w, count(*) AS c FROM t GROUP BY 1
+        ), ct AS (
+            SELECT w, count(*) AS c FROM tt GROUP BY 1
+        ), ns AS (SELECT count(*) AS n FROM t),
+        nt AS (SELECT count(*) AS n FROM tt),
+        v AS (SELECT count(DISTINCT w) AS v FROM t),
+        d AS (
+            SELECT t.doc_id,
+                   CAST(floor(ln((COALESCE(ct.c, 0) + 1.0) / (nt.n + v.v))
+                              * 1000000) AS BIGINT)
+                 - CAST(floor(ln((cs.c + 1.0) / (ns.n + v.v))
+                              * 1000000) AS BIGINT) AS s
+            FROM t JOIN cs USING (w) LEFT JOIN ct USING (w)
+            CROSS JOIN ns CROSS JOIN nt CROSS JOIN v
+        )
+        SELECT d0.doc_id, COALESCE(sum(d.s), 0)::BIGINT AS dsir_micro,
+               count(d.s)::BIGINT AS n_tokens
+        FROM documents d0 LEFT JOIN d ON d0.doc_id = d.doc_id
+        GROUP BY d0.doc_id"""
 
     # CCNet head/middle/tail: the lm_score CTEs + integer per-bigram mean
     # (floor of the double quotient is exact at document scale — see

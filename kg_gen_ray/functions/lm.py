@@ -408,3 +408,165 @@ def perplexity_buckets(docs: "ray.data.Dataset", text_col: str = "text",
         return t.append_column("ppl_bucket", pa.array(out, pa.string()))
 
     return with_mean.map_batches(assign, batch_format="pyarrow")
+
+
+def unigram_counts(docs: "ray.data.Dataset", text_col: str = "text",
+                   shuffle_partitions=None):
+    """-> (unigram table (w, c) materialized, N total token occurrences).
+    Combiner-first like :func:`lm_counts`; one vocabulary-sized exchange."""
+    from ray.data.aggregate import Sum
+
+    from kg_gen_ray.stages.common import coalesce
+
+    def local(t: pa.Table) -> pa.Table:
+        flat, _lens = _tokens(t, text_col)
+        out = pa.table({"w": flat}).group_by(["w"]) \
+                .aggregate([([], "count_all")])
+        return out.rename_columns(["w", "c"])
+
+    uni = coalesce(docs.map_batches(local, batch_format="pyarrow"),
+                   shuffle_partitions) \
+        .groupby("w").aggregate(Sum("c", alias_name="c")).materialize()
+    return uni, int(uni.sum("c") or 0)
+
+
+def dsir_weights(docs: "ray.data.Dataset", target: "ray.data.Dataset",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 broadcast_limit: int = 64 * 1024 * 1024,
+                 shuffle_partitions=None) -> "ray.data.Dataset":
+    """(doc_id, dsir_micro, n_tokens) — DSIR importance weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): per-document log-likelihood ratio between a TARGET
+    corpus model and the SOURCE (docs) model, here over add-one unigram
+    bag models. Select with the existing machinery (``grouped_topk`` by
+    weight, or ``hash_sample`` within weight buckets).
+
+    Oracle-exact integer arithmetic, same discipline as :func:`lm_score`:
+    each per-token term is ``ln_micro(c_t+1, N_t+V) - ln_micro(c_s+1,
+    N_s+V)`` with BOTH logs floor-quantized to micro-nats through
+    DuckDB's own ln kernel before the (order-independent) sum; ``V`` is
+    the shared source∪target vocabulary. Tokens outside the source vocab
+    (possible only when a frozen source model scores a new corpus) take
+    the ``c=0`` add-one backoff on both sides.
+
+    Scale shape: two vocabulary-sized count exchanges + one streaming
+    scoring pass; the per-token delta table rides the size-selected
+    broadcast/join dual (driver dict under ``broadcast_limit``, exploded
+    (doc, w) hash join + integer groupby-sum above it)."""
+    from kg_gen_ray.stages.rewrite import distinct as _distinct
+
+    uni_s, n_s = unigram_counts(docs, text_col, shuffle_partitions)
+    uni_t, n_t = unigram_counts(target, text_col, shuffle_partitions)
+    v = _distinct(
+        uni_s.select_columns(["w"]).union(uni_t.select_columns(["w"])),
+        ["w"], shuffle_partitions).count()
+    den_s, den_t = n_s + v, n_t + v
+    n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    if (uni_s.size_bytes() or 0) + (uni_t.size_bytes() or 0) \
+            <= dual_limit(broadcast_limit):
+        ms, mt = {}, {}
+        for b in uni_s.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+            ms.update(zip(b["w"].to_pylist(), b["c"].to_pylist()))
+        for b in uni_t.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+            mt.update(zip(b["w"].to_pylist(), b["c"].to_pylist()))
+        words = list(ms.keys() | mt.keys())
+        ct = np.asarray([mt.get(w, 0) for w in words], np.int64) + 1
+        cs = np.asarray([ms.get(w, 0) for w in words], np.int64) + 1
+        delta = (_ln_micro(ct, np.full(len(words), den_t, np.int64))
+                 - _ln_micro(cs, np.full(len(words), den_s, np.int64)))
+        table = dict(zip(words, delta.tolist()))
+        backoff = int(_ln_micro([1.0], [float(den_t)])[0]
+                      - _ln_micro([1.0], [float(den_s)])[0])
+        ref = ray.put((table, backoff))
+
+        def score_batch(t: pa.Table, ref=ref) -> pa.Table:
+            table, backoff = ray.get(ref)
+            flat, lens = _tokens(t, text_col)
+            rows = np.repeat(np.arange(t.num_rows), lens)
+            s = np.empty(len(rows), dtype=np.int64)
+            cache: dict = {}
+            for i, w in enumerate(flat.to_pylist()):
+                got = cache.get(w)
+                if got is None:
+                    got = table.get(w, backoff)
+                    cache[w] = got
+                s[i] = got
+            total = np.zeros(t.num_rows, dtype=np.int64)
+            np.add.at(total, rows, s)
+            return pa.table({
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "dsir_micro": pa.array(total, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+            })
+
+        return docs.map_batches(score_batch, batch_format="pyarrow")
+
+    # join dual: per-token delta table built distributed (ln once per
+    # DISTINCT token), docs exploded to (doc_id, w), hash join, integer
+    # groupby-sum — exact at any vocabulary size
+    from ray.data.aggregate import Count, Sum
+
+    with_t = uni_s.repartition(n_parts).join(
+        uni_t.repartition(n_parts), join_type="left_outer", on=("w",),
+        num_partitions=n_parts, right_suffix="_t")
+
+    def add_delta(t: pa.Table) -> pa.Table:
+        cs = pc.cast(t["c"], pa.int64()).to_numpy(zero_copy_only=False) + 1
+        # "c_t" is the join's right_suffix name — a KeyError here means a
+        # Ray upgrade changed suffix semantics; fail loudly, silently
+        # reading the source count would corrupt every weight
+        ct = pc.cast(pc.fill_null(t["c_t"], 0), pa.int64()) \
+               .to_numpy(zero_copy_only=False) + 1
+        d = (_ln_micro(ct, np.full(len(cs), den_t, np.int64))
+             - _ln_micro(cs, np.full(len(cs), den_s, np.int64)))
+        return pa.table({"w": t["w"], "d": pa.array(d, pa.int64())})
+
+    table = with_t.map_batches(add_delta,
+                               batch_format="pyarrow").materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, lens = _tokens(t, text_col)
+        ids = pc.cast(t[id_col], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, lens), pa.int64()),
+            "w": flat,
+        })
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow") \
+        .repartition(n_parts).join(
+            table.repartition(n_parts), join_type="left_outer", on=("w",),
+            num_partitions=n_parts)
+    backoff = int(_ln_micro([1.0], [float(den_t)])[0]
+                  - _ln_micro([1.0], [float(den_s)])[0])
+
+    def fill_backoff(t: pa.Table, backoff=backoff) -> pa.Table:
+        # a token outside the source vocab joins nothing: add-one c=0
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "s": pc.fill_null(pc.cast(t["d"], pa.int64()), backoff),
+        })
+
+    agg = pairs.map_batches(fill_backoff, batch_format="pyarrow") \
+        .repartition(n_parts) \
+        .groupby(id_col).aggregate(
+            Sum("s", alias_name="dsir_micro"),
+            Count(alias_name="n_tokens"))
+
+    def zeros_for_empty(t: pa.Table) -> pa.Table:
+        _flat, lens = _tokens(t, text_col)
+        empty = lens < 1
+        ids = pc.cast(t[id_col], pa.int64()) \
+                .to_numpy(zero_copy_only=False)[empty]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "dsir_micro": pa.array(np.zeros(len(ids), np.int64())),
+            "n_tokens": pa.array(np.zeros(len(ids), np.int64())),
+        })
+
+    empties = docs.map_batches(zeros_for_empty, batch_format="pyarrow")
+    return agg.select_columns(
+        [id_col, "dsir_micro", "n_tokens"]).union(empties)

@@ -154,3 +154,31 @@ def test_perplexity_buckets_terciles_and_nulls(ray_session):
     for group in (range(6), range(6, 9)):
         pairs = sorted((out[i][0], order[out[i][1]]) for i in group)
         assert [b for _, b in pairs] == sorted(b for _, b in pairs)
+
+
+def test_dsir_weights_orders_target_likeness(ray_session):
+    """DSIR log-likelihood ratio: target-like documents weigh higher than
+    off-domain ones; null/empty text yields (0, 0)/(x, 1); both duals
+    agree exactly."""
+    from kg_gen_ray.functions.lm import dsir_weights
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["cat sat mat", "the dog ran far",
+                          "quantum flux capacitor array", None, "",
+                          "cat cat sat"], pa.string())})).repartition(3)
+    target = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(2), pa.int64()),
+        "text": pa.array(["cat cat sat sat mat", "the cat sat"],
+                         pa.string())}))
+    got = {}
+    for kw in ({}, {"broadcast_limit": 0}):
+        got[str(kw)] = {r["doc_id"]: (r["dsir_micro"], r["n_tokens"])
+                        for r in dsir_weights(docs, target,
+                                              **kw).take_all()}
+    assert got["{}"] == got["{'broadcast_limit': 0}"]
+    out = got["{}"]
+    assert len(out) == 6
+    per_tok = {i: out[i][0] / out[i][1] for i in (0, 1, 2)}
+    assert per_tok[0] > per_tok[1] > per_tok[2]   # cat-sat > dog > quantum
+    assert out[3] == (0, 0)                       # null text
+    assert out[4][1] == 1                         # "" is one empty token
