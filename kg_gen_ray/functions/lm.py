@@ -393,15 +393,20 @@ def perplexity_buckets(docs: "ray.data.Dataset", text_col: str = "text",
             col = col.combine_chunks()
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
         m = col.fill_null(0).to_numpy(zero_copy_only=False)
-        langs = t[group_col].to_pylist()
+        # dictionary-encode the language column: the per-language masks
+        # below are then int-code comparisons, with Python touched once
+        # per DISTINCT language in the batch (DESIGN.md §5)
+        lg_col = t[group_col]
+        if isinstance(lg_col, pa.ChunkedArray):
+            lg_col = lg_col.combine_chunks()
+        enc = pc.dictionary_encode(lg_col)
+        codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
         out = np.full(t.num_rows, None, dtype=object)
-        # vectorize per distinct language (few) instead of per row
-        for lg in set(langs):
-            if lg is None or lg not in th:
+        for idx, lg in enumerate(enc.dictionary.to_pylist()):
+            if lg not in th:
                 continue
             t33, t66 = th[lg]
-            sel = np.fromiter((x == lg for x in langs), bool,
-                              t.num_rows) & valid
+            sel = (codes == idx) & valid
             out[sel & (m <= t33)] = "tail"
             out[sel & (m > t33) & (m <= t66)] = "middle"
             out[sel & (m > t66)] = "head"
