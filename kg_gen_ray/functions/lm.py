@@ -344,7 +344,10 @@ def perplexity_buckets(docs: "ray.data.Dataset", text_col: str = "text",
     Scale shape: the score->lang attach is a hash join of two NARROW
     tables (ids + two ints / id + lang); thresholds are ONE ROW PER
     LANGUAGE — driver-collected and broadcast, never a per-doc
-    structure. The tercile pass is :func:`~kg_gen_ray.functions.
+    structure. ``id_col`` must be unique (the engine-wide keying
+    assumption — mint with :func:`kg_gen_ray.functions.ids.mint_doc_ids`
+    on url-keyed crawls): duplicate ids would multiply through the
+    attach join like any SQL join on a non-key. The tercile pass is :func:`~kg_gen_ray.functions.
     sessions.grouped_quantiles` (exact, one language's means fit a
     worker — at 100 TB swap in ``grouped_quantiles_sketch``, the same
     trade documented on the quantile operators themselves)."""
