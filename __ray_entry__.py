@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,       # probed-list ANN search (X5+T1)
         "near_dup_cosine": q_near_dup_cosine,
+        "semdedup": q_semdedup,       # cluster-pruned embedding dedup
         # --- multimodal (binary payload plumbing; FakeCodec determinism)
         "media_frames": q_media_frames,                # frames ⋈ probe dims
         # --- relational pipelines (TPC-H-style operator demos)
@@ -881,6 +882,20 @@ def q_ivf_topk(sf_dir: str):
 def q_near_dup_cosine(sf_dir: str):
     from kg_gen_ray.functions.ann import cosine_near_dup_pairs
     return cosine_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540) — cluster-pruned embedding dedup:
+    broadcast-centroid assignment, then within-cluster-only cosine
+    dominance (``functions/ann.py:semdedup``). Fixed centroids (the
+    first 8 vectors, same convention as ``ivf_assign``) keep the whole
+    composition SQL-replayable; ``keep`` is int64 0/1."""
+    from kg_gen_ray.functions.ann import semdedup
+    emb = _embeddings(sf_dir)
+    cents = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(expr="vec_id < 8").sort("vec_id").take_all()])
+    return semdedup(emb, cents, threshold=0.3)
 
 
 
@@ -2162,6 +2177,32 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+
+    # SemDeDup: assignment replayed exactly like ivf_assign; keep = no
+    # LOWER-id same-cluster vector at cosine >= 0.3 (NOT EXISTS dominance,
+    # matching the engine's order-free per-cluster mask)
+    sql["semdedup"] = """
+        WITH c AS (SELECT vec_id AS centroid_id,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8),
+             assign AS (SELECT vec_id, centroid_id FROM (
+               SELECT e.vec_id, c.centroid_id,
+                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                        list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]), c.cv)
+                        DESC, c.centroid_id) AS rn
+               FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+        SELECT a.vec_id, a.centroid_id,
+               CAST(NOT EXISTS (
+                 SELECT 1 FROM assign a2
+                 JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+                 WHERE a2.centroid_id = a.centroid_id
+                   AND a2.vec_id < a.vec_id
+                   AND list_cosine_similarity(
+                         CAST(e2.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) >= 0.3
+               ) AS BIGINT) AS keep
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id"""
 
     # frames ⋈ probe dims. FakeCodec.probe: md5(payload) digest bytes 0 and
     # 1 -> dims; frame payload = md5(b"frame{i}:" + utf8(text)) — string

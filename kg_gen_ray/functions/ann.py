@@ -357,6 +357,77 @@ def cosine_near_dup_canonical(embeddings: "ray.data.Dataset",
                     losers, id_col, broadcast_limit)
 
 
+def semdedup(embeddings: "ray.data.Dataset", centroids: np.ndarray,
+             threshold: float, id_col: str = "vec_id",
+             slice_rows: int = 1024) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then look for semantic duplicates ONLY within a
+    cluster — the pruning that takes embedding dedup from O(n^2) to
+    O(n^2/k), since k grows with the corpus and cluster sizes stay
+    bounded.
+
+    One output row per non-null input vector: ``(id, centroid_id, keep)``
+    with ``keep = 0`` iff some LOWER-id vector of the SAME cluster has
+    cosine >= ``threshold`` (dominance against every lower id, kept or
+    not — NOT-EXISTS semantics, so the result is order-free). The paper
+    ranks within a duplicate group by distance-to-centroid; ranking by id
+    keeps the output a pure deterministic function of the input and
+    matches the engine-wide keep-lowest-id convention (swap the sort key
+    below for paper-exact behavior).
+
+    Scale shape: assignment is one broadcast-centroid matmul pass (no
+    shuffle, same kernel as :func:`ivf_assign`); the only exchange is the
+    ``groupby(centroid_id)``, whose payload is the embedding column
+    itself — unavoidable, since the within-cluster sims need the vectors
+    co-located. Each group runs sliced matmuls (``slice_rows`` x prefix)
+    so worker memory stays O(cluster x dim + slice x cluster) no matter
+    the cluster size; compute is the SemDeDup O(c^2) per cluster.
+    """
+    embeddings = _drop_null_vectors(embeddings)
+    c = np.asarray(centroids, dtype=np.float64)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    c_ref = ray.put(c_norm)
+
+    def assign(batch: pa.Table, c_ref=c_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "centroid_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float64()))})
+        cn = ray.get(c_ref)
+        block = _mat(batch)
+        bn = block / np.maximum(
+            np.linalg.norm(block, axis=1, keepdims=True), 1e-300)
+        best = np.argmax(bn @ cn.T, axis=1)  # first max = lowest centroid id
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "centroid_id": pa.array(best.astype(np.int64)),
+            "embedding": batch["embedding"],
+        })
+
+    assigned = embeddings.map_batches(assign, batch_format="pyarrow")
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in g["embedding"].iloc[order]])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        n = len(ids)
+        keep = np.ones(n, dtype=np.int64)
+        for lo in range(0, n, slice_rows):
+            hi = min(lo + slice_rows, n)
+            sims = mn[lo:hi] @ mn[:hi].T          # slice x (all ids <= slice)
+            # strict j < i: row r (global lo+r) may only see columns < lo+r
+            lower = np.arange(hi)[None, :] < (lo + np.arange(hi - lo))[:, None]
+            keep[lo:hi] = ~((sims >= threshold) & lower).any(axis=1)
+        cid = np.asarray(g["centroid_id"], dtype=np.int64)[order]
+        return pd.DataFrame({id_col: ids, "centroid_id": cid, "keep": keep})
+
+    return assigned.groupby("centroid_id").map_groups(
+        per_cluster, batch_format="pandas")
+
+
 def lsh_near_dup_pairs(embeddings: "ray.data.Dataset", threshold: float,
                        n_planes: int = 12, seed: int = 7,
                        id_col: str = "vec_id") -> "ray.data.Dataset":

@@ -142,3 +142,62 @@ def test_empty_blocks_from_probed_filter(ray_session):
     assert ivf_assign(few, cents).count() == 2
     c = kmeans_centroids(few, n_centroids=2, n_iter=2)
     assert c.shape == (2, 4)
+
+
+def _semdedup_serial(ids, m, cents, threshold):
+    """Plain-numpy SemDeDup replay: argmax-cosine assignment, then
+    per-cluster dominance against every lower id."""
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True),
+                            1e-300)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    assign = np.argmax(mn @ cn.T, axis=1)
+    keep = {}
+    for cid in np.unique(assign):
+        sel = np.where(assign == cid)[0]
+        sel = sel[np.argsort(ids[sel])]
+        sub = mn[sel]
+        sims = sub @ sub.T
+        dominated = np.triu(sims.T >= threshold, k=1).any(axis=0)
+        for pos, i in enumerate(sel):
+            keep[int(ids[i])] = (int(cid), 0 if dominated[pos] else 1)
+    return keep
+
+
+def test_semdedup_matches_serial_replay(ray_session):
+    from kg_gen_ray.functions.ann import semdedup
+    ids, m = emb_numpy()
+    cents = m[ids < 8][np.argsort(ids[ids < 8])]
+    expected = _semdedup_serial(ids, m, cents, 0.3)
+    rows = semdedup(emb_ds(), cents, threshold=0.3).take_all()
+    assert len(rows) == len(ids)
+    for r in rows:
+        cid, k = expected[r["vec_id"]]
+        assert (r["centroid_id"], r["keep"]) == (cid, k)
+
+
+def test_semdedup_sliced_path_identical(ray_session):
+    """slice_rows smaller than any cluster forces the sliced prefix
+    matmuls; the mask must be identical to the one-shot path."""
+    from kg_gen_ray.functions.ann import semdedup
+    ids, m = emb_numpy()
+    cents = m[ids < 8][np.argsort(ids[ids < 8])]
+    one = sorted((r["vec_id"], r["centroid_id"], r["keep"]) for r in
+                 semdedup(emb_ds(), cents, threshold=0.3).take_all())
+    sliced = sorted((r["vec_id"], r["centroid_id"], r["keep"]) for r in
+                    semdedup(emb_ds(), cents, threshold=0.3,
+                             slice_rows=7).take_all())
+    assert one == sliced
+
+
+def test_semdedup_null_vectors_dropped(ray_session):
+    from kg_gen_ray.functions.ann import semdedup
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], None, [1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+    }))
+    cents = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    rows = {r["vec_id"]: (r["centroid_id"], r["keep"]) for r in
+            semdedup(emb, cents, threshold=0.99).take_all()}
+    # null row 1 dropped; 2 is a dup of 0 within cluster 0; 3 alone in 1
+    assert rows == {0: (0, 1), 2: (0, 0), 3: (1, 1)}
