@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_assign": q_events_session_assign,  # sessionize + range join
         # --- sampling / per-group top-k
         "hash_sample": q_hash_sample,
+        "mix_sample": q_mix_sample,   # per-source mixture reweighting
         "grouped_topk": q_grouped_topk,
         "token_quantiles": q_token_quantiles,
     }
@@ -1088,6 +1089,25 @@ def q_events_session_assign(sf_dir: str):
         })
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def q_mix_sample(sf_dir: str):
+    """Data-mixture reweighting (``functions/sessions.py:mix_sample``):
+    per-language keep rates en 0.9 / de 0.5 / fr 0.25 / zh 0.1, with es
+    deliberately ABSENT from the mix (unseen-source drop path). Seeded
+    md5-u32 thresholds, SQL-mirrored exactly."""
+    from kg_gen_ray.functions.sessions import mix_sample
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    out = mix_sample(docs, "lang",
+                     rates={"en": 0.9, "de": 0.5, "fr": 0.25, "zh": 0.1})
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": pc.cast(t["lang"], pa.string()),
+        })
+
+    return out.map_batches(shape, batch_format="pyarrow")
 
 
 def q_hash_sample(sf_dir: str):
@@ -2273,6 +2293,19 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY md5(text), doc_id) AS rn
           FROM documents)
         WHERE rn <= 8"""
+
+    # mixture sampling: u32 of the first 8 md5 hex chars vs per-language
+    # thresholds floor(rate * 2^32); es absent from the mix -> ELSE 0
+    sql["mix_sample"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE text IS NOT NULL
+          AND ('0x' || substr(md5('mix:' || text), 1, 8))::UBIGINT
+              < CASE lang
+                  WHEN 'en' THEN 3865470566
+                  WHEN 'de' THEN 2147483648
+                  WHEN 'fr' THEN 1073741824
+                  WHEN 'zh' THEN 429496729
+                  ELSE 0 END"""
 
     sql["grouped_topk"] = """
         WITH toks AS (

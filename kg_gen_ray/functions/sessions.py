@@ -104,6 +104,52 @@ def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def mix_sample(ds: "ray.data.Dataset", group_col: str,
+               rates: dict, seed: str = "mix",
+               text_col: str = "text") -> "ray.data.Dataset":
+    """Deterministic data-MIXTURE sampling — the per-source reweighting
+    step of a training-data pipeline (the Pile / LLaMA "mixture weights"
+    pass): keep a row of group ``g`` iff the first 8 md5 hex chars of
+    ``seed || ':' || text``, read as a u32, fall below
+    ``floor(rates[g] * 2**32)``. Group-level keep probability equals the
+    requested rate, the decision is a pure per-row function (replayable
+    across engines, runs, and retries — unlike ``random_shuffle``
+    sampling), and changing ``seed`` redraws the sample.
+
+    Groups absent from ``rates`` (and NULL groups) are DROPPED — a source
+    not in the mix contributes nothing. NULL text is dropped like
+    :func:`hash_sample` (md5(NULL) is NULL; the SQL mirror's WHERE fails).
+
+    Scale shape: a pure streaming ``map_batches`` filter — zero shuffle,
+    zero driver materialization. ``rates`` is per-SOURCE (languages,
+    domains, crawl snapshots), i.e. bounded small, so it rides the
+    closure; if a mix ever keyed on an unbounded column, switch to the
+    broadcast/join dual pattern of ``lm_score``. The md5 loop is the
+    oracle family; a polars-u64 fast family (see
+    ``fast_text.minhash_signatures_fast``) is the drop-in when sampling
+    dominates a profile."""
+    import hashlib
+
+    # quantize driver-side so engine and mirror compare the SAME integer
+    thresholds = {str(g): int(r * 4294967296) for g, r in rates.items()}
+
+    def keep(t: pa.Table) -> pa.Table:
+        texts = pc.cast(t[text_col], pa.string()).to_pylist()
+        groups = pc.cast(t[group_col], pa.string()).to_pylist()
+        mask = []
+        for s, g in zip(texts, groups):
+            thr = thresholds.get(g, 0) if g is not None else 0
+            if s is None or thr <= 0:
+                mask.append(False)
+                continue
+            u = int(hashlib.md5(
+                (seed + ":" + s).encode("utf-8")).hexdigest()[:8], 16)
+            mask.append(u < thr)
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _arrow_group_key(col) -> pa.Array:
     """Null-free string surrogate of a group-key column, computed on the
     ARROW values: Ray's ``map_groups`` sort-partitioning cannot order null

@@ -359,3 +359,52 @@ def test_grouped_topk_nul_string_key_not_null(ray_session):
                        k=1, tiebreak_col="doc_id").take_all()
     by_group = {r["g"]: r["doc_id"] for r in out}
     assert by_group == {"\x00": 0, None: 1}
+
+
+def _mix_docs():
+    rows = [(i, f"text number {i}", ["en", "de", "es"][i % 3])
+            for i in range(300)]
+    rows.append((300, None, "en"))       # null text -> dropped
+    rows.append((301, "orphan", None))   # null group -> dropped
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+def test_mix_sample_serial_replay(ray_session):
+    """Engine output == a plain-Python replay of the md5-u32 rule."""
+    import hashlib
+
+    from kg_gen_ray.functions.sessions import mix_sample
+
+    rates = {"en": 0.9, "de": 0.25}
+    got = sorted(r["doc_id"] for r in
+                 mix_sample(_mix_docs(), "lang", rates).take_all())
+    thr = {g: int(r * 4294967296) for g, r in rates.items()}
+    expected = [
+        i for i in range(300)
+        if int(hashlib.md5(f"mix:text number {i}".encode()).hexdigest()[:8],
+               16) < thr.get(["en", "de", "es"][i % 3], 0)]
+    assert got == expected
+    # es (absent), null text, null group never survive
+    langs = {["en", "de", "es"][i % 3] for i in got}
+    assert "es" not in langs and 300 not in got and 301 not in got
+
+
+def test_mix_sample_rate_and_seed(ray_session):
+    from kg_gen_ray.functions.sessions import mix_sample
+
+    ds = _mix_docs()
+    kept = mix_sample(ds, "lang", {"en": 0.9}).count()
+    # 100 en docs at rate 0.9: binomial-ish, just pin the ballpark
+    assert 75 <= kept <= 100
+    a = {r["doc_id"] for r in
+         mix_sample(ds, "lang", {"en": 0.5}, seed="a").take_all()}
+    b = {r["doc_id"] for r in
+         mix_sample(ds, "lang", {"en": 0.5}, seed="b").take_all()}
+    assert a != b  # a new seed redraws the sample
+    # rate 1.0 keeps every non-null en row, rate 0 keeps none
+    assert mix_sample(ds, "lang", {"en": 1.0}).count() == 100
+    assert mix_sample(ds, "lang", {"en": 0.0}).count() == 0
