@@ -415,12 +415,18 @@ def semdedup(embeddings: "ray.data.Dataset", centroids: np.ndarray,
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
         n = len(ids)
         keep = np.ones(n, dtype=np.int64)
-        for lo in range(0, n, slice_rows):
-            hi = min(lo + slice_rows, n)
-            sims = mn[lo:hi] @ mn[:hi].T          # slice x (all ids <= slice)
-            # strict j < i: row r (global lo+r) may only see columns < lo+r
-            lower = np.arange(hi)[None, :] < (lo + np.arange(hi - lo))[:, None]
-            keep[lo:hi] = ~((sims >= threshold) & lower).any(axis=1)
+        # cap slice x cluster at ~32M f64 cells (~256 MB of sims) so the
+        # promised memory bound holds even for a degenerate giant cluster
+        step = max(1, min(slice_rows, (32 << 20) // max(1, n)))
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            hits = mn[lo:hi] @ mn[:hi].T >= threshold  # slice x (ids <= hi)
+            # strict j < i: every column < lo is a lower id; within the
+            # [lo, hi) square the strictly-lower triangle is
+            dominated = hits[:, :lo].any(axis=1) if lo else \
+                np.zeros(hi - lo, dtype=bool)
+            dominated |= np.tril(hits[:, lo:hi], k=-1).any(axis=1)
+            keep[lo:hi] = ~dominated
         cid = np.asarray(g["centroid_id"], dtype=np.int64)[order]
         return pd.DataFrame({id_col: ids, "centroid_id": cid, "keep": keep})
 
