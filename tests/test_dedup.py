@@ -180,3 +180,60 @@ def test_drop_ids_non_int64_ids(ray_session):
         got = sorted(r["doc_id"] for r in
                      drop_ids(ds, losers, "doc_id", **kw).take_all())
         assert got == [i for i in range(40) if i not in (1, 5, 9)], kw
+
+
+def test_near_dup_canonical_randomized_serial_replay(ray_session):
+    """The end-to-end dedup composition vs a serial union-find replay
+    built from the SAME pure per-doc kernels (signatures + band keys):
+    whatever survives must be exactly each share-a-band-key component's
+    minimum. Pins the distributed banding groupby, chain pairing,
+    min-label components, and the loser drop-filter — i.e. everything
+    the EXCHANGE layer adds on top of the per-doc math — on a random
+    template-mutation corpus rather than hand-planted cases."""
+    import numpy as np
+
+    from kg_gen_ray.functions.dedup import near_dup_canonical
+    from kg_gen_ray.functions.fast_text import (band_keys_from_sig,
+                                                minhash_signatures_fast)
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(60)]
+    templates = [" ".join(rng.choice(words, 40)) for _ in range(8)]
+    texts = []
+    for _ in range(300):
+        base = templates[rng.randint(len(templates))].split()
+        for _ in range(rng.randint(4)):  # 0-3 word edits off a template
+            base[rng.randint(len(base))] = words[rng.randint(len(words))]
+        texts.append(" ".join(base))
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    bands = band_keys_from_sig(minhash_signatures_fast(t))
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_key: dict = {}
+    for k, d in zip(bands["band_key"].to_pylist(),
+                    bands["doc_id"].to_pylist()):
+        by_key.setdefault(k, []).append(d)
+    for members in by_key.values():
+        for other in members[1:]:
+            ra, rb = find(members[0]), find(other)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = sorted(i for i in range(300) if find(i) == i)
+    assert len(expected) < 300  # the corpus genuinely contains dups
+
+    got = sorted(r["doc_id"] for r in near_dup_canonical(
+        rd.from_arrow(t).repartition(7)).take_all())
+    assert got == expected
+
+    # and identically through the forced scale-side duals
+    forced = sorted(r["doc_id"] for r in near_dup_canonical(
+        rd.from_arrow(t).repartition(7), broadcast_limit=0).take_all())
+    assert forced == expected
