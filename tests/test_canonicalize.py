@@ -265,3 +265,51 @@ def test_judge_double_assignment_is_loud(ray_session):
     for kw in ({}, {"broadcast_limit": 0}):
         with pytest.raises(Exception, match="partition contract"):
             alias_of(labels, salt_buckets=1, judge=overlapping_judge, **kw)
+
+
+def test_label_table_randomized_serial_replay(ray_session):
+    """Random case/suffix/whitespace mutations of a word pool vs the
+    pure-function replay (normalize_label group -> choose_representative):
+    pins the salted two-level Min exchange and the rep-assignment dual on
+    random group shapes, across BOTH kinds in one fused table."""
+    import numpy as np
+
+    from kg_gen_ray.stages.canonicalize import canonicalize_label_table
+
+    rng = np.random.RandomState(13)
+    bases = ["cat", "like", "delta force", "resolve", "mass", "tree",
+             "carbon", "sing", "glass", "node"]
+    pairs = set()
+    for _ in range(400):
+        m = bases[rng.randint(len(bases))]
+        if rng.rand() < 0.5:
+            m = m.upper() if rng.rand() < 0.5 else m.capitalize()
+        r = rng.rand()
+        if r < 0.3:
+            m = m + "s"
+        elif r < 0.5:
+            m = m + "ing"
+        if rng.rand() < 0.3:
+            m = " " + m + "  "
+        pairs.add((["entity", "edge"][rng.randint(2)], m))
+
+    from kg_gen_ray.stages.canonicalize import (choose_representative,
+                                                normalize_label)
+    groups: dict = {}
+    for kind, m in pairs:
+        groups.setdefault((kind, normalize_label(m)), []).append(m)
+    expected = {}
+    for (kind, _), members in groups.items():
+        rep = choose_representative(members)
+        for m in members:
+            expected[(kind, m)] = rep
+
+    rows = sorted(pairs)
+    ds = rd.from_arrow(pa.table({
+        "kind": pa.array([k for k, _ in rows], pa.string()),
+        "member": pa.array([m for _, m in rows], pa.string()),
+    })).repartition(5)
+    for kw in ({}, {"broadcast_limit": 0}, {"salt_buckets": 3}):
+        got = {(r["kind"], r["member"]): r["representative"]
+               for r in canonicalize_label_table(ds, **kw).take_all()}
+        assert got == expected, kw

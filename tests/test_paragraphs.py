@@ -137,3 +137,43 @@ def test_passthrough_schema_identical_across_duals(ray_session):
             assert tbl.equals(ref), kw
     langs = {r["doc_id"]: r["lang"] for r in ref.to_pylist()}
     assert langs == {0: "en", 1: "de", 4: "it", 5: "pt"}
+
+
+def test_paragraph_dedup_randomized_serial_replay(ray_session):
+    """Random pool-heavy corpora vs a plain-Python first-occurrence
+    replay: pins the loser-mining exchange, the in-batch local-min path,
+    the rebuild offsets, and the pass-through of non-text columns — on
+    shapes no hand-planted case enumerates. Runs both the broadcast and
+    the forced exploded-join dual."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    pool = [f"shared paragraph {i}" for i in range(12)]
+    texts = []
+    for d in range(120):
+        paras = [pool[rng.randint(len(pool))] if rng.rand() < 0.6
+                 else f"unique {d} {j}" for j in range(rng.randint(1, 6))]
+        texts.append("\n\n".join(paras))
+
+    seen: set = set()
+    expected = {}
+    for d, tx in enumerate(texts):  # doc_id order == (doc_id, idx) order
+        kept = [p for p in tx.split("\n\n")
+                if p not in seen and not seen.add(p)]
+        if kept:
+            expected[d] = "\n\n".join(kept)
+
+    t = pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([["en", "de"][d % 2] for d in range(120)],
+                         pa.string()),
+    })
+    for kw in ({}, {"broadcast_limit": 0}):
+        out = paragraph_dedup(rd.from_arrow(t).repartition(7), **kw) \
+            .take_all()
+        got = {r["doc_id"]: r["text"] for r in out}
+        assert got == expected, kw
+        # non-text columns pass through on every dual
+        assert all(r["lang"] == ["en", "de"][r["doc_id"] % 2]
+                   for r in out), kw
