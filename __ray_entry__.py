@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_fusion_topk": q_rank_fusion_topk,
         # --- similarity search
         "ann_topk": q_ann_topk,
+        "ann_topk_multi": q_ann_topk_multi,  # batched query matrix
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,       # probed-list ANN search (X5+T1)
         "near_dup_cosine": q_near_dup_cosine,
@@ -854,6 +855,21 @@ def q_ann_topk(sf_dir: str):
     q = get_query_vector(emb, 0)
     top = brute_force_topk(emb, q, k=10)
     return top[["vec_id"]]
+
+
+def q_ann_topk_multi(sf_dir: str):
+    """Batched-query ANN (``functions/ann.py:brute_force_topk_multi``):
+    one broadcast (Q, d) query matrix, one corpus scan, per-block
+    per-query partial top-k. Queries = vectors 0/5/9, k=5."""
+    from kg_gen_ray.functions.ann import brute_force_topk_multi
+    emb = _embeddings(sf_dir)
+    qrows = emb.filter(expr="vec_id == 0 or vec_id == 5 or vec_id == 9") \
+               .sort("vec_id").take_all()
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                   for r in qrows])
+    top = brute_force_topk_multi(
+        emb, qm, k=5, query_ids=np.asarray([r["vec_id"] for r in qrows]))
+    return top[["query_id", "vec_id"]]
 
 
 def q_ivf_assign(sf_dir: str):
@@ -2155,6 +2171,18 @@ def oracle_sql() -> dict[str, str]:
                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
           FROM embeddings e, q)
         ORDER BY s DESC, vec_id LIMIT 10"""
+
+    sql["ann_topk_multi"] = """
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id IN (0, 5, 9))
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, e.vec_id,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv) DESC, e.vec_id) AS rn
+          FROM embeddings e CROSS JOIN q)
+        WHERE rn <= 5"""
 
     sql["ivf_assign"] = """
         WITH c AS (SELECT vec_id AS centroid_id,

@@ -201,3 +201,34 @@ def test_semdedup_null_vectors_dropped(ray_session):
             semdedup(emb, cents, threshold=0.99).take_all()}
     # null row 1 dropped; 2 is a dup of 0 within cluster 0; 3 alone in 1
     assert rows == {0: (0, 1), 2: (0, 0), 3: (1, 1)}
+
+
+def test_brute_force_topk_multi_matches_single(ray_session):
+    """The batched query matrix must reproduce the single-query path
+    exactly, per query, including score values and tie order."""
+    from kg_gen_ray.functions.ann import brute_force_topk_multi
+    ids, m = emb_numpy()
+    qids = [0, 5, 9]
+    qm = m[np.isin(ids, qids)]
+    multi = brute_force_topk_multi(emb_ds(), qm, k=7,
+                                   query_ids=np.asarray(qids))
+    assert list(multi.columns) == ["query_id", "vec_id", "score"]
+    for qi, qid in enumerate(qids):
+        single = brute_force_topk(emb_ds(), qm[qi], k=7)
+        mine = multi[multi["query_id"] == qid].reset_index(drop=True)
+        assert mine["vec_id"].tolist() == single["vec_id"].tolist()
+        assert mine["score"].tolist() == single["score"].tolist()
+
+
+def test_brute_force_topk_multi_default_ids_and_empty_blocks(ray_session):
+    from kg_gen_ray.functions.ann import brute_force_topk_multi
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(12)), pa.int64()),
+        "embedding": pa.array([[float(i), 1.0, 0.0, 0.0]
+                               for i in range(12)],
+                              pa.list_(pa.float32())),
+    })).repartition(6).filter(expr="vec_id >= 10")  # most blocks empty
+    qm = np.asarray([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    out = brute_force_topk_multi(emb, qm, k=3)
+    assert sorted(out["query_id"].unique().tolist()) == [0, 1]
+    assert len(out) == 4  # only 2 rows survive the filter, per query
