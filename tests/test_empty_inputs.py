@@ -79,3 +79,19 @@ def test_ann_and_kg_empty(ray_session):
         "text": pa.array([], pa.string()),
         "lang": pa.array([], pa.string())}))
     assert build_kg(pages).triples.take_all() == []
+
+
+def test_session10_ops_empty(ray_session):
+    from kg_gen_ray.functions.ann import brute_force_topk_multi, semdedup
+    from kg_gen_ray.functions.sessions import mix_sample
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    cents = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    assert semdedup(emb, cents, threshold=0.5).take_all() == []
+    assert len(brute_force_topk_multi(emb, cents, k=3)) == 0
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string())}))
+    assert mix_sample(docs, "lang", {"en": 0.5}).take_all() == []
