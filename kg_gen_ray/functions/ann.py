@@ -422,7 +422,8 @@ def cosine_near_dup_canonical(embeddings: "ray.data.Dataset",
 
 def semdedup(embeddings: "ray.data.Dataset", centroids: np.ndarray,
              threshold: float, id_col: str = "vec_id",
-             slice_rows: int = 1024) -> "ray.data.Dataset":
+             slice_rows: int = 1024,
+             rank: str = "id") -> "ray.data.Dataset":
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then look for semantic duplicates ONLY within a
     cluster — the pruning that takes embedding dedup from O(n^2) to
@@ -432,11 +433,13 @@ def semdedup(embeddings: "ray.data.Dataset", centroids: np.ndarray,
     One output row per non-null input vector: ``(id, centroid_id, keep)``
     with ``keep = 0`` iff some LOWER-id vector of the SAME cluster has
     cosine >= ``threshold`` (dominance against every lower id, kept or
-    not — NOT-EXISTS semantics, so the result is order-free). The paper
-    ranks within a duplicate group by distance-to-centroid; ranking by id
-    keeps the output a pure deterministic function of the input and
-    matches the engine-wide keep-lowest-id convention (swap the sort key
-    below for paper-exact behavior).
+    not — NOT-EXISTS semantics, so the result is order-free; "lower"
+    means better-ranked under ``rank``). ``rank="id"`` (default) keeps
+    the lowest id — a pure deterministic function of the input, matching
+    the engine-wide keep-lowest-id convention and the SQL mirror.
+    ``rank="centroid"`` is the paper's rule: within a duplicate group
+    keep the example LEAST similar to its cluster centroid (ties by id)
+    — most representative points go, the outlier stays.
 
     Scale shape: assignment is one broadcast-centroid matmul pass (no
     shuffle, same kernel as :func:`ivf_assign`); the only exchange is the
@@ -469,13 +472,23 @@ def semdedup(embeddings: "ray.data.Dataset", centroids: np.ndarray,
 
     assigned = embeddings.map_batches(assign, batch_format="pyarrow")
 
+    if rank not in ("id", "centroid"):
+        raise ValueError("rank must be 'id' or 'centroid'")
+
     def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.asarray(g[id_col], dtype=np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
         m = np.stack([np.asarray(e, dtype=np.float64)
-                      for e in g["embedding"].iloc[order]])
+                      for e in g["embedding"]])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        if rank == "id":
+            order = np.argsort(ids, kind="stable")
+        else:
+            # paper rank: ascending similarity to the OWN centroid —
+            # earlier rows (less centroid-like) dominate later ones
+            cn = ray.get(c_ref)
+            cid = int(g["centroid_id"].iloc[0])
+            order = np.lexsort((ids, mn @ cn[cid]))
+        ids, mn = ids[order], mn[order]
         n = len(ids)
         keep = np.ones(n, dtype=np.int64)
         # cap slice x cluster at ~32M f64 cells (~256 MB of sims) so the

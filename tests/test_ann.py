@@ -232,3 +232,32 @@ def test_brute_force_topk_multi_default_ids_and_empty_blocks(ray_session):
     out = brute_force_topk_multi(emb, qm, k=3)
     assert sorted(out["query_id"].unique().tolist()) == [0, 1]
     assert len(out) == 4  # only 2 rows survive the filter, per query
+
+
+def test_semdedup_centroid_rank_serial_replay(ray_session):
+    """rank='centroid' (the paper's rule): within a dup group the vector
+    LEAST similar to its centroid survives. Serial replay with the
+    ascending-centroid-similarity dominance order."""
+    from kg_gen_ray.functions.ann import semdedup
+    ids, m = emb_numpy()
+    cents = m[ids < 8][np.argsort(ids[ids < 8])]
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    assign = np.argmax(mn @ cn.T, axis=1)
+    expected = {}
+    for cid in np.unique(assign):
+        sel = np.where(assign == cid)[0]
+        cs = mn[sel] @ cn[cid]
+        order = sel[np.lexsort((ids[sel], cs))]
+        sub = mn[order]
+        dominated = np.triu((sub @ sub.T).T >= 0.3, k=1).any(axis=0)
+        for pos, i in enumerate(order):
+            expected[int(ids[i])] = (int(cid), 0 if dominated[pos] else 1)
+    rows = semdedup(emb_ds(), cents, threshold=0.3,
+                    rank="centroid").take_all()
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert (r["centroid_id"], r["keep"]) == expected[r["vec_id"]]
+    # (no cross-rank count assertion: >= tau is not transitive, so
+    # different dominance orders legitimately keep different COUNTS)
