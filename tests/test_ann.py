@@ -261,3 +261,17 @@ def test_semdedup_centroid_rank_serial_replay(ray_session):
         assert (r["centroid_id"], r["keep"]) == expected[r["vec_id"]]
     # (no cross-rank count assertion: >= tau is not transitive, so
     # different dominance orders legitimately keep different COUNTS)
+
+
+def test_semdedup_composes_with_trained_kmeans(ray_session):
+    """The realistic composition: distributed-Lloyd's centroids feeding
+    semdedup. The serial replay holds for ANY centroid matrix, so run it
+    against the trained one."""
+    from kg_gen_ray.functions.ann import kmeans_centroids, semdedup
+    ids, m = emb_numpy()
+    cents = kmeans_centroids(emb_ds(), n_centroids=6, n_iter=3)
+    expected = _semdedup_serial(ids, m, cents, 0.3)
+    rows = semdedup(emb_ds(), cents, threshold=0.3).take_all()
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert (r["centroid_id"], r["keep"]) == expected[r["vec_id"]]

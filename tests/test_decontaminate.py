@@ -85,3 +85,53 @@ def test_empty_benchmark_flags_nothing(ray_session):
     bench = rd.from_arrow(pa.table({"text": pa.array(["short one"],
                                                      pa.string())}))
     assert contaminated_ids(docs, bench, k=8).count() == 0
+
+
+def test_decontaminate_randomized_serial_replay(ray_session):
+    """Random corpora with spliced benchmark windows vs a plain-Python
+    k-gram-set replay: pins the hash explode, the broadcast searchsorted
+    probe AND the forced bloom+semi-join dual on arbitrary shapes."""
+    import numpy as np
+
+    from kg_gen_ray.functions.decontaminate import (contaminated_ids,
+                                                    decontaminate)
+
+    rng = np.random.RandomState(17)
+    words = [f"w{i}" for i in range(200)]
+    bench_texts = [" ".join(rng.choice(words, 12)) for _ in range(10)]
+    k = 4
+    docs = []
+    for d in range(150):
+        toks = list(rng.choice(words, rng.randint(6, 30)))
+        if rng.rand() < 0.3:  # splice a benchmark window in
+            b = bench_texts[rng.randint(10)].split()
+            pos = rng.randint(len(b) - k + 1)
+            ins = rng.randint(len(toks) + 1)
+            toks[ins:ins] = b[pos:pos + k]
+        docs.append(" ".join(toks))
+
+    bench_grams = {tuple(bt.split()[i:i + k])
+                   for bt in bench_texts
+                   for i in range(len(bt.split()) - k + 1)}
+
+    def hit(tx):
+        t = tx.split()
+        return any(tuple(t[i:i + k]) in bench_grams
+                   for i in range(len(t) - k + 1))
+
+    expected = sorted(d for d, tx in enumerate(docs) if hit(tx))
+    assert expected  # the corpus genuinely contains contamination
+
+    docs_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(150), pa.int64()),
+        "text": pa.array(docs, pa.string())})).repartition(6)
+    bench_ds = rd.from_arrow(pa.table({
+        "text": pa.array(bench_texts, pa.string())}))
+
+    for kw in ({}, {"broadcast_limit": 0}):
+        got = sorted(r["doc_id"] for r in contaminated_ids(
+            docs_ds, bench_ds, k=k, **kw).take_all())
+        assert got == expected, kw
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(docs_ds, bench_ds, k=k).take_all())
+    assert kept == sorted(set(range(150)) - set(expected))
