@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sampling / per-group top-k
         "hash_sample": q_hash_sample,
         "mix_sample": q_mix_sample,   # per-source mixture reweighting
+        "seeded_shuffle": q_seeded_shuffle,  # deterministic epoch shuffle
         "grouped_topk": q_grouped_topk,
         "token_quantiles": q_token_quantiles,
     }
@@ -1151,6 +1152,19 @@ def q_hash_sample(sf_dir: str):
     s = stratified_sample(docs, "lang", cap=8) \
         .map_batches(tag("stratified"), batch_format="pyarrow")
     return h.union(s)
+
+
+def q_seeded_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle (``functions/sessions.py:
+    seeded_shuffle``): 8-shard manifest over the document ids, seed
+    'epoch0'. The ``pos`` column makes the ORDER itself hash-checked —
+    the driver compare sorts rows, so an order-defining operator must
+    emit its rank as data, like ``kg_top``. Shards are md5-u32 mod 8;
+    within-shard order is (md5 hex, doc_id) — the oracle replays both
+    with ``row_number() OVER (PARTITION BY shard ORDER BY ...)``."""
+    from kg_gen_ray.functions.sessions import seeded_shuffle
+    docs = _docs(sf_dir, ["doc_id"])
+    return seeded_shuffle(docs, n_shards=8, seed="epoch0")
 
 
 def q_grouped_topk(sf_dir: str):
@@ -2321,6 +2335,22 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY md5(text), doc_id) AS rn
           FROM documents)
         WHERE rn <= 8"""
+
+    # seeded_shuffle: shard = md5-u32 of 'epoch0:'||id mod 8; pos = the
+    # within-shard rank by (md5 hex, id) — row_number replays the
+    # engine's sort+arange exactly, so the permutation itself is hashed
+    sql["seeded_shuffle"] = """
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents WHERE doc_id IS NOT NULL)
+        SELECT doc_id,
+               CAST(('0x' || substr(k, 1, 8))::UBIGINT % 8 AS BIGINT)
+                 AS shard,
+               CAST(row_number() OVER (
+                    PARTITION BY ('0x' || substr(k, 1, 8))::UBIGINT % 8
+                    ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+        FROM keyed"""
 
     # mixture sampling: u32 of the first 8 md5 hex chars vs per-language
     # thresholds floor(rate * 2^32); es absent from the mix -> ELSE 0

@@ -432,3 +432,51 @@ def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
 
     return counted.groupby(group_col).map_groups(per_group,
                                                  batch_format="pandas")
+
+
+def seeded_shuffle(ds: "ray.data.Dataset", n_shards: int,
+                   seed: str = "epoch0", id_col: str = "doc_id"
+                   ) -> "ray.data.Dataset":
+    """Deterministic sharded shuffle — the epoch-shuffle write of a
+    training-data pipeline: every row gets ``(shard, pos)`` where
+    ``shard`` is the first 8 md5 hex chars of ``seed || ':' || id`` read
+    as a u32 mod ``n_shards``, and ``pos`` is the row's 0-based rank
+    within its shard ordered by (md5 hex digest, id). The permutation is
+    a pure function of (seed, id): the SAME seed replays bit-identically
+    across engines, runs and retries (resumable epochs — a crashed epoch
+    write restarts from the finished shards), and a NEW seed draws a
+    fresh epoch order, which ``random_shuffle`` can give you only by
+    materializing and persisting the permutation. DuckDB mirrors it as
+    ``row_number() OVER (PARTITION BY shard ORDER BY md5(...), id)``.
+
+    Output: ``(id_col, shard, pos)`` — a shuffle MANIFEST, not the moved
+    payload. Scale shape: the hash map streams; the exchange groups only
+    the slim (id, 16-byte key) projection, never document text, so the
+    all-to-all moves O(rows x 24B). One shard must fit a worker: at web
+    scale pick ``n_shards = total_bytes / target_file_bytes`` (~1M
+    shards of 100 MB for 100 TB) so each group IS one output file's
+    row order, and the sink joins payload to manifest shard-by-shard.
+    NULL ids are dropped (md5(NULL) is NULL; a NULL row has no
+    replayable position). The md5 loop is the oracle family; swap in the
+    polars-u64 family (``fast_text.minhash_signatures_fast``'s pattern)
+    when shuffling dominates a profile."""
+    import hashlib
+
+    def key_shard(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        slim = pa.table({id_col: ids}).filter(pc.is_valid(ids))
+        hs = [hashlib.md5((seed + ":" + str(i)).encode("utf-8")).hexdigest()
+              for i in slim[id_col].to_pylist()]
+        shard = pa.array([int(h[:8], 16) % n_shards for h in hs],
+                         pa.int64())
+        return slim.append_column("shard", shard) \
+                   .append_column("__k", pa.array(hs, pa.string()))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__k", id_col], kind="stable")
+        out = g[[id_col, "shard"]].copy()
+        out["pos"] = np.arange(len(g), dtype=np.int64)
+        return out
+
+    keyed = ds.map_batches(key_shard, batch_format="pyarrow")
+    return keyed.groupby("shard").map_groups(rank, batch_format="pandas")

@@ -460,11 +460,40 @@ class LangId:
                 best, best_hits = lang, hits
         return best
 
+    def predict_batch(self, texts: "pa.Array | pa.ChunkedArray") -> pa.Array:
+        """Vectorized ``predict`` over a whole column: one RE2 split, one
+        ``is_in`` per language over the flattened tokens, segment sums by
+        cumsum-at-offsets (robust to empty segments), argmax with the same
+        first-max-in-sorted-lang-order tie rule as the serial fold.
+        ``predict`` stays as the serial reference; parity is pinned by
+        test_text_analysis."""
+        texts = pc.cast(texts, pa.string())
+        toks = pc.split_pattern_regex(texts, "[^a-zA-Z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        # .offsets are logical (slice-adjusted) indices into the FULL
+        # .values child, so cumsum-over-values + offset differences are
+        # correct for any array offset; edge empties ("" around a match)
+        # never hit a marker set, matching findall semantics
+        flat = pc.utf8_lower(toks.values)
+        off = toks.offsets.to_numpy().astype(np.int64)
+        langs = sorted(self.markers)
+        hits = np.zeros((len(toks), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            m = pc.fill_null(pc.is_in(
+                flat, value_set=pa.array(sorted(self.markers[lang]))), False)
+            c = np.concatenate((
+                [0], np.cumsum(m.to_numpy(zero_copy_only=False)
+                               .astype(np.int64))))
+            hits[:, j] = c[off[1:]] - c[off[:-1]]
+        preds = np.array(langs, dtype=object)[hits.argmax(axis=1)]
+        preds[hits.max(axis=1) == 0] = "unknown"  # covers null text too
+        return pa.array(preds, pa.string())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.predict(t) for t in batch["text"].to_pylist()]
         return pa.table({
             "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-            "pred_lang": pa.array(preds, pa.string()),
+            "pred_lang": self.predict_batch(batch["text"]),
         })
 
 

@@ -408,3 +408,63 @@ def test_mix_sample_rate_and_seed(ray_session):
     # rate 1.0 keeps every non-null en row, rate 0 keeps none
     assert mix_sample(ds, "lang", {"en": 1.0}).count() == 100
     assert mix_sample(ds, "lang", {"en": 0.0}).count() == 0
+
+
+def test_seeded_shuffle_serial_replay(ray_session):
+    """The (shard, pos) manifest equals a serial md5 sort-and-rank over
+    the same ids — seeded multi-block input with null ids dropped."""
+    import hashlib
+
+    import numpy as np
+
+    from kg_gen_ray.functions.sessions import seeded_shuffle
+
+    rng = np.random.default_rng(411)
+    ids = rng.permutation(np.arange(1, 301)).tolist()
+    ids[7] = None
+    ids[211] = None
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())})) \
+           .repartition(7)
+    got = seeded_shuffle(ds, n_shards=4, seed="epoch0").to_pandas() \
+        .sort_values(["shard", "pos"]).reset_index(drop=True)
+
+    expect = {}
+    for i in ids:
+        if i is None:
+            continue
+        h = hashlib.md5(f"epoch0:{i}".encode()).hexdigest()
+        expect.setdefault(int(h[:8], 16) % 4, []).append((h, i))
+    rows = []
+    for shard in expect:
+        for pos, (_, i) in enumerate(sorted(expect[shard])):
+            rows.append((i, shard, pos))
+    want = sorted(rows, key=lambda r: (r[1], r[2]))
+    assert list(map(tuple, got[["doc_id", "shard", "pos"]]
+                    .itertuples(index=False))) == want
+    # 298 non-null ids all placed, each shard's pos is 0..len-1 dense
+    assert len(got) == 298
+    for _, g in got.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_seeded_shuffle_epoch_seed_redraws(ray_session):
+    """Same seed is bit-stable across runs; a new seed permutes."""
+    from kg_gen_ray.functions.sessions import seeded_shuffle
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(64), pa.int64())}))
+    a = seeded_shuffle(ds, 2, seed="epoch0").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = seeded_shuffle(ds, 2, seed="epoch0").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    c = seeded_shuffle(ds, 2, seed="epoch1").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert not a.equals(c)           # fresh epoch order
+    assert sorted(c["doc_id"]) == list(range(64))  # still a permutation
+
+
+def test_seeded_shuffle_zero_rows(ray_session):
+    from kg_gen_ray.functions.sessions import seeded_shuffle
+
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    assert seeded_shuffle(empty, 4).count() == 0

@@ -354,3 +354,33 @@ def test_ngram_groups_pack_matches_lexsort_fallback():
             slow = _ngram_groups(codes + offset, row_idx, n)
             for a, b in zip(fast, slow):
                 assert np.array_equal(a, b), (n, trial)
+
+
+def test_lang_id_vectorized_matches_serial_predict():
+    """predict_batch (one RE2 split + per-lang is_in + segment sums) is
+    row-for-row identical to the serial predict fold — fuzzed over
+    marker mixes, ties, case, punctuation runs, null/empty/no-letter
+    rows, and a sliced (non-zero offset) Arrow array."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kg_gen_ray.functions.text_analysis import _LANG_MARKERS, LangId
+
+    rng = np.random.default_rng(77)
+    vocab = sorted(set().union(*_LANG_MARKERS.values())) + [
+        "zzz", "Quux", "123", "naive"]
+    rows = [None, "", "   ", "!!! ??? 42", "THE Der le el",  # tie shapes
+            "the und", "und the"]
+    for _ in range(200):
+        k = rng.integers(0, 12)
+        words = rng.choice(vocab, size=k).tolist()
+        if rng.random() < 0.3:
+            words = [w.upper() for w in words]
+        rows.append(" ,;".join(words) + rng.choice(["", " ...", "\t9"]))
+    lid = LangId()
+    arr = pa.array(rows, pa.string())
+    got = lid.predict_batch(arr).to_pylist()
+    assert got == [lid.predict(t) for t in rows]
+    # sliced array (non-zero offset) takes the same path
+    got_slice = lid.predict_batch(arr.slice(3, 50)).to_pylist()
+    assert got_slice == [lid.predict(t) for t in rows[3:53]]
