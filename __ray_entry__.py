@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kg_top and tfidf_top_terms; top_ngrams remains
         # implemented + pytest-covered)
         "hygiene_counts": q_hygiene_counts,            # e2e hygiene audit
+        "crawl_delta": q_crawl_delta,          # snapshot diff (recrawl planner)
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct_docs": q_approx_distinct,     # HLL estimate (oracle-exact)
         # --- dedup family
@@ -1152,6 +1153,42 @@ def q_hash_sample(sf_dir: str):
     s = stratified_sample(docs, "lang", cap=8) \
         .map_batches(tag("stratified"), batch_format="pyarrow")
     return h.union(s)
+
+
+def q_crawl_delta(sf_dir: str):
+    """Snapshot-to-snapshot crawl diff (``functions/web.py:crawl_delta``):
+    two synthetic snapshots derived deterministically from the documents
+    table — old = doc_id % 10 != 0, new = doc_id % 10 != 1 with text
+    amended (' v2') when doc_id % 7 == 0 — so all three statuses appear:
+    added (% 10 == 0), removed (% 10 == 1), changed (% 7 == 0 survivors).
+    The oracle replays the same per-url min(md5(text)) FULL OUTER JOIN."""
+    from kg_gen_ray.functions.web import crawl_delta
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def snapshot(drop_mod: int, amend: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np  # no Arrow mod kernel; numpy does the %
+            ids = pc.cast(t["doc_id"], pa.int64())
+            base = pa.table({"doc_id": ids, "text": t["text"]}) \
+                     .filter(pc.is_valid(ids))
+            idn = base["doc_id"].to_numpy(zero_copy_only=False)
+            t2 = base.filter(pa.array(idn % 10 != drop_mod))
+            ids2 = t2["doc_id"]
+            url = pc.binary_join_element_wise(
+                "https://ex.com/d/", pc.cast(ids2, pa.string()), "")
+            text = pc.cast(t2["text"], pa.string())
+            if amend:
+                amended = pc.binary_join_element_wise(text, " v2", "")
+                is_v2 = pa.array(
+                    ids2.to_numpy(zero_copy_only=False) % 7 == 0)
+                text = pc.if_else(is_v2, amended, text)
+            return pa.table({"url": url, "text": text})
+        return fn
+
+    old = docs.map_batches(snapshot(0, False), batch_format="pyarrow")
+    new = docs.map_batches(snapshot(1, True), batch_format="pyarrow")
+    return crawl_delta(old, new)
 
 
 def q_seeded_shuffle(sf_dir: str):
@@ -2335,6 +2372,30 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY md5(text), doc_id) AS rn
           FROM documents)
         WHERE rn <= 8"""
+
+    # crawl_delta: per-url min(md5(text)) per snapshot, FULL OUTER JOIN,
+    # unchanged urls filtered out — the O(delta) recrawl planner
+    sql["crawl_delta"] = """
+        WITH old_snap AS (
+          SELECT 'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 min(md5(text)) AS fp
+          FROM documents
+          WHERE doc_id % 10 <> 0 AND text IS NOT NULL
+          GROUP BY 1),
+        new_snap AS (
+          SELECT 'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 min(md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                              ELSE text END)) AS fp
+          FROM documents
+          WHERE doc_id % 10 <> 1 AND text IS NOT NULL
+          GROUP BY 1)
+        SELECT coalesce(o.url, n.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN n.url IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               o.fp AS old_fp, n.fp AS new_fp
+        FROM old_snap o FULL OUTER JOIN new_snap n ON o.url = n.url
+        WHERE o.url IS NULL OR n.url IS NULL OR o.fp <> n.fp"""
 
     # seeded_shuffle: shard = md5-u32 of 'epoch0:'||id mod 8; pos = the
     # within-shard rank by (md5 hex, id) — row_number replays the

@@ -301,3 +301,89 @@ def per_host_cap(ds: "ray.data.Dataset", cap: int, url_col: str = "url",
     return out.map_batches(
         lambda t: t.drop_columns(["scheme", "host", "path", "tld"]),
         batch_format="pyarrow")
+
+
+def crawl_delta(old: "ray.data.Dataset", new: "ray.data.Dataset",
+                url_col: str = "url", text_col: str = "text",
+                n_buckets: int | None = None) -> "ray.data.Dataset":
+    """Snapshot-to-snapshot crawl diff — the incremental-ingest planner of
+    a recurring-crawl pipeline: compare two crawl snapshots by per-url
+    content fingerprint and emit ``(url, status, old_fp, new_fp)`` with
+    ``status`` in {'added', 'removed', 'changed'}. Unchanged urls are NOT
+    emitted, so the output is O(delta) — on a 100 TB recrawl where most
+    pages are stable, downstream stages (re-extract, re-embed, re-dedup)
+    run over the delta only.
+
+    Per side, a url's fingerprint is ``min(md5(text))`` over its rows
+    (re-crawl duplicates collapse deterministically; DuckDB mirrors with
+    ``min(md5(text))``). Null-text rows and null urls are dropped
+    (md5(NULL) is NULL — no replayable identity), matching the SQL
+    mirror's WHERE clauses.
+
+    Scale shape: each side maps to a slim (url, fp) projection with an
+    in-batch Arrow ``group_by().aggregate(min)`` combiner — re-crawls of
+    one url inside a batch never reach the exchange — then ONE
+    bucket-hashed groupby classifies per bucket with vectorized pandas.
+    The exchange carries one ~50-byte row per distinct (url, batch), never
+    page text. The md5 loop is the oracle family (see
+    :func:`kg_gen_ray.functions.sessions.mix_sample`)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+    nb = n_buckets or default_buckets()
+
+    def slim(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            urls = pc.cast(t[url_col], pa.string())
+            texts = pc.cast(t[text_col], pa.string())
+            keep = pc.and_(pc.is_valid(urls), pc.is_valid(texts))
+            t2 = pa.table({"url": urls, "text": texts}).filter(keep)
+            fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                   for s in t2["text"].to_pylist()]
+            proj = pa.table({
+                "url": t2["url"],
+                "fp": pa.array(fps, pa.string()),
+                "side": pa.array([side] * t2.num_rows, pa.int8()),
+            })
+            # in-batch combiner: one (url, side, min fp) row per distinct
+            # url — Arrow C++ group_by, no pandas round-trip
+            agg = pa.TableGroupBy(proj, ["url", "side"]).aggregate(
+                [("fp", "min")]).rename_columns(["url", "side", "fp"])
+            return agg.append_column(
+                "__b", hash_bucket_array(agg["url"], nb))
+        return fn
+
+    keyed = old.map_batches(slim(0), batch_format="pyarrow").union(
+        new.map_batches(slim(1), batch_format="pyarrow"))
+
+    def classify(df: pd.DataFrame) -> pa.Table:
+        fp = df.groupby(["url", "side"], sort=True)["fp"].min() \
+               .unstack("side")
+        old_fp = fp[0] if 0 in fp.columns else pd.Series(
+            np.nan, index=fp.index, dtype=object)
+        new_fp = fp[1] if 1 in fp.columns else pd.Series(
+            np.nan, index=fp.index, dtype=object)
+        status = np.where(
+            old_fp.isna(), "added",
+            np.where(new_fp.isna(), "removed",
+                     np.where(old_fp != new_fp, "changed", "unchanged")))
+        keep = status != "unchanged"
+        # emit Arrow with a pinned schema: an all-unchanged bucket yields
+        # an EMPTY block, and empty object-dtype pandas columns make
+        # Ray's block sizing (and downstream schema resolution) guess
+        return pa.table({
+            "url": pa.array(fp.index.to_numpy(dtype=object)[keep],
+                            pa.string()),
+            "status": pa.array(status[keep], pa.string()),
+            "old_fp": pa.array(
+                [None if pd.isna(v) else v
+                 for v in old_fp.to_numpy(dtype=object)[keep]], pa.string()),
+            "new_fp": pa.array(
+                [None if pd.isna(v) else v
+                 for v in new_fp.to_numpy(dtype=object)[keep]], pa.string()),
+        })
+
+    return keyed.groupby("__b").map_groups(classify, batch_format="pandas")

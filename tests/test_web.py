@@ -253,3 +253,82 @@ def test_norm_url_strips_only_scheme_default_port(ray_session):
         "http://example.org:443/a",
         "https://example.org:80/a",
     ]
+
+
+def test_crawl_delta_statuses_and_min_fp(ray_session):
+    """added/removed/changed classification; re-crawl duplicates collapse
+    to min(md5); null url / null text rows drop; unchanged not emitted."""
+    import hashlib
+
+    import pandas as pd
+
+    from kg_gen_ray.functions.web import crawl_delta
+
+    old = rd.from_arrow(pa.table({
+        "url": ["u1", "u2", "u3", "u3", "u4", None, "u6"],
+        "text": ["a", "b", "c", "c2", "d", "x", None]}))
+    new = rd.from_arrow(pa.table({
+        "url": ["u2", "u3", "u4", "u5"],
+        "text": ["b", "cc", "d", "e"]}))
+    df = crawl_delta(old, new, n_buckets=3).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert list(df["url"]) == ["u1", "u3", "u5"]
+    assert list(df["status"]) == ["removed", "changed", "added"]
+    assert pd.isna(df.loc[0, "new_fp"]) and pd.isna(df.loc[2, "old_fp"])
+    assert df.loc[1, "old_fp"] == min(hashlib.md5(b"c").hexdigest(),
+                                      hashlib.md5(b"c2").hexdigest())
+    assert df.loc[1, "new_fp"] == hashlib.md5(b"cc").hexdigest()
+
+
+def test_crawl_delta_randomized_serial_replay(ray_session):
+    """Seeded multi-block snapshots vs a plain-dict serial replay."""
+    import hashlib
+
+    import numpy as np
+
+    from kg_gen_ray.functions.web import crawl_delta
+
+    rng = np.random.default_rng(1311)
+
+    def snap():
+        n = int(rng.integers(80, 140))
+        urls = [f"u{int(rng.integers(0, 60))}" for _ in range(n)]
+        texts = [chr(97 + int(rng.integers(0, 4))) * int(rng.integers(1, 3))
+                 for _ in range(n)]
+        return urls, texts
+
+    ou, ot = snap()
+    nu, nt = snap()
+    old = rd.from_arrow(pa.table({"url": ou, "text": ot})).repartition(5)
+    new = rd.from_arrow(pa.table({"url": nu, "text": nt})).repartition(3)
+    got = crawl_delta(old, new, n_buckets=4).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+
+    def fold(urls, texts):
+        m = {}
+        for u, t in zip(urls, texts):
+            h = hashlib.md5(t.encode()).hexdigest()
+            m[u] = min(m.get(u, h), h)
+        return m
+
+    om, nm = fold(ou, ot), fold(nu, nt)
+    want = []
+    for u in sorted(om.keys() | nm.keys()):
+        if u not in nm:
+            want.append((u, "removed", om[u], None))
+        elif u not in om:
+            want.append((u, "added", None, nm[u]))
+        elif om[u] != nm[u]:
+            want.append((u, "changed", om[u], nm[u]))
+    got_rows = [(r.url, r.status,
+                 None if r.old_fp is None or r.old_fp != r.old_fp else r.old_fp,
+                 None if r.new_fp is None or r.new_fp != r.new_fp else r.new_fp)
+                for r in got.itertuples(index=False)]
+    assert got_rows == want
+
+
+def test_crawl_delta_identical_snapshots_empty(ray_session):
+    from kg_gen_ray.functions.web import crawl_delta
+
+    same = rd.from_arrow(pa.table({"url": ["u1", "u2"], "text": ["a", "b"]}))
+    assert crawl_delta(same, same, n_buckets=2).count() == 0
