@@ -45,7 +45,7 @@ QUERY_NAMES = [
     "kg_triples", "kg_canonical_triples", "kg_triples_llm", "text_tokens",
     "minhash_sig_fast", "dedup_exact", "minhash_band_pairs",
     "near_dup_canonical", "paragraph_dedup", "lm_score", "ann_topk",
-    "near_dup_cosine",
+    "near_dup_cosine", "crawl_delta", "seeded_shuffle",
     "events_windows", "events_asof", "events_session_assign",
     "pricing_summary", "revenue_by_region", "token_quantiles",
 ]
