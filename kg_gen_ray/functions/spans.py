@@ -151,9 +151,10 @@ def _mine(docs: "ray.data.Dataset", k: int, text_col: str, id_col: str,
     INSIDE their own batch (an in-batch repeat is globally duplicated, so
     they never enter the exchange); ``global_marked`` is
     (sh, enc, is_win, is_dup) over the per-batch minima — exactly one row
-    per (k-gram, batch), each carrying its in-batch occurrence count so
-    the global stage can tell a sole-in-batch occurrence of a duplicated
-    k-gram (is_dup) from a globally-unique one."""
+    per (k-gram, batch), each carrying its in-batch occurrence count
+    (capped at 2 — the global stage only asks "total >= 2") so it can
+    tell a sole-in-batch occurrence of a duplicated k-gram (is_dup) from
+    a globally-unique one."""
 
     def local(t: pa.Table) -> pa.Table:
         sh, enc = _explode_kgrams(t, text_col, id_col, k)
@@ -174,9 +175,12 @@ def _mine(docs: "ray.data.Dataset", k: int, text_col: str, id_col: str,
             "is_min": pa.array(np.concatenate(
                 [np.ones(int(first.sum()), dtype=bool),
                  np.zeros(int((~first).sum()), dtype=bool)])),
+            # capped at 2: downstream only asks "total occurrences >= 2"
+            # (is_dup), and capped addition preserves that predicate —
+            # int8 instead of int64 cuts the minima exchange row by 7 B
             "n_local": pa.array(np.concatenate(
-                [sizes.astype(np.int64),
-                 np.ones(int((~first).sum()), dtype=np.int64)])),
+                [np.minimum(sizes, 2).astype(np.int8),
+                 np.ones(int((~first).sum()), dtype=np.int8)])),
         })
 
     # checkpoint before branching: the two filters below are separate
@@ -205,7 +209,9 @@ def _mine(docs: "ray.data.Dataset", k: int, text_col: str, id_col: str,
         # a pandas conversion would cost a copy and slower group kernels.
         sh = t["sh"].to_numpy(zero_copy_only=False)
         enc = t["enc"].to_numpy(zero_copy_only=False)
-        nl = t["n_local"].to_numpy(zero_copy_only=False)
+        # int64 BEFORE reduceat: summing the capped int8 column in its
+        # own dtype would wrap at 128 batches and could zero a true dup
+        nl = t["n_local"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((enc, sh))
         ss, se = sh[order], enc[order]
         first = np.ones(len(order), dtype=bool)
