@@ -65,3 +65,58 @@ def test_aggregate_requires_input(ray_session):
     import pytest
     with pytest.raises(ValueError):
         aggregate_graphs([])
+
+
+def test_recrawl_delta_composition(ray_session):
+    """crawl_delta drives the incremental recrawl: build from the old
+    snapshot, add ONLY the pages the diff marks added/changed — the
+    result equals the batch build over old + the FULL new snapshot,
+    because unchanged pages re-derive identical triples (distinct drops
+    them). This is the O(delta) recrawl story end to end."""
+    import pyarrow.compute as pc
+
+    from kg_gen_ray.functions.web import crawl_delta
+
+    cfg = PipelineConfig(chunk_size=300, extractor_concurrency=2,
+                         salt_buckets=4)
+    old = rd.from_arrow(synthetic_pages_table(10, seed=1))
+
+    old_tbl = synthetic_pages_table(10, seed=1)
+    urls = old_tbl["url"].to_pylist()
+    removed, changed = set(urls[:2]), set(urls[2:5])
+    keep = pa.array([u not in removed for u in urls])
+    kept = old_tbl.filter(keep)
+    text = pc.cast(kept["text"], pa.string())
+    amended = pc.binary_join_element_wise(
+        text, " Paris is the capital of France.", "")
+    is_chg = pa.array([u in changed for u in kept["url"].to_pylist()])
+    new_tbl = kept.set_column(
+        kept.schema.get_field_index("text"), "text",
+        pc.if_else(is_chg, amended, text))
+    extra = synthetic_pages_table(3, seed=50)
+    # synthetic urls are index-keyed (seed varies text only) — re-key the
+    # brand-new pages so they don't collide with the old snapshot's urls
+    extra = extra.set_column(
+        extra.schema.get_field_index("url"), "url",
+        pc.binary_join_element_wise(
+            "https://new.example.org/", pc.cast(extra["url"], pa.string()),
+            ""))
+    new = rd.from_arrow(new_tbl).union(rd.from_arrow(extra))
+
+    delta = crawl_delta(old, new).to_pandas()
+    assert set(delta[delta.status == "removed"]["url"]) == removed
+    assert set(delta[delta.status == "changed"]["url"]) == changed
+    assert set(delta[delta.status == "added"]["url"]) \
+        == set(extra["url"].to_pylist())
+
+    delta_urls = set(delta[delta.status != "removed"]["url"])
+    delta_pages = new.filter(
+        lambda r: r["url"] in delta_urls)
+
+    incr = add_pages(add_pages(None, old, cfg).triples, delta_pages, cfg)
+    batch = add_pages(None, old.union(new), cfg)
+    gi = {(r["subj"], r["pred"], r["obj"])
+          for r in incr.triples.take_all()}
+    gb = {(r["subj"], r["pred"], r["obj"])
+          for r in batch.triples.take_all()}
+    assert gi == gb and len(gi) > 0
