@@ -83,6 +83,24 @@ def sessionize(events: "ray.data.Dataset", gap_sec: int,
             .map_batches(finish, batch_format="pyarrow"))
 
 
+def _md5_hex_memo(col, prefix: str = "") -> pa.Array:
+    """md5 hex digest per row (``md5(prefix || value)``), hashing each
+    DISTINCT value once per batch via dictionary encoding — a templated /
+    boilerplate-heavy corpus repeats the same text across many rows, and
+    re-hashing every occurrence is the per-row-loop anti-pattern the
+    paragraph kernel already fixed. NULL -> NULL (DuckDB md5 semantics);
+    ``pc.take`` propagates the null indices."""
+    import hashlib
+
+    arr = pc.cast(col, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = arr.dictionary_encode()
+    hs = [hashlib.md5((prefix + v).encode("utf-8")).hexdigest()
+          for v in d.dictionary.to_pylist()]
+    return pc.take(pa.array(hs, pa.string()), d.indices)
+
+
 def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,
                 text_col: str = "text") -> "ray.data.Dataset":
     """Deterministic content-hash sampling: keep rows where the first
@@ -91,14 +109,11 @@ def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,
     training-data sampler needs (`random_shuffle`-based sampling is not
     replayable). NULL text is excluded: md5(NULL) is NULL and a NULL
     predicate fails the SQL WHERE — same as the mirror."""
-    import hashlib
-
     def keep(t: pa.Table) -> pa.Table:
+        hexes = _md5_hex_memo(t[text_col]).to_pylist()
         mask = pa.array([
-            s is not None and
-            int(hashlib.md5(s.encode("utf-8")).hexdigest()[0], 16) % mod
-            < keep_mod
-            for s in pc.cast(t[text_col], pa.string()).to_pylist()])
+            h is not None and int(h[0], 16) % mod < keep_mod
+            for h in hexes])
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -124,27 +139,20 @@ def mix_sample(ds: "ray.data.Dataset", group_col: str,
     zero driver materialization. ``rates`` is per-SOURCE (languages,
     domains, crawl snapshots), i.e. bounded small, so it rides the
     closure; if a mix ever keyed on an unbounded column, switch to the
-    broadcast/join dual pattern of ``lm_score``. The md5 loop is the
-    oracle family; a polars-u64 fast family (see
-    ``fast_text.minhash_signatures_fast``) is the drop-in when sampling
-    dominates a profile."""
-    import hashlib
-
+    broadcast/join dual pattern of ``lm_score``. md5 is the oracle
+    family, memoized per distinct text (``_md5_hex_memo``); a polars-u64
+    fast family (see ``fast_text.minhash_signatures_fast``) is the
+    drop-in when sampling dominates a profile."""
     # quantize driver-side so engine and mirror compare the SAME integer
     thresholds = {str(g): int(r * 4294967296) for g, r in rates.items()}
 
     def keep(t: pa.Table) -> pa.Table:
-        texts = pc.cast(t[text_col], pa.string()).to_pylist()
+        hexes = _md5_hex_memo(t[text_col], prefix=seed + ":").to_pylist()
         groups = pc.cast(t[group_col], pa.string()).to_pylist()
         mask = []
-        for s, g in zip(texts, groups):
+        for h, g in zip(hexes, groups):
             thr = thresholds.get(g, 0) if g is not None else 0
-            if s is None or thr <= 0:
-                mask.append(False)
-                continue
-            u = int(hashlib.md5(
-                (seed + ":" + s).encode("utf-8")).hexdigest()[:8], 16)
-            mask.append(u < thr)
+            mask.append(h is not None and thr > 0 and int(h[:8], 16) < thr)
         return t.filter(pa.array(mask, pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -348,16 +356,12 @@ def stratified_sample(ds: "ray.data.Dataset", group_col: str, cap: int,
     BY g ORDER BY md5(text), id)`` (unlike ``random_shuffle``-based
     sampling, which is not). Same combiner-pruned exchange as
     :func:`grouped_topk`."""
-    import hashlib
 
     def with_hash(t: pa.Table) -> pa.Table:
-        # md5(NULL) is NULL (the DuckDB mirror's semantics); pandas
-        # na_position='last' then ranks null-text rows after every
-        # hashed row, exactly like ORDER BY md5(text) NULLS LAST
-        hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
-              if s is not None else None
-              for s in pc.cast(t[text_col], pa.string()).to_pylist()]
-        return t.append_column("__h", pa.array(hs, pa.string()))
+        # md5(NULL) is NULL (the DuckDB mirror's semantics; the memo
+        # propagates it); pandas na_position='last' then ranks null-text
+        # rows after every hashed row, like ORDER BY md5(text) NULLS LAST
+        return t.append_column("__h", _md5_hex_memo(t[text_col]))
 
     ranked = ds.map_batches(with_hash, batch_format="pyarrow")
     out = _grouped_head(ranked, group_col, ["__h", id_col],
