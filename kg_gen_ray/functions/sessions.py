@@ -17,6 +17,10 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+# module-level (pickle-by-value compatibility): worker-side UDF bodies
+# must not lazily import kg_gen_ray
+from kg_gen_ray.stages.common import md5_hex_memo as _md5_hex_memo
+
 
 def sessionize(events: "ray.data.Dataset", gap_sec: int,
                user_col: str = "user_id", ts_col: str = "ts",
@@ -81,24 +85,6 @@ def sessionize(events: "ray.data.Dataset", gap_sec: int,
             .groupby("__bucket").map_groups(per_bucket,
                                             batch_format="pandas")
             .map_batches(finish, batch_format="pyarrow"))
-
-
-def _md5_hex_memo(col, prefix: str = "") -> pa.Array:
-    """md5 hex digest per row (``md5(prefix || value)``), hashing each
-    DISTINCT value once per batch via dictionary encoding — a templated /
-    boilerplate-heavy corpus repeats the same text across many rows, and
-    re-hashing every occurrence is the per-row-loop anti-pattern the
-    paragraph kernel already fixed. NULL -> NULL (DuckDB md5 semantics);
-    ``pc.take`` propagates the null indices."""
-    import hashlib
-
-    arr = pc.cast(col, pa.string())
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    d = arr.dictionary_encode()
-    hs = [hashlib.md5((prefix + v).encode("utf-8")).hexdigest()
-          for v in d.dictionary.to_pylist()]
-    return pc.take(pa.array(hs, pa.string()), d.indices)
 
 
 def hash_sample(ds: "ray.data.Dataset", keep_mod: int, mod: int = 10,

@@ -447,6 +447,10 @@ class LangId:
     def __init__(self):
         self.markers = {lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()}
         self.word_re = re.compile(r"[a-zA-Z]+")
+        # value_sets built ONCE (the class's whole point): predict_batch
+        # must not re-sort/re-materialize 4 marker arrays per batch
+        self._value_sets = [(lang, pa.array(sorted(self.markers[lang])))
+                            for lang in sorted(self.markers)]
 
     def predict(self, text: str | None) -> str:
         toks = ([w.lower() for w in self.word_re.findall(text)]
@@ -477,11 +481,10 @@ class LangId:
         # never hit a marker set, matching findall semantics
         flat = pc.utf8_lower(toks.values)
         off = toks.offsets.to_numpy().astype(np.int64)
-        langs = sorted(self.markers)
+        langs = [lang for lang, _ in self._value_sets]
         hits = np.zeros((len(toks), len(langs)), dtype=np.int64)
-        for j, lang in enumerate(langs):
-            m = pc.fill_null(pc.is_in(
-                flat, value_set=pa.array(sorted(self.markers[lang]))), False)
+        for j, (_, vs) in enumerate(self._value_sets):
+            m = pc.fill_null(pc.is_in(flat, value_set=vs), False)
             c = np.concatenate((
                 [0], np.cumsum(m.to_numpy(zero_copy_only=False)
                                .astype(np.int64))))

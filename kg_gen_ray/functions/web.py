@@ -325,14 +325,14 @@ def crawl_delta(old: "ray.data.Dataset", new: "ray.data.Dataset",
     one url inside a batch never reach the exchange — then ONE
     bucket-hashed groupby classifies per bucket with vectorized pandas.
     The exchange carries one ~50-byte row per distinct (url, batch), never
-    page text. The md5 loop is the oracle family (see
-    :func:`kg_gen_ray.functions.sessions.mix_sample`)."""
-    import hashlib
-
+    page text. md5 is the oracle family, memoized per distinct text
+    (:func:`kg_gen_ray.stages.common.md5_hex_memo` — re-crawl duplicates
+    inside a batch hash once)."""
     import numpy as np
     import pandas as pd
 
-    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+    from kg_gen_ray.stages.common import (default_buckets,
+                                          hash_bucket_array, md5_hex_memo)
     nb = n_buckets or default_buckets()
 
     def slim(side: int):
@@ -341,11 +341,9 @@ def crawl_delta(old: "ray.data.Dataset", new: "ray.data.Dataset",
             texts = pc.cast(t[text_col], pa.string())
             keep = pc.and_(pc.is_valid(urls), pc.is_valid(texts))
             t2 = pa.table({"url": urls, "text": texts}).filter(keep)
-            fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
-                   for s in t2["text"].to_pylist()]
             proj = pa.table({
                 "url": t2["url"],
-                "fp": pa.array(fps, pa.string()),
+                "fp": md5_hex_memo(t2["text"]),
                 "side": pa.array([side] * t2.num_rows, pa.int8()),
             })
             # in-batch combiner: one (url, side, min fp) row per distinct

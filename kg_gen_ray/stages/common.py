@@ -303,3 +303,25 @@ def size_aware_read_blocks(path: str) -> int:
         # read_parquet surface the real, diagnosable error
         return cores
     return max(4, min(cores, max((size >> 21) + 1, rows // 8192 + 1)))
+
+
+def md5_hex_memo(col, prefix: str = "") -> "pa.Array":
+    """md5 hex digest per row (``md5(prefix || value)``), hashing each
+    DISTINCT value once per batch via dictionary encoding — a templated /
+    boilerplate-heavy corpus repeats the same text across many rows, and
+    re-hashing every occurrence is the per-row-loop anti-pattern the
+    paragraph kernel already fixed. NULL -> NULL (DuckDB md5 semantics);
+    ``pc.take`` propagates the null indices. Shared by the sampling
+    family (``functions/sessions.py``) and ``functions/web.crawl_delta``."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.cast(col, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = arr.dictionary_encode()
+    hs = [hashlib.md5((prefix + v).encode("utf-8")).hexdigest()
+          for v in d.dictionary.to_pylist()]
+    return pc.take(pa.array(hs, pa.string()), d.indices)
