@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": q_crawl_delta,          # snapshot diff (recrawl planner)
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct_docs": q_approx_distinct,     # HLL estimate (oracle-exact)
+        "approx_distinct_by_lang": q_approx_distinct_by_lang,  # grouped HLL
         # --- dedup family
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,    # + shingle counts
@@ -626,6 +627,17 @@ def q_approx_distinct(sf_dir: str):
     est = hll_estimate(_docs(sf_dir, ["text"]), "text")
     return pd.DataFrame({"approx_distinct_texts": pd.Series([est],
                                                             dtype="float64")})
+
+
+def q_approx_distinct_by_lang(sf_dir: str):
+    """Grouped HLL (``functions/sketch.py:hll_estimate_per_group``):
+    approximate distinct texts PER LANGUAGE — one mergeable register
+    blob per (group, batch) rides the single exchange. Same md5-u64
+    family as ``approx_distinct_docs``, so DuckDB replays every group's
+    registers AND float estimate bit-for-bit via the grouped CTE."""
+    from kg_gen_ray.functions.sketch import hll_estimate_per_group
+    return hll_estimate_per_group(
+        _docs(sf_dir, ["text", "lang"]), "text", "lang")
 
 
 def q_dedup_exact(sf_dir: str):
@@ -1613,6 +1625,34 @@ def oracle_sql() -> dict[str, str]:
                     ELSE (0.7213/(1 + 1.079/4096)) * 4096 * 4096
                          * 18446744073709551616.0 / T::DOUBLE
                END AS approx_distinct_texts
+        FROM t"""
+
+    # grouped HLL: the same register replay with GROUP BY lang at every
+    # level — one sketch per language, estimate bit-identical per group
+    sql["approx_distinct_by_lang"] = """
+        WITH h AS (SELECT DISTINCT lang,
+                          ('0x'||substr(md5(text),1,16))::UBIGINT AS h
+                   FROM documents WHERE text IS NOT NULL),
+        r AS (SELECT lang, h >> 52 AS idx,
+                     (((h::HUGEINT * 4096) % 18446744073709551616)::UBIGINT
+                      | 4095) AS rest
+              FROM h),
+        regs AS (SELECT lang, idx, max(65 - length(bin(rest))) AS rank
+                 FROM r GROUP BY lang, idx),
+        t AS (SELECT lang,
+                     (4096 - count(*))::HUGEINT
+                       * 18446744073709551616::HUGEINT
+                       + coalesce(sum((1::HUGEINT << (64 - rank))), 0) AS T,
+                     (4096 - count(*)) AS zeros
+              FROM regs GROUP BY lang)
+        SELECT lang,
+               CASE WHEN (0.7213/(1 + 1.079/4096)) * 4096 * 4096
+                         * 18446744073709551616.0 / T::DOUBLE <= 2.5*4096
+                         AND zeros > 0
+                    THEN 4096 * ln(4096.0 / zeros)
+                    ELSE (0.7213/(1 + 1.079/4096)) * 4096 * 4096
+                         * 18446744073709551616.0 / T::DOUBLE
+               END AS approx_distinct
         FROM t"""
 
     sql["lm_score"] = """

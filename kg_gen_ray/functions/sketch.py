@@ -114,6 +114,70 @@ def approx_distinct(ds: "ray.data.Dataset", col: str,
     return round(hll_estimate(ds, col, fast=fast))
 
 
+def hll_estimate_per_group(ds: "ray.data.Dataset", col: str,
+                           group_col: str, fast: bool = False
+                           ) -> "ray.data.Dataset":
+    """One HLL per GROUP — approximate COUNT(DISTINCT col) GROUP BY
+    group_col, the per-host / per-language curation stat ("distinct
+    pages per domain", "distinct fingerprints per snapshot") where an
+    exact grouped distinct would shuffle every row. Output:
+    ``(group_col as string, approx_distinct float)``.
+
+    Scale shape: each batch folds its rows into one M-byte register
+    blob PER (group, batch) — the combiner — so the single groupby
+    exchange carries O(groups x batches x 4 KB), never rows. Register
+    merge is elementwise max (associative/commutative); with the md5
+    family the per-group estimate is bit-identical to the DuckDB
+    replay (the grouped form of the ``approx_distinct_docs`` oracle).
+    Null groups form their own group (SQL GROUP BY), carried through
+    the exchange on the same null-free surrogate as every grouped op
+    (:func:`kg_gen_ray.functions.sessions._arrow_group_key`); null
+    values are excluded (SQL COUNT DISTINCT). Groups are the
+    parallelism unit of the merge; a group's merge state is
+    O(batches x 4 KB), bounded regardless of row count."""
+    import pandas as pd
+
+    from kg_gen_ray.functions.sessions import _arrow_group_key
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = pc.cast(t[col], pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        gk = _arrow_group_key(t[group_col])
+        keep = pc.is_valid(vals)        # Array mask: both sides combined
+        vals = vals.filter(keep)
+        gka = gk.filter(keep).to_numpy(zero_copy_only=False)
+        h = _hashes(vals.to_pylist(), fast=fast)
+        order = np.argsort(gka, kind="stable")
+        gs, hs = gka[order], h[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(first)
+        bounds = np.append(starts, len(gs))
+        groups, blobs = [], []
+        for i, s in enumerate(starts):
+            groups.append(gs[s])
+            blobs.append(_registers(hs[s:bounds[i + 1]]).tobytes())
+        return pa.table({"__gk": pa.array(groups, pa.string()),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        out_g, out_est = [], []
+        for g, grp in df.groupby("__gk", sort=True):
+            merged = np.zeros(M, dtype=np.uint8)
+            for blob in grp["regs"]:
+                merged = np.maximum(
+                    merged, np.frombuffer(blob, dtype=np.uint8))
+            out_g.append(None if g == "n" else g[2:])   # undo surrogate
+            out_est.append(_estimate(merged))
+        return pa.table({group_col: pa.array(out_g, pa.string()),
+                         "approx_distinct": pa.array(out_est,
+                                                     pa.float64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("__gk").map_groups(merge, batch_format="pandas")
+
+
 # --- Bloom filter ---------------------------------------------------------
 #
 # The membership sketch that turns a large-side anti/semi-join into a

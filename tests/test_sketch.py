@@ -140,3 +140,43 @@ def test_bloom_empty_and_saturation():
     m = 1 << 13
     sat = BloomFilter(_ray.put(b"\xff" * (m // 8)), m, 7)
     assert sat.contains_mask(pa.array([42], pa.int64())).to_pylist() == [True]
+
+
+def test_hll_per_group_matches_global_per_group(ray_session):
+    """Each group's grouped-HLL estimate is bit-identical to running the
+    global sketch on that group alone (same registers, same estimate);
+    null groups form their own group; null values are excluded."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from kg_gen_ray.functions.sketch import (hll_estimate,
+                                             hll_estimate_per_group)
+
+    tbl = pa.table({
+        "lang": (["en"] * 500 + ["de"] * 300 + [None] * 50 + ["fr"] * 2),
+        "text": ([f"e{i % 137}" for i in range(500)]
+                 + [f"d{i % 71}" for i in range(300)]
+                 + [f"n{i % 13}" for i in range(50)] + ["x", None])})
+    out = hll_estimate_per_group(
+        rd.from_arrow(tbl).repartition(6), "text", "lang").to_pandas()
+    assert set(out["lang"].fillna("<null>")) == {"en", "de", "fr", "<null>"}
+    for lang, truth in [("en", 137), ("de", 71), ("fr", 1)]:
+        sub = rd.from_arrow(tbl.filter(pc.equal(tbl["lang"], lang)))
+        g = hll_estimate(sub, "text")
+        got = float(out[out["lang"] == lang]["approx_distinct"].iloc[0])
+        assert got == g                        # same merged registers
+        assert abs(got - truth) / truth < 0.1  # and within HLL error
+    null_grp = float(out[out["lang"].isna()]["approx_distinct"].iloc[0])
+    assert abs(null_grp - 13) / 13 < 0.1
+
+
+def test_hll_per_group_zero_rows(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.functions.sketch import hll_estimate_per_group
+
+    empty = rd.from_arrow(pa.table({
+        "lang": pa.array([], pa.string()), "text": pa.array([], pa.string())}))
+    assert hll_estimate_per_group(empty, "text", "lang").count() == 0
