@@ -1570,11 +1570,13 @@ def oracle_sql() -> dict[str, str]:
         ws AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
                       count(DISTINCT w)::BIGINT AS n_unique_tokens
                FROM toks GROUP BY doc_id)
-        SELECT ws.doc_id, ws.n_tokens, ws.n_unique_tokens,
+        SELECT d.doc_id,
+               coalesce(ws.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(ws.n_unique_tokens, 0)::BIGINT AS n_unique_tokens,
                len(regexp_extract_all(d.text,
                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
                  AS n_re_tokens
-        FROM ws JOIN documents d USING (doc_id)"""
+        FROM documents d LEFT JOIN ws USING (doc_id)"""
 
     sql["paragraph_dedup"] = """
         WITH d AS (
@@ -2069,7 +2071,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh GROUP BY doc_id)
         SELECT s.doc_id, s.h0, s.h1, s.h2, s.h3,
                coalesce(cnt.n_shingles,
-                        CASE WHEN d.text = '' THEN 0 ELSE 1 END)::BIGINT
+                        CASE WHEN d.text = '' OR d.text IS NULL
+                             THEN 0 ELSE 1 END)::BIGINT
                  AS n_shingles
         FROM sigs s JOIN documents d USING (doc_id)
         LEFT JOIN cnt USING (doc_id)"""
@@ -2358,7 +2361,9 @@ def oracle_sql() -> dict[str, str]:
     # per-row integer conversion before summing (exact; see relational.py)
     sql["token_quantiles"] = """
         WITH toks AS (
-          SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+          SELECT lang,
+                 coalesce(len(string_split(text, ' ')), 0)::BIGINT
+                   AS n_tokens
           FROM documents)
         SELECT lang,
                quantile_disc(n_tokens, 0.5)::BIGINT AS p50,
