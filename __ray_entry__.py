@@ -886,13 +886,21 @@ def q_ann_topk_multi(sf_dir: str):
     return top[["query_id", "vec_id"]]
 
 
+def _seed_cents(emb) -> np.ndarray:
+    """First-8-vectors centroid convention, null-safe: a NULL embedding
+    cannot seed a centroid (np.stack would shape-error on the object
+    row) — drop nulls first, same WHERE as the oracle CTEs."""
+    from kg_gen_ray.stages.common import drop_null_rows
+    rows = drop_null_rows(emb, "embedding") \
+        .filter(expr="vec_id < 8").sort("vec_id").take_all()
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in rows])
+
+
 def q_ivf_assign(sf_dir: str):
     from kg_gen_ray.functions.ann import ivf_assign
     emb = _embeddings(sf_dir)
-    cents = np.stack([
-        np.asarray(r["embedding"], dtype=np.float64)
-        for r in emb.filter(expr="vec_id < 8").sort("vec_id").take_all()])
-    return ivf_assign(emb, cents)
+    return ivf_assign(emb, _seed_cents(emb))
 
 
 def q_ivf_topk(sf_dir: str):
@@ -904,10 +912,7 @@ def q_ivf_topk(sf_dir: str):
     from kg_gen_ray.functions.ann import get_query_vector, ivf_topk
     emb = _embeddings(sf_dir)
     q = get_query_vector(emb, 0)
-    cents = np.stack([
-        np.asarray(r["embedding"], dtype=np.float64)
-        for r in emb.filter(expr="vec_id < 8").sort("vec_id").take_all()])
-    return ivf_topk(emb, cents, q, k=10, n_probe=3)[["vec_id"]]
+    return ivf_topk(emb, _seed_cents(emb), q, k=10, n_probe=3)[["vec_id"]]
 
 
 def q_near_dup_cosine(sf_dir: str):
@@ -923,10 +928,7 @@ def q_semdedup(sf_dir: str):
     composition SQL-replayable; ``keep`` is int64 0/1."""
     from kg_gen_ray.functions.ann import semdedup
     emb = _embeddings(sf_dir)
-    cents = np.stack([
-        np.asarray(r["embedding"], dtype=np.float64)
-        for r in emb.filter(expr="vec_id < 8").sort("vec_id").take_all()])
-    return semdedup(emb, cents, threshold=0.3)
+    return semdedup(emb, _seed_cents(emb), threshold=0.3)
 
 
 
@@ -2128,8 +2130,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id = 0),
         fused AS (
           SELECT b.doc_id,
-                 0.5 * b.score + 0.5 * list_cosine_similarity(
-                     CAST(e.embedding AS DOUBLE[]), q.qv) AS fs
+                 0.5 * b.score + 0.5 * (list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / greatest(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv)), 1e-300)) AS fs
           FROM bscores b JOIN embeddings e ON e.vec_id = b.doc_id, q)
         SELECT doc_id FROM fused ORDER BY fs DESC, doc_id LIMIT 10"""
 
@@ -2262,8 +2263,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM embeddings WHERE vec_id = 0)
         SELECT vec_id FROM (
           SELECT e.vec_id,
-                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
-          FROM embeddings e, q)
+                 (list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / greatest(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv)), 1e-300)) AS s
+          FROM embeddings e, q WHERE e.embedding IS NOT NULL)
         ORDER BY s DESC, vec_id LIMIT 10"""
 
     sql["ann_topk_multi"] = """
@@ -2273,76 +2274,75 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, vec_id FROM (
           SELECT q.query_id, e.vec_id,
                  row_number() OVER (PARTITION BY q.query_id ORDER BY
-                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                          q.qv) DESC, e.vec_id) AS rn
-          FROM embeddings e CROSS JOIN q)
+                   (list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / greatest(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv)), 1e-300)) DESC, e.vec_id) AS rn
+          FROM embeddings e CROSS JOIN q WHERE e.embedding IS NOT NULL)
         WHERE rn <= 5"""
 
     sql["ivf_assign"] = """
-        WITH c AS (SELECT vec_id AS centroid_id,
+        WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                            AS centroid_id,
                           CAST(embedding AS DOUBLE[]) AS cv
-                   FROM embeddings WHERE vec_id < 8)
+                   FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL)
         SELECT vec_id, centroid_id FROM (
           SELECT e.vec_id, c.centroid_id,
                  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)
+                   (list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) / greatest(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(c.cv, c.cv)), 1e-300))
                    DESC, c.centroid_id) AS rn
-          FROM embeddings e CROSS JOIN c)
+          FROM embeddings e CROSS JOIN c WHERE e.embedding IS NOT NULL)
         WHERE rn = 1"""
 
     sql["ivf_topk"] = """
-        WITH c AS (SELECT vec_id AS centroid_id,
+        WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                            AS centroid_id,
                           CAST(embedding AS DOUBLE[]) AS cv
-                   FROM embeddings WHERE vec_id < 8),
+                   FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
              q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id = 0),
              probe AS (SELECT centroid_id FROM c, q
-                       ORDER BY list_cosine_similarity(cv, qv) DESC,
+                       ORDER BY (list_dot_product(cv, qv) / greatest(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 1e-300)) DESC,
                                 centroid_id LIMIT 3),
              assign AS (SELECT vec_id, centroid_id FROM (
                SELECT e.vec_id, c.centroid_id,
                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                        list_cosine_similarity(
-                          CAST(e.embedding AS DOUBLE[]), c.cv)
+                        (list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) / greatest(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(c.cv, c.cv)), 1e-300))
                         DESC, c.centroid_id) AS rn
-               FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+               FROM embeddings e CROSS JOIN c
+               WHERE e.embedding IS NOT NULL) WHERE rn = 1)
         SELECT e.vec_id FROM embeddings e
         JOIN assign a ON e.vec_id = a.vec_id
         JOIN probe p ON a.centroid_id = p.centroid_id
         CROSS JOIN q
-        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        q.qv) DESC, e.vec_id
+        ORDER BY (list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / greatest(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv)), 1e-300)) DESC, e.vec_id
         LIMIT 10"""
 
     sql["near_dup_cosine"] = """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+        WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+          AND (list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / greatest(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 1e-300)) >= 0.3"""
 
     # SemDeDup: assignment replayed exactly like ivf_assign; keep = no
     # LOWER-id same-cluster vector at cosine >= 0.3 (NOT EXISTS dominance,
     # matching the engine's order-free per-cluster mask)
     sql["semdedup"] = """
-        WITH c AS (SELECT vec_id AS centroid_id,
+        WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                            AS centroid_id,
                           CAST(embedding AS DOUBLE[]) AS cv
-                   FROM embeddings WHERE vec_id < 8),
+                   FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
              assign AS (SELECT vec_id, centroid_id FROM (
                SELECT e.vec_id, c.centroid_id,
                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                        list_cosine_similarity(
-                          CAST(e.embedding AS DOUBLE[]), c.cv)
+                        (list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) / greatest(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(c.cv, c.cv)), 1e-300))
                         DESC, c.centroid_id) AS rn
-               FROM embeddings e CROSS JOIN c) WHERE rn = 1)
+               FROM embeddings e CROSS JOIN c
+               WHERE e.embedding IS NOT NULL) WHERE rn = 1)
         SELECT a.vec_id, a.centroid_id,
                CAST(NOT EXISTS (
                  SELECT 1 FROM assign a2
                  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
                  WHERE a2.centroid_id = a.centroid_id
                    AND a2.vec_id < a.vec_id
-                   AND list_cosine_similarity(
-                         CAST(e2.embedding AS DOUBLE[]),
-                         CAST(e.embedding AS DOUBLE[])) >= 0.3
+                   AND (list_dot_product(CAST(e2.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / greatest(sqrt(list_dot_product(CAST(e2.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 1e-300)) >= 0.3
                ) AS BIGINT) AS keep
         FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id"""
 
@@ -2378,7 +2378,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, ts, event_id,
                  lag(ts) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_ts
-          FROM events),
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         flagged AS (
           SELECT user_id, ts, event_id,
                  CASE WHEN prev_ts IS NULL
@@ -2400,7 +2401,7 @@ def oracle_sql() -> dict[str, str]:
           FROM numbered GROUP BY user_id, session_id)
         SELECT e.event_id, s.session_id, s.session_start, s.session_end,
                s.n_events AS session_n_events
-        FROM events e JOIN sess s
+        FROM events e LEFT JOIN sess s
           ON e.user_id = s.user_id
          AND e.ts BETWEEN s.session_start AND s.session_end"""
 
@@ -2510,7 +2511,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, value,
                  make_timestamp((floor(epoch(ts) / 1800) * 1800 * 1000000)::BIGINT)
                    AS s1
-          FROM events),
+          FROM events WHERE ts IS NOT NULL),
         exploded AS (
           SELECT event_type, value, s1 AS window_start FROM w
           UNION ALL
@@ -2519,27 +2520,38 @@ def oracle_sql() -> dict[str, str]:
                date_trunc('hour', ts) AS window_start,
                count(*)::BIGINT AS n_events,
                sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
-        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, date_trunc('hour', ts)
         UNION ALL
         SELECT 'sliding_1h_30m', event_type, window_start,
                count(*)::BIGINT,
                sum(round(value * 100)::BIGINT)::BIGINT
         FROM exploded GROUP BY event_type, window_start"""
 
+    # null-ts events are listed explicitly with a NULL payload: the
+    # engine's convention is "unknown time -> no match", while DuckDB's
+    # ASOF JOIN will happily match a NULL probe timestamp
     sql["events_asof"] = """
         WITH o1 AS (
           SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
-          FROM orders GROUP BY o_custkey, o_orderdate)
+          FROM orders GROUP BY o_custkey, o_orderdate),
+        ev AS (SELECT event_id, user_id, ts FROM events
+               WHERE ts IS NOT NULL),
+        nullev AS (SELECT event_id FROM events WHERE ts IS NULL)
         SELECT e.event_id, 'backward' AS direction,
                o1.o_totalprice AS totalprice
-        FROM events e
+        FROM ev e
         ASOF LEFT JOIN o1
           ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
         UNION ALL
+        SELECT event_id, 'backward', NULL::DOUBLE FROM nullev
+        UNION ALL
         SELECT e.event_id, 'forward' AS direction,
                o1.o_totalprice AS totalprice
-        FROM events e
+        FROM ev e
         ASOF LEFT JOIN o1
-          ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate"""
+          ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate
+        UNION ALL
+        SELECT event_id, 'forward', NULL::DOUBLE FROM nullev"""
 
     return sql

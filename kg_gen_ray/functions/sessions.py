@@ -33,8 +33,13 @@ def sessionize(events: "ray.data.Dataset", gap_sec: int,
     counts are bounded in practice; a timestamp-range repartition would
     replace this for pathological users)."""
     from kg_gen_ray.functions.windows import _drop_null_ts
-    from kg_gen_ray.stages.common import default_buckets, hash_bucket_array
+    from kg_gen_ray.stages.common import (default_buckets, drop_null_rows,
+                                          hash_bucket_array)
     events = _drop_null_ts(events, ts_col)  # unknown time -> no session
+    # unknown user -> no session either (the SQL mirror's inner join on
+    # user_id can never match NULL); dropping here also keeps the int64
+    # uid column null-free through the numpy session fold
+    events = drop_null_rows(events, user_col)
     gap_us = gap_sec * 1_000_000
     # lazy input: callers that know their scale pass n_buckets (one
     # bucket should stay under common.TARGET_BUCKET_BYTES of event rows)

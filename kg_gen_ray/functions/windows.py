@@ -28,7 +28,44 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+# module-level (pickle-by-value compatibility): worker-side UDF bodies
+# must not lazily import kg_gen_ray
+from kg_gen_ray.functions.sessions import _arrow_group_key
+
 US = 1_000_000
+
+
+def _encode_key(t: pa.Table, key_col: str) -> pa.Table:
+    """Swap ``key_col`` for its null-free string surrogate before a
+    groupby: Ray's sort-based shuffle cannot order null keys across
+    blocks (TypeError on None < str), and silently dropping the null
+    group would diverge from SQL GROUP BY. Same surrogate as every
+    grouped op (``sessions._arrow_group_key``)."""
+    idx = t.schema.get_field_index(key_col)
+    return t.set_column(idx, "__gk", _arrow_group_key(t[key_col]))
+
+
+def _decode_key(ds: "ray.data.Dataset", key_col: str,
+                key_type) -> "ray.data.Dataset":
+    """Undo ``_encode_key`` after the aggregate: 'n' -> null, 'v:x' -> x,
+    cast back to the input column's Arrow type."""
+
+    def dec(t: pa.Table) -> pa.Table:
+        gk = pc.cast(t["__gk"], pa.string())
+        key = pc.if_else(
+            pc.equal(gk, pa.scalar("n")), pa.scalar(None, pa.string()),
+            pc.utf8_slice_codeunits(gk, 2, 1 << 30))
+        return t.set_column(t.schema.get_field_index("__gk"), key_col,
+                            pc.cast(key, key_type))
+
+    return ds.map_batches(dec, batch_format="pyarrow")
+
+
+def _key_type(events: "ray.data.Dataset", key_col: str):
+    schema = events.schema()
+    if schema is None:          # schemaless empty input: no rows will
+        return pa.string()      # reach decode, any type works
+    return schema.base_schema.field(key_col).type
 
 
 def _ts_us(arr: "pa.ChunkedArray") -> np.ndarray:
@@ -52,20 +89,22 @@ def tumbling_window(events: "ray.data.Dataset", window_sec: int,
     """(key, window_start, n_events, sum_<value_col>) — fixed windows."""
     events = _drop_null_ts(events, ts_col)
     w_us = window_sec * US
+    ktype = _key_type(events, key_col)
 
     def bucket(t: pa.Table) -> pa.Table:
         ts = _ts_us(t[ts_col])
         start = (ts // w_us) * w_us
-        return pa.table({
+        return _encode_key(pa.table({
             key_col: t[key_col],
             "window_start": pa.array(start).cast(pa.timestamp("us")),
             value_col: t[value_col],
-        })
+        }), key_col)
 
-    return (events.map_batches(bucket, batch_format="pyarrow")
-            .groupby([key_col, "window_start"])
-            .aggregate(Count(alias_name="n_events"),
-                       Sum(value_col, alias_name=f"sum_{value_col}")))
+    agg = (events.map_batches(bucket, batch_format="pyarrow")
+           .groupby(["__gk", "window_start"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum(value_col, alias_name=f"sum_{value_col}")))
+    return _decode_key(agg, key_col, ktype)
 
 
 def sliding_window(events: "ray.data.Dataset", window_sec: int,
@@ -78,6 +117,7 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
     if window_sec % slide_sec != 0:
         raise ValueError("window_sec must be a multiple of slide_sec")
     events = _drop_null_ts(events, ts_col)
+    ktype = _key_type(events, key_col)
     w_us, s_us = window_sec * US, slide_sec * US
     k = window_sec // slide_sec   # windows covering each row
 
@@ -93,17 +133,18 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
         row_idx = np.repeat(np.arange(n), k)
         keys = t[key_col].combine_chunks().take(pa.array(row_idx))
         vals = t[value_col].combine_chunks().take(pa.array(row_idx))
-        return pa.table({
+        return _encode_key(pa.table({
             key_col: keys,
             "window_start": pa.array(starts.ravel())
                               .cast(pa.timestamp("us")),
             value_col: vals,
-        })
+        }), key_col)
 
-    return (events.map_batches(explode, batch_format="pyarrow")
-            .groupby([key_col, "window_start"])
-            .aggregate(Count(alias_name="n_events"),
-                       Sum(value_col, alias_name=f"sum_{value_col}")))
+    agg = (events.map_batches(explode, batch_format="pyarrow")
+           .groupby(["__gk", "window_start"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum(value_col, alias_name=f"sum_{value_col}")))
+    return _decode_key(agg, key_col, ktype)
 
 
 def multi_window(events: "ray.data.Dataset",
@@ -126,6 +167,7 @@ def multi_window(events: "ray.data.Dataset",
             raise ValueError(
                 f"window_sec must be a multiple of slide_sec ({kind})")
     events = _drop_null_ts(events, ts_col)
+    ktype = _key_type(events, key_col)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -144,7 +186,7 @@ def multi_window(events: "ray.data.Dataset",
             rows.append(ridx)
             starts_all.append(starts.ravel())
         row_idx = pa.array(np.concatenate(rows) if rows else [], pa.int64())
-        return pa.table({
+        return _encode_key(pa.table({
             "window_kind": pa.array(
                 np.concatenate(kinds) if kinds else [], pa.string()),
             key_col: t[key_col].combine_chunks().take(row_idx),
@@ -152,12 +194,13 @@ def multi_window(events: "ray.data.Dataset",
                 np.concatenate(starts_all) if starts_all
                 else np.array([], dtype=np.int64)).cast(pa.timestamp("us")),
             value_col: t[value_col].combine_chunks().take(row_idx),
-        })
+        }), key_col)
 
-    return (events.map_batches(explode, batch_format="pyarrow")
-            .groupby(["window_kind", key_col, "window_start"])
-            .aggregate(Count(alias_name="n_events"),
-                       Sum(value_col, alias_name=f"sum_{value_col}")))
+    agg = (events.map_batches(explode, batch_format="pyarrow")
+           .groupby(["window_kind", "__gk", "window_start"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum(value_col, alias_name=f"sum_{value_col}")))
+    return _decode_key(agg, key_col, ktype)
 
 
 def range_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",

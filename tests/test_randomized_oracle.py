@@ -99,3 +99,104 @@ def test_query_matches_oracle_on_fuzzed_corpus(ray_session, fuzz_dir, name):
     assert sorted(map(str, rdf.columns)) == sorted(map(str, odf.columns))
     assert len(rdf) == len(odf), (len(rdf), len(odf))
     assert _value_hash(rdf) == _value_hash(odf)
+
+
+# --- events + embeddings fuzz (time/vector families) ------------------------
+
+EVENT_QUERIES = ["events_windows", "events_asof", "events_session_assign"]
+VECTOR_QUERIES = ["ann_topk", "ann_topk_multi", "ivf_assign", "ivf_topk",
+                  "near_dup_cosine", "semdedup"]
+
+
+def _fuzz_events(path: str, rng) -> None:
+    n = 600
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = [None if rng.random() < 0.04 else
+          base + np.timedelta64(int(rng.integers(0, 72 * 3600)), "s")
+          for _ in range(n)]
+    tbl = pa.table({
+        "event_id": pa.array(rng.permutation(np.arange(1, n + 1)),
+                             pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(
+            [None if rng.random() < 0.05 else int(rng.integers(0, 25))
+             for _ in range(n)], pa.int64()),
+        "event_type": pa.array(
+            [str(rng.choice(["click", "view", "buy", "💳pay", ""]))
+             if rng.random() > 0.03 else None for _ in range(n)],
+            pa.string()),
+        "value": pa.array(
+            [None if rng.random() < 0.05
+             else round(float(rng.normal(0, 50)), 4)  # incl. negatives
+             for _ in range(n)], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(path, "events.parquet"))
+
+
+def _fuzz_embeddings(path: str, rng) -> None:
+    n, dim = 250, 8
+    vecs = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.04:
+            vecs.append(None)                      # null vector
+        elif r < 0.08:
+            vecs.append([0.0] * dim)               # zero vector (norm edge)
+        elif r < 0.4 and vecs:
+            prev = next((v for v in reversed(vecs) if v), None)
+            vecs.append(list(prev) if prev else
+                        [float(x) for x in rng.normal(0, 1, dim)])
+        else:
+            vecs.append([round(float(x), 4)
+                         for x in rng.normal(0, 1, dim)])
+    ids = rng.permutation(np.arange(n))        # fixture ids start at 0
+    # vec_id 0 is the conventional query vector (get_query_vector(emb, 0));
+    # a null QUERY is degenerate input, not a fuzz target — pin it dense
+    zero_at = int(np.flatnonzero(ids == 0)[0])
+    if vecs[zero_at] is None:
+        vecs[zero_at] = [round(float(x), 4) for x in rng.normal(0, 1, dim)]
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(
+            [int(rng.integers(0, 5)) for _ in range(n)], pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir_tv(tmp_path_factory):
+    path = os.path.join(str(tmp_path_factory.mktemp("fuzz_tv")), "sf")
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(9241)
+    _fuzz_events(path, rng)
+    _fuzz_embeddings(path, rng)
+    # events_asof joins the orders dimension: fixture copy, events fuzzed
+    for t in ("orders", "lineitem", "customer", "nation", "region",
+              "supplier", "part"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(path, f"{t}.parquet"))
+    return path
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES + VECTOR_QUERIES)
+def test_time_vector_queries_match_oracle_on_fuzz(ray_session, fuzz_dir_tv,
+                                                  name):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as mod
+
+    res = mod.queries()[name](fuzz_dir_tv)
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+    con = duckdb.connect()
+    for t in ("events", "embeddings", "orders", "lineitem", "customer",
+              "nation", "region", "supplier", "part"):
+        if os.path.exists(f"{fuzz_dir_tv}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{fuzz_dir_tv}/{t}.parquet')")
+    odf = con.execute(mod.oracle_sql()[name]).df()
+    assert sorted(map(str, rdf.columns)) == sorted(map(str, odf.columns))
+    assert len(rdf) == len(odf), (len(rdf), len(odf))
+    assert _value_hash(rdf) == _value_hash(odf)
