@@ -1241,14 +1241,28 @@ def q_grouped_topk(sf_dir: str):
 # oracle SQL (DuckDB) — mirrors the deterministic semantics exactly
 # ---------------------------------------------------------------------------
 
-_URL = ("'https://example.org/' || lang || '/doc-' || "
+_URL = ("'https://example.org/' || coalesce(lang, 'unknown') || '/doc-' || "
         "lpad(CAST(doc_id AS VARCHAR), 6, '0')")
 
-_DOCS = f"docs AS (SELECT doc_id, lang, text, {_URL} AS url FROM documents)"
+_DOCS = ("docs AS (SELECT doc_id, coalesce(lang, 'unknown') AS lang, "
+         f"text, {_URL} AS url FROM documents)")
 
 _TOKS = ("toks AS (SELECT url, lang, doc_id, "
          "unnest(string_split(text, ' ')) AS w, "
          "generate_subscripts(string_split(text, ' '), 1) AS pos FROM docs)")
+
+# the chunk stage consumes text.strip() (reference chunk_text semantics;
+# whitespace-only pages chunk to nothing), so the token stream the
+# TRIPLE EXTRACTOR sees is over the STRIPPED text — replayed with the
+# same python-str.strip character set. Every other tokenizing operator
+# (token counts, shingles, tf-idf, bm25) consumes the raw text (_TOKS).
+_STRIP = "(' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+_TOKS_STRIPPED = (
+    "toks AS (SELECT url, lang, doc_id, "
+    f"unnest(string_split(trim(text, {_STRIP}), ' ')) AS w, "
+    f"generate_subscripts(string_split(trim(text, {_STRIP}), ' '), 1)"
+    " AS pos FROM docs "
+    f"WHERE trim(text, {_STRIP}) <> '')")
 
 _RAW_TRIPLES = (
     "raw AS ("
@@ -1304,7 +1318,7 @@ _CANONICAL = (
     "JOIN alias_entity ae_o ON ae_o.member = t.obj "
     "JOIN alias_edge ap ON ap.member = t.pred)")
 
-_KG_PREFIX = f"WITH {_DOCS}, {_TOKS}, {_RAW_TRIPLES}, {_TRIPLES}"
+_KG_PREFIX = f"WITH {_DOCS}, {_TOKS_STRIPPED}, {_RAW_TRIPLES}, {_TRIPLES}"
 _KG_CANON_PREFIX = f"{_KG_PREFIX}, {_ALIAS_FULL}, {_CANONICAL}"
 
 # shingles with the <3-token / empty-text fallback (mirrors shingle_set)
@@ -1374,7 +1388,8 @@ def oracle_sql() -> dict[str, str]:
     # the engine's utf8_trim uses
     _ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
     sql["kg_pages"] = f"""
-        SELECT {_URL} AS url, lang, length(text)::BIGINT AS n_chars,
+        SELECT {_URL} AS url, coalesce(lang, 'unknown') AS lang,
+               length(text)::BIGINT AS n_chars,
                TIMESTAMP '2026-01-01'
                    + (doc_id % 1000000000) * INTERVAL '1 second' AS warc_ts,
                regexp_replace(regexp_replace(
@@ -1394,7 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, (bucket * 2097152 + rnk)::BIGINT AS minted_id FROM r"""
 
     sql["kg_extract_text"] = f"""
-        SELECT {_URL} AS url, text FROM documents"""
+        SELECT {_URL} AS url, coalesce(text, '') AS text FROM documents"""
 
     # Sequential chunk packing as a recursive CTE over word positions.
     # The synthetic corpus contains no sentence terminators ([.!?]), so
@@ -1412,7 +1427,8 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_chunks"] = f"""
         WITH RECURSIVE {_DOCS},
         longdocs AS (SELECT doc_id FROM docs
-                     WHERE text <> '' AND length(text) > 200),
+                     WHERE trim(text, (' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) <> ''
+                       AND length(text) > 200),
         w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                       generate_subscripts(string_split(text, ' '), 1) AS pos0
                FROM docs WHERE doc_id IN (SELECT doc_id FROM longdocs)),
@@ -1439,8 +1455,8 @@ def oracle_sql() -> dict[str, str]:
         chunks AS (
           SELECT doc_id, chunk_id, text FROM packed
           UNION ALL
-          SELECT doc_id, 0, trim(text) FROM docs
-          WHERE text <> '' AND length(text) <= 200)
+          SELECT doc_id, 0, trim(text, (' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) FROM docs
+          WHERE trim(text, (' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) <> '' AND length(text) <= 200)
         SELECT d.url, c.chunk_id, c.text, d.lang
         FROM chunks c JOIN docs d USING (doc_id)"""
 

@@ -64,8 +64,14 @@ def _pages_batch(batch: pa.Table) -> pa.Table:
     ids = pc.cast(batch["doc_id"], pa.int64())
     idstr = pc.cast(ids, pa.string())
     text = pc.cast(batch["text"], pa.string())
+    # unknown language is a VALUE, not a hole: a null lang would
+    # propagate into a null url (no page identity) and null triple
+    # objects (crash the canonicalize sort); 'unknown' routes to the
+    # default extractor like any unlisted language
+    lang = pc.coalesce(pc.cast(batch["lang"], pa.string()),
+                       pa.scalar("unknown"))
     urls = pc.binary_join_element_wise(
-        "https://example.org/", pc.cast(batch["lang"], pa.string()),
+        "https://example.org/", lang,
         "/doc-", pc.utf8_lpad(idstr, 6, "0"), "")
     ids_np = ids.to_numpy(zero_copy_only=False)
     ts_us = _EPOCH_US + (ids_np % _TS_MOD) * 1_000_000
@@ -79,7 +85,7 @@ def _pages_batch(batch: pa.Table) -> pa.Table:
         "warc_ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
         "html": html,
         "text": pc.cast(batch["text"], pa.large_string()),
-        "lang": batch["lang"],
+        "lang": lang,
     })
 
 

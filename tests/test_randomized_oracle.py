@@ -20,6 +20,11 @@ FUZZ_QUERIES = [
     "crawl_delta", "paragraph_dedup", "dedup_simhash", "text_tokens",
     "approx_distinct_by_lang", "grouped_topk", "minhash_signatures",
     "dedup_spans", "token_quantiles",
+    # the KG-construction chain itself (null lang -> 'unknown' pages,
+    # null text -> no chunks, stripped-token triple stream)
+    "kg_pages", "kg_extract_text", "kg_chunks", "kg_triples",
+    "kg_canonical_triples", "kg_alias_map", "kg_components",
+    "kg_pagerank", "kg_degrees", "kg_top", "kg_graph_stats",
 ]
 
 _TEMPLATES = [
@@ -49,8 +54,13 @@ def _fuzz_corpus(tmpdir: str, seed: int = 4117, n: int = 300) -> str:
             texts.append(_TEMPLATES[int(rng.integers(len(_TEMPLATES)))])
         else:                                # unique-ish compositions
             k = int(rng.integers(1, 4))
-            parts = [_TEMPLATES[int(rng.integers(len(_TEMPLATES)))]
-                     for _ in range(k)]
+            # whitespace-only parts stay whole-doc rows (above): a
+            # multi-space INTER-SENTENCE run inside a composition is the
+            # one family the chunk oracle cannot replay (the engine, like
+            # the reference chunker, joins sentences with single spaces)
+            parts = [t for t in
+                     (_TEMPLATES[int(rng.integers(len(_TEMPLATES)))]
+                      for _ in range(k)) if t.strip()]
             texts.append(f"u{i} " + ". ".join(parts))
         lang_col.append(langs[int(rng.integers(len(langs)))])
     tbl = pa.table({
