@@ -252,8 +252,11 @@ def q_mint_doc_ids(sf_dir: str):
     # derive urls directly from (doc_id, lang) — the full pages mapping
     # would scan + entity-escape every text column only to drop it
     def urls(t: pa.Table) -> pa.Table:
+        # same null-lang -> 'unknown' normalization as pages_from_documents
         return pa.table({"url": pc.binary_join_element_wise(
-            "https://example.org/", pc.cast(t["lang"], pa.string()),
+            "https://example.org/",
+            pc.coalesce(pc.cast(t["lang"], pa.string()),
+                        pa.scalar("unknown")),
             "/doc-", pc.utf8_lpad(
                 pc.cast(t["doc_id"], pa.string()), 6, "0"), "")})
 
@@ -591,11 +594,18 @@ def q_hygiene_counts(sf_dir: str):
                                 dedup_method="fast",
                                 gopher_rules={"min_stop_hits": 1,
                                               "max_mean_word_len": 5.0})
+    from kg_gen_ray.functions.sessions import _arrow_group_key
+
     packed = res.packed.materialize()
     n_packed = packed.count()
     n_sequences = 0
-    for r in packed.groupby("lang") \
-                   .aggregate(Max("seq_id", alias_name="mx")).take_all():
+    # group on the null-free surrogate: a null lang group would crash
+    # Ray's sort shuffle (None < str)
+    gk = packed.map_batches(
+        lambda t, _agk=_arrow_group_key: t.append_column(
+            "__gk", _agk(t["lang"])), batch_format="pyarrow")
+    for r in gk.groupby("__gk") \
+               .aggregate(Max("seq_id", alias_name="mx")).take_all():
         n_sequences += int(r["mx"]) + 1
     c = res.counts
     return pd.DataFrame({
@@ -724,10 +734,13 @@ def q_messages_flatten(sf_dir: str):
     from kg_gen_ray.sources.messages import conversations_to_pages
 
     def to_convs(t: pa.Table) -> pa.Table:
+        # null text -> empty content, null lang -> 'unknown' (the page
+        # ingest normalization; a None would render as the literal
+        # string 'None' in the flattened line)
         msgs = [
-            [{"role": "user", "content": txt},
+            [{"role": "user", "content": txt or ""},
              {"role": "system", "content": "ignored"},
-             {"role": "assistant", "content": f"lang={lang}"}]
+             {"role": "assistant", "content": f"lang={lang or 'unknown'}"}]
             for txt, lang in zip(
                 pc.cast(t["text"], pa.string()).to_pylist(),
                 t["lang"].to_pylist())
@@ -935,7 +948,9 @@ def q_semdedup(sf_dir: str):
 def _media(sf_dir: str):
     """documents -> media rows (binary payload = UTF-8 text bytes)."""
     def to_media(t: pa.Table) -> pa.Table:
-        texts = [s.encode("utf-8") for s in
+        # null text -> empty payload (a crashed per-row encode would put
+        # the actor pool into a restart loop, not a clean failure)
+        texts = [(s or "").encode("utf-8") for s in
                  pc.cast(t["text"], pa.string()).to_pylist()]
         return pa.table({
             "media_id": pc.cast(t["doc_id"], pa.int64()),
@@ -1366,9 +1381,11 @@ _FSH = (
     f" + {_hu32('ts[2]')}) % {_P64}] "
     f"ELSE [{_hu32('ts[1]')}::HUGEINT] END AS shs FROM fts)")
 
+# null text -> the engine's empty-set sentinel (u64 max), not NULL
 _FSIGS = ("fsigs AS (SELECT doc_id, " + ", ".join(
-    f"list_min(list_transform(shs, s -> ((s::HUGEINT * {_FA[k]} + {_FB[k]})"
-    f" % {_P64})))::UBIGINT AS m{k}" for k in range(4)) + " FROM fsh)")
+    f"coalesce(list_min(list_transform(shs, s -> ((s::HUGEINT * {_FA[k]}"
+    f" + {_FB[k]}) % {_P64})))::UBIGINT, 18446744073709551615) AS m{k}"
+    for k in range(4)) + " FROM fsh)")
 
 _FBANDS = (
     "fbands AS ("
@@ -1532,7 +1549,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'Q' || (doc_id % 97) AS question_id,
                  'what is in document ' || doc_id AS question,
                  'Doc ' || doc_id AS document_title,
-                 substr(text, 1, 24) AS answer,
+                 coalesce(substr(text, 1, 24), '') AS answer,
                  (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
                      AS label,
                  doc_id AS row_idx
@@ -1781,7 +1798,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN m.mean_micro <= th.t33 THEN 'tail'
                     WHEN m.mean_micro <= th.t66 THEN 'middle'
                     ELSE 'head' END AS ppl_bucket
-        FROM m LEFT JOIN th USING (lang)"""
+        FROM m LEFT JOIN th ON m.lang IS NOT DISTINCT FROM th.lang"""
 
     # text_quality carries the merged lang-id column: marker-word voting
     # with the LangId actor's exact tiebreak (strictly more hits wins, ties
@@ -1916,7 +1933,14 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN b3 USING (doc_id)
         LEFT JOIN cov5 c5 USING (doc_id)
         LEFT JOIN (SELECT doc_id, mlang FROM best WHERE rn = 1 AND n > 0) b
-          USING (doc_id)"""
+          USING (doc_id)
+        UNION ALL
+        -- null text -> the engine's all-zero signal row ('unknown' lang):
+        -- the token CTE has no rows for a NULL split, so these docs
+        -- never reach the joins above
+        SELECT doc_id, 0::BIGINT, 0::BIGINT, 0.0, 0.0, 0.0, 'unknown',
+               0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0::BIGINT, 0.0, 0.0
+        FROM documents WHERE text IS NULL"""
 
     # SimHash: md5-prefix uint64 token hashes, ±1 per bit per occurrence,
     # sign-threshold packing — bit ops DuckDB replays exactly
@@ -2023,7 +2047,8 @@ def oracle_sql() -> dict[str, str]:
                       THEN f.seq_id ELSE f.seq_id + 1 END,
                  CASE WHEN f.run + o.n <= 2048
                       THEN f.run + o.n ELSE o.n END
-          FROM fold f JOIN ord o ON o.lang = f.lang AND o.rn = f.rn + 1)
+          FROM fold f JOIN ord o
+            ON o.lang IS NOT DISTINCT FROM f.lang AND o.rn = f.rn + 1)
         SELECT
           (SELECT count(*) FROM documents)::BIGINT AS n_input,
           (SELECT count(*) FROM sdocs)::BIGINT AS n_scrubbed,
@@ -2191,7 +2216,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["messages_flatten"] = f"""
         SELECT 'conv://' || doc_id AS url,
-               'user: ' || text || chr(10) || 'assistant: lang=' || lang
+               'user: ' || coalesce(text, '') || chr(10)
+                 || 'assistant: lang=' || coalesce(lang, 'unknown')
                  AS text
         FROM documents"""
 
@@ -2365,11 +2391,14 @@ def oracle_sql() -> dict[str, str]:
     # frames ⋈ probe dims. FakeCodec.probe: md5(payload) digest bytes 0 and
     # 1 -> dims; frame payload = md5(b"frame{i}:" + utf8(text)) — string
     # concat + md5 reproduces the digest hex exactly
-    _HEXB = ("(16 * (strpos('0123456789abcdef', substr(md5(text), {a}, 1)) - 1)"
-             " + strpos('0123456789abcdef', substr(md5(text), {b}, 1)) - 1)")
+    _HEXB = ("(16 * (strpos('0123456789abcdef', "
+             "substr(md5(coalesce(text, '')), {a}, 1)) - 1)"
+             " + strpos('0123456789abcdef', "
+             "substr(md5(coalesce(text, '')), {b}, 1)) - 1)")
     sql["media_frames"] = f"""
         SELECT d.doc_id AS media_id, j AS frame_id,
-               md5('frame' || j || ':' || d.text) AS frame_md5,
+               md5('frame' || j || ':' || coalesce(d.text, ''))
+                 AS frame_md5,
                (16 + {_HEXB.format(a=1, b=2)} % 240)::BIGINT AS width,
                (16 + {_HEXB.format(a=3, b=4)} % 240)::BIGINT AS height
         FROM documents d CROSS JOIN (SELECT unnest(range(3)) AS j) f"""

@@ -405,7 +405,12 @@ def perplexity_buckets(docs: "ray.data.Dataset", text_col: str = "text",
         enc = pc.dictionary_encode(lg_col)
         codes = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
         out = np.full(t.num_rows, None, dtype=object)
-        for idx, lg in enumerate(enc.dictionary.to_pylist()):
+        # null lang is a GROUP (SQL PARTITION BY semantics — the tercile
+        # table carries a None row); its rows sit at code -1 after the
+        # fill, which no dictionary index can match, so pair them up here
+        buckets = [(idx, lg) for idx, lg in
+                   enumerate(enc.dictionary.to_pylist())] + [(-1, None)]
+        for idx, lg in buckets:
             if lg not in th:
                 continue
             t33, t66 = th[lg]

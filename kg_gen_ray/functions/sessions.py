@@ -419,14 +419,21 @@ def pack_sequences(ds: "ray.data.Dataset", max_tokens: int,
                     pc.cast(t[token_col], pa.int64()), 0)})
         counted = ds.map_batches(rename, batch_format="pyarrow")
 
+    def add_gk(t: pa.Table) -> pa.Table:
+        # group on the null-free surrogate (Ray's sort shuffle cannot
+        # order null keys); the original group VALUE rides along and is
+        # what the output carries — a null group packs like any other
+        return t.append_column("__gk", _arrow_group_key(t[group_col]))
+
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="stable")
         out = g.copy()
         out["seq_id"] = greedy_pack(g["n_tokens"].to_numpy(), max_tokens)
         return out[[group_col, id_col, "seq_id", "n_tokens"]]
 
-    return counted.groupby(group_col).map_groups(per_group,
-                                                 batch_format="pandas")
+    return counted.map_batches(add_gk, batch_format="pyarrow") \
+                  .groupby("__gk").map_groups(per_group,
+                                              batch_format="pandas")
 
 
 def seeded_shuffle(ds: "ray.data.Dataset", n_shards: int,
