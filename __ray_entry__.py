@@ -378,7 +378,8 @@ def q_kg_semantic_alias(sf_dir: str):
     Oracle-checkable at driver scale by a PROVABLE reduction: with the
     deterministic norm-equality judge, when a cluster's judged chunk is
     fully covered by retrieval (``retrieval_k`` >= chunk size - 1, forced
-    here with retrieval_k=128 >= the corpus's distinct-label count), the
+    here with a retrieval_k far above any driver corpus's distinct-label
+    count — the fuzz corpora exceed 128, which a fixed 128 missed), the
     sequential loop takes members in (len, lex) order, merges exactly each
     member's whole normalization-key family, and elects the family's
     (len, lex)-min member as representative — i.e. the output equals the
@@ -392,7 +393,11 @@ def q_kg_semantic_alias(sf_dir: str):
     from kg_gen_ray.pipelines.kg_pipeline import entity_labels
     from kg_gen_ray.stages.semantic_dedup import semantic_canonicalize
     labels = entity_labels(_distinct_triples(sf_dir))
-    return semantic_canonicalize(labels, retrieval_k=128)
+    # one k-means cell + full retrieval coverage at ANY driver-corpus
+    # size (the fixed defaults only guaranteed the reduction below 128
+    # labels); the multi-cell capacity-capped regime stays pytest-covered
+    return semantic_canonicalize(labels, retrieval_k=100_000,
+                                 cluster_capacity=1_000_000)
 
 
 def q_kg_incremental(sf_dir: str):

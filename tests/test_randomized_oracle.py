@@ -101,9 +101,12 @@ def _value_hash(df) -> str:
         "\n".join(",".join(r) for r in rows).encode()).hexdigest()
 
 
-@pytest.fixture(scope="module")
-def fuzz_dir(tmp_path_factory):
-    return _fuzz_corpus(str(tmp_path_factory.mktemp("fuzz")))
+@pytest.fixture(scope="module", params=[4117, 90210])
+def fuzz_dir(tmp_path_factory, request):
+    """Two seeds: different null layouts, duplicate collisions, and
+    md5-bucket placements per corpus."""
+    return _fuzz_corpus(str(tmp_path_factory.mktemp("fuzz")),
+                        seed=request.param)
 
 
 @pytest.mark.parametrize("name", FUZZ_QUERIES)
