@@ -145,6 +145,19 @@ def canonicalize_triples(raw: "ray.data.Dataset",
 
     config = config or PipelineConfig()
     sp = config.shuffle_partitions
+
+    def drop_null_parts(t: "pa.Table") -> "pa.Table":
+        # a triple with ANY null component is invalid (an entity or
+        # relation cannot be NULL — our extractors never emit one, but
+        # aggregated EXTERNAL graphs can): drop at entry, else the null
+        # label crashes the canonicalize sort shuffle
+        import pyarrow.compute as pc
+        mask = pc.and_(pc.and_(pc.is_valid(t["subj"]),
+                               pc.is_valid(t["pred"])),
+                       pc.is_valid(t["obj"]))
+        return t.filter(mask)
+
+    raw = raw.map_batches(drop_null_parts, batch_format="pyarrow")
     triples = compact_if_small(
         distinct(raw, ["subj", "pred", "obj"], sp).materialize())
 

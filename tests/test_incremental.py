@@ -120,3 +120,17 @@ def test_recrawl_delta_composition(ray_session):
     gb = {(r["subj"], r["pred"], r["obj"])
           for r in batch.triples.take_all()}
     assert gi == gb and len(gi) > 0
+
+
+def test_aggregate_drops_null_triple_parts(ray_session):
+    """An aggregated EXTERNAL graph can carry null triple components; a
+    triple with any NULL part is invalid and drops at canonicalize entry
+    (our extractors never emit one — a null label would otherwise crash
+    the canonicalize sort shuffle)."""
+    a = _triples([("cats", "eat", "fish")])
+    b = rd.from_arrow(pa.table({
+        "subj": ["dog", None], "pred": [None, "eat"],
+        "obj": ["bone", "mice"]}))
+    res = aggregate_graphs([a, b])
+    got = {(r["subj"], r["pred"], r["obj"]) for r in res.triples.take_all()}
+    assert got == {("cats", "eat", "fish")}
