@@ -894,9 +894,13 @@ def q_ann_topk_multi(sf_dir: str):
     one broadcast (Q, d) query matrix, one corpus scan, per-block
     per-query partial top-k. Queries = vectors 0/5/9, k=5."""
     from kg_gen_ray.functions.ann import brute_force_topk_multi
+    from kg_gen_ray.stages.common import drop_null_rows
     emb = _embeddings(sf_dir)
-    qrows = emb.filter(expr="vec_id == 0 or vec_id == 5 or vec_id == 9") \
-               .sort("vec_id").take_all()
+    # a null query vector has no top-k: drop it from the query set (same
+    # WHERE as the oracle's q CTE)
+    qrows = drop_null_rows(emb, "embedding") \
+        .filter(expr="vec_id == 0 or vec_id == 5 or vec_id == 9") \
+        .sort("vec_id").take_all()
     qm = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                    for r in qrows])
     top = brute_force_topk_multi(
@@ -2317,7 +2321,8 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_topk_multi"] = """
         WITH q AS (SELECT vec_id AS query_id,
                           CAST(embedding AS DOUBLE[]) AS qv
-                   FROM embeddings WHERE vec_id IN (0, 5, 9))
+                   FROM embeddings WHERE vec_id IN (0, 5, 9)
+                     AND embedding IS NOT NULL)
         SELECT query_id, vec_id FROM (
           SELECT q.query_id, e.vec_id,
                  row_number() OVER (PARTITION BY q.query_id ORDER BY

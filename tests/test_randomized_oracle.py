@@ -191,11 +191,11 @@ def _fuzz_embeddings(path: str, rng) -> None:
     pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
 
 
-@pytest.fixture(scope="module")
-def fuzz_dir_tv(tmp_path_factory):
+@pytest.fixture(scope="module", params=[9241, 1337])
+def fuzz_dir_tv(tmp_path_factory, request):
     path = os.path.join(str(tmp_path_factory.mktemp("fuzz_tv")), "sf")
     os.makedirs(path, exist_ok=True)
-    rng = np.random.default_rng(9241)
+    rng = np.random.default_rng(request.param)
     _fuzz_events(path, rng)
     _fuzz_embeddings(path, rng)
     # events_asof joins the orders dimension: fixture copy, events fuzzed
@@ -222,6 +222,52 @@ def test_time_vector_queries_match_oracle_on_fuzz(ray_session, fuzz_dir_tv,
         if os.path.exists(f"{fuzz_dir_tv}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{fuzz_dir_tv}/{t}.parquet')")
+    odf = con.execute(mod.oracle_sql()[name]).df()
+    assert sorted(map(str, rdf.columns)) == sorted(map(str, odf.columns))
+    assert len(rdf) == len(odf), (len(rdf), len(odf))
+    assert _value_hash(rdf) == _value_hash(odf)
+
+
+# --- adversarial corpus: one giant duplicate class ---------------------------
+
+DUP_QUERIES = ["near_dup_canonical", "paragraph_dedup", "dedup_spans",
+               "minhash_band_pairs", "dedup_exact", "crawl_delta",
+               "seeded_shuffle"]
+
+
+@pytest.fixture(scope="module")
+def dup_dir(tmp_path_factory):
+    """Every document carries the SAME text — the hot-bucket /
+    single-duplicate-class extreme that stresses pair prefilters,
+    chain pairing, and loser-side exchanges."""
+    path = os.path.join(str(tmp_path_factory.mktemp("fuzz_dup")), "sf")
+    os.makedirs(path, exist_ok=True)
+    n = 200
+    text = ("the cat sat on the mat. the dog ate the bone. "
+            "boilerplate footer appears on every page")
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "text": pa.array([text] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s0"] * n, pa.string()),
+        "n_chars": pa.array([len(text)] * n, pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(path, "documents.parquet"))
+    return path
+
+
+@pytest.mark.parametrize("name", DUP_QUERIES)
+def test_all_duplicates_corpus_matches_oracle(ray_session, dup_dir, name):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as mod
+
+    res = mod.queries()[name](dup_dir)
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dup_dir}/documents.parquet')")
     odf = con.execute(mod.oracle_sql()[name]).df()
     assert sorted(map(str, rdf.columns)) == sorted(map(str, odf.columns))
     assert len(rdf) == len(odf), (len(rdf), len(odf))
