@@ -191,6 +191,29 @@ def _fuzz_embeddings(path: str, rng) -> None:
     pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
 
 
+def _fuzz_orders(path: str, rng) -> None:
+    """Fuzzed as-of dimension: null custkeys/orderdates, duplicate
+    (custkey, date) rows (the oracle pre-aggregates with max)."""
+    n = 150
+    base = np.datetime64("2024-02-25T00:00:00", "us")
+    tbl = pa.table({
+        "o_orderkey": pa.array(range(1, n + 1), pa.int64()),
+        "o_custkey": pa.array(
+            [None if rng.random() < 0.06 else int(rng.integers(0, 25))
+             for _ in range(n)], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n, pa.string()),
+        "o_totalprice": pa.array(
+            [round(float(rng.uniform(10, 1000)), 2) for _ in range(n)],
+            pa.float64()),
+        "o_orderdate": pa.array(
+            [None if rng.random() < 0.05 else
+             base + np.timedelta64(int(rng.integers(0, 96 * 3600)), "s")
+             for _ in range(n)], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(path, "orders.parquet"))
+
+
 @pytest.fixture(scope="module", params=[9241, 1337])
 def fuzz_dir_tv(tmp_path_factory, request):
     path = os.path.join(str(tmp_path_factory.mktemp("fuzz_tv")), "sf")
@@ -198,12 +221,7 @@ def fuzz_dir_tv(tmp_path_factory, request):
     rng = np.random.default_rng(request.param)
     _fuzz_events(path, rng)
     _fuzz_embeddings(path, rng)
-    # events_asof joins the orders dimension: fixture copy, events fuzzed
-    for t in ("orders", "lineitem", "customer", "nation", "region",
-              "supplier", "part"):
-        src = f"/root/testdata/sf0.001/{t}.parquet"
-        if os.path.exists(src):
-            os.symlink(src, os.path.join(path, f"{t}.parquet"))
+    _fuzz_orders(path, rng)
     return path
 
 
