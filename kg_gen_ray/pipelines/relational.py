@@ -22,6 +22,7 @@ from ray.data.aggregate import Sum
 
 # module-level (pickle-by-value compatibility): worker-side UDF bodies
 # must not lazily import kg_gen_ray
+from kg_gen_ray.functions.sessions import _arrow_group_key
 from kg_gen_ray.stages.common import dict_lookup, dual_limit, in_set_mask
 
 
@@ -55,38 +56,54 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
         mask = pc.less_equal(ship, pa.scalar(cutoff_us,
                                              pa.timestamp("us")))
         t = t.filter(mask)
-        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)
-        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        # null measures contribute 0 to their sum (SQL SUM skips NULL)
+        # while the row still counts toward count_order (COUNT(*)); a
+        # NaN would otherwise astype to INT64_MIN garbage
+        price = np.nan_to_num(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False), nan=0.0)
+        disc = np.nan_to_num(
+            t["l_discount"].to_numpy(zero_copy_only=False), nan=0.0)
+        qty = np.nan_to_num(
+            t["l_quantity"].to_numpy(zero_copy_only=False), nan=0.0)
         # convert to integer units PER ROW (2-decimal money -> cents is
         # exact; disc product -> 1e-4 units), then integer sums: a
         # round-at-the-end float sum diverges from the oracle once the
         # totals outgrow float64's 1e-16 relative precision
         tmp = pa.table({
-            "l_returnflag": t["l_returnflag"],
-            "l_linestatus": t["l_linestatus"],
+            # null group keys exchange on the null-free surrogate (Ray's
+            # sort shuffle cannot order None) — SQL GROUP BY keeps them
+            "__g1": _arrow_group_key(t["l_returnflag"]),
+            "__g2": _arrow_group_key(t["l_linestatus"]),
             "qty": pa.array(_half_away(qty * 100.0).astype(np.int64)),
             "base": pa.array(_half_away(price * 100.0).astype(np.int64)),
             "disc_price": pa.array(
                 _half_away(price * (1.0 - disc) * 10000.0).astype(np.int64)),
         })
-        agg = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        agg = tmp.group_by(["__g1", "__g2"]).aggregate(
             [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
              ([], "count_all")])
-        return agg.rename_columns(["l_returnflag", "l_linestatus",
+        return agg.rename_columns(["__g1", "__g2",
                                    "qty", "base", "disc_price", "n"])
 
     agg = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
+           .groupby(["__g1", "__g2"])
            .aggregate(Sum("qty", alias_name="sum_qty_cents"),
                       Sum("base", alias_name="sum_base_cents"),
                       Sum("disc_price", alias_name="sum_disc_e4"),
                       Sum("n", alias_name="count_order")))
 
+    def _ungk(col) -> pa.Array:
+        s = pc.cast(col, pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        return pc.if_else(pc.equal(s, pa.scalar("n")),
+                          pa.scalar(None, pa.string()),
+                          pc.utf8_slice_codeunits(s, 2, 1 << 30))
+
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
-            "l_returnflag": t["l_returnflag"],
-            "l_linestatus": t["l_linestatus"],
+            "l_returnflag": _ungk(t["__g1"]),
+            "l_linestatus": _ungk(t["__g2"]),
             "sum_qty_cents": pc.cast(t["sum_qty_cents"], pa.int64()),
             "sum_base_cents": pc.cast(t["sum_base_cents"], pa.int64()),
             "sum_disc_e4": pc.cast(t["sum_disc_e4"], pa.int64()),

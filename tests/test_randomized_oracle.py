@@ -290,3 +290,94 @@ def test_all_duplicates_corpus_matches_oracle(ray_session, dup_dir, name):
     assert sorted(map(str, rdf.columns)) == sorted(map(str, odf.columns))
     assert len(rdf) == len(odf), (len(rdf), len(odf))
     assert _value_hash(rdf) == _value_hash(odf)
+
+
+# --- relational fuzz (TPC-H-shaped tables with nulls) ------------------------
+
+RELATIONAL_QUERIES = ["pricing_summary", "revenue_by_region"]
+
+
+def _fuzz_relational(path: str, rng) -> None:
+    n = 400
+    base = np.datetime64("1995-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(1, n + 1), pa.int64()),
+        "l_partkey": pa.array(
+            [int(rng.integers(1, 50)) for _ in range(n)], pa.int64()),
+        "l_suppkey": pa.array(
+            [int(rng.integers(1, 20)) for _ in range(n)], pa.int64()),
+        "l_linenumber": pa.array([1] * n, pa.int32()),
+        "l_quantity": pa.array(
+            [None if rng.random() < 0.05
+             else round(float(rng.uniform(1, 50)), 2)
+             for _ in range(n)], pa.float64()),
+        "l_extendedprice": pa.array(
+            [None if rng.random() < 0.05
+             else round(float(rng.uniform(100, 10000)), 2)
+             for _ in range(n)], pa.float64()),
+        "l_discount": pa.array(
+            [round(float(rng.uniform(0, 0.1)), 2) for _ in range(n)],
+            pa.float64()),
+        "l_tax": pa.array(
+            [round(float(rng.uniform(0, 0.08)), 2) for _ in range(n)],
+            pa.float64()),
+        "l_returnflag": pa.array(
+            [None if rng.random() < 0.05
+             else str(rng.choice(["A", "N", "R"])) for _ in range(n)],
+            pa.string()),
+        "l_linestatus": pa.array(
+            [str(rng.choice(["O", "F"])) for _ in range(n)], pa.string()),
+        "l_shipdate": pa.array(
+            [None if rng.random() < 0.04
+             else base + np.timedelta64(int(rng.integers(0, 2000)), "D")
+             for _ in range(n)], pa.timestamp("us")),
+    }), os.path.join(path, "lineitem.parquet"))
+    nc = 60
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(1, nc + 1), pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(nc)], pa.string()),
+        "c_nationkey": pa.array(
+            [None if rng.random() < 0.05 else int(rng.integers(0, 5))
+             for _ in range(nc)], pa.int32()),
+        "c_acctbal": pa.array([0.0] * nc, pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING"] * nc, pa.string()),
+    }), os.path.join(path, "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(5), pa.int32()),
+        "n_name": pa.array([f"N{i}" for i in range(5)], pa.string()),
+        "n_regionkey": pa.array([0, 0, 1, 1, 2], pa.int32()),
+    }), os.path.join(path, "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(range(3), pa.int32()),
+        "r_name": pa.array(["AMERICA", "ASIA", "EUROPE"], pa.string()),
+    }), os.path.join(path, "region.parquet"))
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir_rel(tmp_path_factory):
+    path = os.path.join(str(tmp_path_factory.mktemp("fuzz_rel")), "sf")
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(2025)
+    _fuzz_relational(path, rng)
+    _fuzz_events(path, rng)   # revenue's orders side: reuse events dir?
+    _fuzz_orders(path, rng)
+    return path
+
+
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+def test_relational_queries_match_oracle_on_fuzz(ray_session, fuzz_dir_rel,
+                                                 name):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as mod
+
+    res = mod.queries()[name](fuzz_dir_rel)
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+    con = duckdb.connect()
+    for t in ("lineitem", "customer", "nation", "region", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{fuzz_dir_rel}/{t}.parquet')")
+    odf = con.execute(mod.oracle_sql()[name]).df()
+    assert sorted(map(str, rdf.columns)) == sorted(map(str, odf.columns))
+    assert len(rdf) == len(odf), (len(rdf), len(odf))
+    assert _value_hash(rdf) == _value_hash(odf)
