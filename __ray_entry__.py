@@ -1278,9 +1278,17 @@ _TOKS = ("toks AS (SELECT url, lang, doc_id, "
 # the chunk stage consumes text.strip() (reference chunk_text semantics;
 # whitespace-only pages chunk to nothing), so the token stream the
 # TRIPLE EXTRACTOR sees is over the STRIPPED text — replayed with the
-# same python-str.strip character set. Every other tokenizing operator
-# (token counts, shingles, tf-idf, bm25) consumes the raw text (_TOKS).
-_STRIP = "(' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+# same python-str.strip character set: ALL code points where
+# str.isspace() is true (ASCII 0x09-0x0D/0x20, the 0x1C-0x1F separators,
+# NEL 0x85, NBSP 0xA0, OGHAM 0x1680, the U+2000-200A spaces, LS/PS
+# U+2028/2029, NNBSP 0x202F, MMSP 0x205F, IDEOGRAPHIC 0x3000) — a
+# doc padded with non-ASCII whitespace strips identically in both
+# engines. Every other tokenizing operator (token counts, shingles,
+# tf-idf, bm25) consumes the raw text (_TOKS).
+_STRIP = "(' ' || " + " || ".join(
+    f"chr({cp})" for cp in
+    (9, 10, 11, 12, 13, 28, 29, 30, 31, 0x85, 0xA0, 0x1680,
+     *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000)) + ")"
 _TOKS_STRIPPED = (
     "toks AS (SELECT url, lang, doc_id, "
     f"unnest(string_split(trim(text, {_STRIP}), ' ')) AS w, "
@@ -1453,10 +1461,12 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_chunks"] = f"""
         WITH RECURSIVE {_DOCS},
         longdocs AS (SELECT doc_id FROM docs
-                     WHERE trim(text, (' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) <> ''
+                     WHERE trim(text, {_STRIP}) <> ''
                        AND length(text) > 200),
-        w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-                      generate_subscripts(string_split(text, ' '), 1) AS pos0
+        w0 AS (SELECT doc_id,
+                      unnest(string_split(trim(text, {_STRIP}), ' ')) AS word,
+                      generate_subscripts(
+                          string_split(trim(text, {_STRIP}), ' '), 1) AS pos0
                FROM docs WHERE doc_id IN (SELECT doc_id FROM longdocs)),
         w AS (SELECT doc_id, word,
                      row_number() OVER (PARTITION BY doc_id
@@ -1481,8 +1491,8 @@ def oracle_sql() -> dict[str, str]:
         chunks AS (
           SELECT doc_id, chunk_id, text FROM packed
           UNION ALL
-          SELECT doc_id, 0, trim(text, (' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) FROM docs
-          WHERE trim(text, (' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) <> '' AND length(text) <= 200)
+          SELECT doc_id, 0, trim(text, {_STRIP}) FROM docs
+          WHERE trim(text, {_STRIP}) <> '' AND length(text) <= 200)
         SELECT d.url, c.chunk_id, c.text, d.lang
         FROM chunks c JOIN docs d USING (doc_id)"""
 

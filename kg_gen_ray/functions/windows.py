@@ -87,9 +87,12 @@ def tumbling_window(events: "ray.data.Dataset", window_sec: int,
                     ts_col: str = "ts", key_col: str = "event_type",
                     value_col: str = "value") -> "ray.data.Dataset":
     """(key, window_start, n_events, sum_<value_col>) — fixed windows."""
+    # key type from the RAW input (parquet metadata — free) before the
+    # _drop_null_ts map_batches is appended; schema() on the mapped
+    # dataset would trigger partial plan execution (cf. asof_join)
+    ktype = _key_type(events, key_col)
     events = _drop_null_ts(events, ts_col)
     w_us = window_sec * US
-    ktype = _key_type(events, key_col)
 
     def bucket(t: pa.Table) -> pa.Table:
         ts = _ts_us(t[ts_col])
@@ -116,8 +119,8 @@ def sliding_window(events: "ray.data.Dataset", window_sec: int,
     to every window with start in (t - window, t], start ≡ 0 mod slide."""
     if window_sec % slide_sec != 0:
         raise ValueError("window_sec must be a multiple of slide_sec")
+    ktype = _key_type(events, key_col)   # before _drop_null_ts: metadata-only
     events = _drop_null_ts(events, ts_col)
-    ktype = _key_type(events, key_col)
     w_us, s_us = window_sec * US, slide_sec * US
     k = window_sec // slide_sec   # windows covering each row
 
@@ -166,8 +169,8 @@ def multi_window(events: "ray.data.Dataset",
         if w_sec % s_sec != 0:
             raise ValueError(
                 f"window_sec must be a multiple of slide_sec ({kind})")
+    ktype = _key_type(events, key_col)   # before _drop_null_ts: metadata-only
     events = _drop_null_ts(events, ts_col)
-    ktype = _key_type(events, key_col)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows

@@ -65,6 +65,13 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
             t["l_discount"].to_numpy(zero_copy_only=False), nan=0.0)
         qty = np.nan_to_num(
             t["l_quantity"].to_numpy(zero_copy_only=False), nan=0.0)
+        # the PRODUCT term is NULL (and skipped by SQL SUM) when EITHER
+        # factor is NULL — zeroing each factor alone would add the full
+        # undiscounted price when only l_discount is missing
+        disc_valid = pc.and_(
+            pc.is_valid(t["l_extendedprice"].combine_chunks()),
+            pc.is_valid(t["l_discount"].combine_chunks()),
+        ).to_numpy(zero_copy_only=False)
         # convert to integer units PER ROW (2-decimal money -> cents is
         # exact; disc product -> 1e-4 units), then integer sums: a
         # round-at-the-end float sum diverges from the oracle once the
@@ -77,7 +84,8 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"
             "qty": pa.array(_half_away(qty * 100.0).astype(np.int64)),
             "base": pa.array(_half_away(price * 100.0).astype(np.int64)),
             "disc_price": pa.array(
-                _half_away(price * (1.0 - disc) * 10000.0).astype(np.int64)),
+                (_half_away(price * (1.0 - disc) * 10000.0)
+                 * disc_valid).astype(np.int64)),
         })
         agg = tmp.group_by(["__g1", "__g2"]).aggregate(
             [("qty", "sum"), ("base", "sum"), ("disc_price", "sum"),
