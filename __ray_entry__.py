@@ -126,18 +126,34 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # EXACTLY 52 queries — the driver's correctness window — so every
-    # registry entry gets a driver row each round. Related operator
-    # variants are merged into combined-output queries (each component
-    # still oracle-checked via its own columns/rows); the merged-away
-    # standalones remain implemented + pytest-covered (see COVERAGE.md).
+    # 61 queries, 61 oracles. The round driver checks the FIRST 50
+    # entries (its fixed correctness window), so ordering is a coverage
+    # decision: the 11 entries the round-4 window missed come FIRST
+    # (mix_sample and seeded_shuffle had never had a driver row; the
+    # other nine were green in r3), and 11 round-4-green VARIANT queries
+    # are rotated to the tail — each tail family keeps an in-window
+    # representative (see COVERAGE.md "driver-window rotation" for the
+    # variant -> representative mapping). Every tail query stays fully
+    # oracled here and runs in the differential fuzz campaign + pytest.
     return {
+        # --- round-4 window misses, rotated in first (never-checked pair
+        #     leads)
+        "mix_sample": q_mix_sample,   # per-source mixture reweighting
+        "seeded_shuffle": q_seeded_shuffle,  # deterministic epoch shuffle
+        "hash_sample": q_hash_sample,
+        "grouped_topk": q_grouped_topk,
+        "token_quantiles": q_token_quantiles,
+        "media_frames": q_media_frames,                # frames ⋈ probe dims
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_region": q_revenue_by_region,
+        "events_windows": q_events_windows,            # tumbling + sliding
+        "events_asof": q_events_asof,                  # backward + forward
+        "events_session_assign": q_events_session_assign,  # sessionize + range join
         # --- KG pipeline chain (SURVEY.md §2: S1,M1,M2,X1/X2,A1,A2,A4,J1,T3,A6)
         "kg_pages": q_kg_pages,
         "mint_doc_ids": q_mint_doc_ids,    # url -> packed-key int64 ids
         "kg_extract_text": q_kg_extract_text,
         "kg_chunks": q_kg_chunks,
-        "kg_triples_raw": q_kg_triples_raw,
         "kg_triples": q_kg_triples,
         # (kg_nodes merged into kg_degrees: nodes_table's (entity, degree)
         # is exactly kg_degrees' first two columns, so the node-table
@@ -146,11 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_map": q_kg_alias_map,
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_top": q_kg_top,   # top entities (A6/T3) + top relations (A2/T3)
-        "kg_graph_stats": q_kg_graph_stats,
         "kg_degrees": q_kg_degrees,            # + kg_nodes columns
         "kg_components": q_kg_components,
         "kg_pagerank": q_kg_pagerank,
-        "kg_triples_routed": q_kg_triples_routed,
         "kg_semantic_alias": q_kg_semantic_alias,     # value-oracled via the deterministic-judge reduction
         "kg_incremental": q_kg_incremental,
         "kg_triples_llm": q_kg_triples_llm,
@@ -159,7 +173,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,                # quality scores + lang-id
         "paragraph_dedup": q_paragraph_dedup,          # CCNet boilerplate pass
         "lm_score": q_lm_score,                        # CCNet perplexity filter
-        "ppl_buckets": q_ppl_buckets,          # CCNet head/middle/tail split
         "dsir_weights": q_dsir_weights,        # DSIR importance resampling
         # (top_bigrams rotated out for hygiene_counts: its groupby-count +
         # deterministic top-k ordering shape stays oracled via
@@ -169,14 +182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": q_crawl_delta,          # snapshot diff (recrawl planner)
         "tfidf_top_terms": q_tfidf_top_terms,
         "approx_distinct_docs": q_approx_distinct,     # HLL estimate (oracle-exact)
-        "approx_distinct_by_lang": q_approx_distinct_by_lang,  # grouped HLL
         # --- dedup family
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,    # + shingle counts
         "minhash_band_pairs": q_minhash_band_pairs,
-        "minhash_sig_fast": q_minhash_sig_fast,
-        "doc_winnow": q_doc_winnow,
-        "near_dup_jaccard": q_near_dup_jaccard,
         "dedup_spans": q_dedup_spans,          # Lee et al. substring dedup
         # --- serving-surface ops run through the engine (M7, S2/M3, J3,
         #     S7+M6 wikiqa CSV round-trip + clean, X7+A7 MINE eval)
@@ -185,33 +194,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wikiqa_clean": q_wikiqa_clean,
         "mine_accuracy": q_mine_accuracy,
         "kg_neighborhood": q_kg_neighborhood,
-        "dedup_simhash": q_dedup_simhash,
         "near_dup_canonical": q_near_dup_canonical,
         # --- retrieval (SURVEY §2 X4 BM25 / T2 rank fusion)
         "bm25_scores": q_bm25_scores,
         "rank_fusion_topk": q_rank_fusion_topk,
         # --- similarity search
         "ann_topk": q_ann_topk,
-        "ann_topk_multi": q_ann_topk_multi,  # batched query matrix
-        "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,       # probed-list ANN search (X5+T1)
         "near_dup_cosine": q_near_dup_cosine,
         "semdedup": q_semdedup,       # cluster-pruned embedding dedup
-        # --- multimodal (binary payload plumbing; FakeCodec determinism)
-        "media_frames": q_media_frames,                # frames ⋈ probe dims
-        # --- relational pipelines (TPC-H-style operator demos)
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_region": q_revenue_by_region,
-        # --- events (time bucketing, windows, as-of)
-        "events_windows": q_events_windows,            # tumbling + sliding
-        "events_asof": q_events_asof,                  # backward + forward
-        "events_session_assign": q_events_session_assign,  # sessionize + range join
-        # --- sampling / per-group top-k
-        "hash_sample": q_hash_sample,
-        "mix_sample": q_mix_sample,   # per-source mixture reweighting
-        "seeded_shuffle": q_seeded_shuffle,  # deterministic epoch shuffle
-        "grouped_topk": q_grouped_topk,
-        "token_quantiles": q_token_quantiles,
+        # ================= driver-window tail (entries 51-61) =============
+        # Round-4-green VARIANT queries rotated OUT of the 50-entry driver
+        # window; each keeps an in-window representative of its family
+        # (COVERAGE.md "driver-window rotation"). All stay oracled +
+        # fuzz-covered; /tmp-style full-registry verify runs check them.
+        "kg_triples_raw": q_kg_triples_raw,        # pre-dedup stage of kg_triples
+        "kg_triples_routed": q_kg_triples_routed,  # routing variant of kg_triples
+        "kg_graph_stats": q_kg_graph_stats,        # A6 family: degrees/components/pagerank in-window
+        "ppl_buckets": q_ppl_buckets,              # bucket split over lm_score's scores
+        "approx_distinct_by_lang": q_approx_distinct_by_lang,  # grouped HLL (global in-window)
+        "minhash_sig_fast": q_minhash_sig_fast,    # fast variant of minhash_signatures
+        "doc_winnow": q_doc_winnow,                # fingerprint variant (dedup family)
+        "dedup_simhash": q_dedup_simhash,          # simhash variant (dedup family)
+        "near_dup_jaccard": q_near_dup_jaccard,    # verify stage inside near_dup_canonical
+        "ann_topk_multi": q_ann_topk_multi,        # batched variant of ann_topk
+        "ivf_assign": q_ivf_assign,                # assignment stage inside ivf_topk
     }
 
 
