@@ -500,10 +500,11 @@ class LangId:
         })
 
 
-def lang_id_stage(docs: "ray.data.Dataset", concurrency: int = 2
+def lang_id_stage(docs: "ray.data.Dataset", concurrency=None
                   ) -> "ray.data.Dataset":
+    from kg_gen_ray.stages.common import elastic_concurrency
     return docs.map_batches(LangId, batch_format="pyarrow",
-                            concurrency=concurrency)
+                            concurrency=elastic_concurrency(concurrency))
 
 
 def top_ngrams(docs: "ray.data.Dataset", n: int = 2, k: int = 20,

@@ -112,6 +112,34 @@ def resolve_shuffle_partitions(shuffle_partitions):
     return int(shuffle_partitions)
 
 
+def elastic_concurrency(requested=None, cap: int | None = None):
+    """Actor-pool sizing that cannot deadlock a small session.
+
+    A FIXED pool size is a liveness bug on a busy cluster: two chained
+    pools whose fixed sizes together exceed the free CPU slots wait on
+    each other forever (observed: two ``concurrency=2`` media pools
+    under a 4-CPU session). Returns an autoscaling ``(1, max)`` range
+    instead — min 1 keeps every pool schedulable; max is the requested
+    size, else cluster CPUs (optionally capped), so a wide cluster still
+    gets a wide pool.
+
+    ``requested``: an int pins max (tuples pass through untouched for
+    callers that need an explicit floor and accept the liveness risk).
+    """
+    if isinstance(requested, tuple):
+        return requested
+    if requested is not None:
+        return (1, max(1, int(requested)))
+    try:
+        n = int(ray.cluster_resources().get("CPU", 2)) \
+            if ray.is_initialized() else 2
+    except Exception:
+        n = 2
+    if cap is not None:
+        n = min(n, cap)
+    return (1, max(1, n))
+
+
 # one bucket is one map_groups task's working set; pandas conversion and
 # the per-bucket sort cost ~2-3x this in heap, so 128 MB keeps a task
 # comfortably inside a worker even with several running per node

@@ -67,9 +67,11 @@ class SentenceTransformerEmbedder:
 
 
 def embed_stage(labels: "ray.data.Dataset", backend: str = "hash",
-                dim: int = 64, concurrency: int = 2,
+                dim: int = 64, concurrency=None,
                 model_name: str = "all-mpnet-base-v2") -> "ray.data.Dataset":
     """distinct labels(member) -> (member, embedding list<float32>)."""
+    from kg_gen_ray.stages.common import elastic_concurrency
+    concurrency = elastic_concurrency(concurrency)
     if backend == "hash":
         return labels.map_batches(HashEmbedder, fn_constructor_args=(dim,),
                                   batch_format="pyarrow",

@@ -40,6 +40,7 @@ from kg_gen_ray.config import ExtractorConfig, PipelineConfig
 # this module by value (see __ray_entry__ pickle-by-value fallback) must not
 # re-import kg_gen_ray at call time
 from kg_gen_ray.stages.chunker import split_sentences
+from kg_gen_ray.stages.common import elastic_concurrency
 
 TRIPLES_SCHEMA = pa.schema([
     ("subj", pa.string()),
@@ -302,12 +303,12 @@ class LLMFilter:
 
 
 def llm_filter_stage(ds: "ray.data.Dataset", question: str, transport,
-                     text_col: str = "text", concurrency=2,
+                     text_col: str = "text", concurrency=None,
                      batch_size: int = 256) -> "ray.data.Dataset":
     return ds.map_batches(LLMFilter,
                           fn_constructor_args=(question, transport, text_col),
                           batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+                          concurrency=elastic_concurrency(concurrency))
 
 
 class KeywordFilterTransport:
@@ -422,7 +423,7 @@ def extract_stage(chunks: "ray.data.Dataset", config: PipelineConfig,
             fn_constructor_args=(config, transports),
             batch_format="pyarrow",
             batch_size=config.extractor_batch_size,
-            concurrency=config.extractor_concurrency,
+            concurrency=elastic_concurrency(config.extractor_concurrency),
         )
     return chunks.map_batches(
         functools.partial(_task_extract, config=config),

@@ -30,6 +30,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from kg_gen_ray.stages.common import elastic_concurrency
+
 _CTX_MARK = "Context:\n"
 _ANS_MARK = "\n\nCorrect Answer:\n"
 _TASK_MARK = "\n\nTask:\n"
@@ -81,13 +83,13 @@ class AnswerJudge:
 def answer_judge_stage(ds: "ray.data.Dataset", transport,
                        answer_col: str = "correct_answer",
                        context_col: str = "context",
-                       concurrency=2,
+                       concurrency=None,
                        batch_size: int = 256) -> "ray.data.Dataset":
     return ds.map_batches(
         AnswerJudge,
         fn_constructor_args=(transport, answer_col, context_col),
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=elastic_concurrency(concurrency))
 
 
 class ContainmentJudgeTransport:

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray.data
 
-from kg_gen_ray.stages.common import drop_null_rows
+from kg_gen_ray.stages.common import drop_null_rows, elastic_concurrency
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -196,44 +196,48 @@ class FrameSample:
         })
 
 
-def probe_stage(media: "ray.data.Dataset", concurrency: int = 2,
+def probe_stage(media: "ray.data.Dataset", concurrency=None,
                 batch_size: int = 32,
                 codec_cls=FakeCodec) -> "ray.data.Dataset":
     media = drop_null_rows(media, "content")   # null payload: undecodable
     return media.map_batches(MediaProbe, batch_format="pyarrow",
                              fn_constructor_kwargs={"codec_cls": codec_cls},
-                             batch_size=batch_size, concurrency=concurrency,
+                             batch_size=batch_size,
+                             concurrency=elastic_concurrency(concurrency),
                              zero_copy_batch=True)
 
 
 def features_stage(media: "ray.data.Dataset", dim: int = 16,
-                   concurrency: int = 2, batch_size: int = 32,
+                   concurrency=None, batch_size: int = 32,
                    codec_cls=FakeCodec) -> "ray.data.Dataset":
     media = drop_null_rows(media, "content")   # null payload: undecodable
     return media.map_batches(MediaFeatures, batch_format="pyarrow",
                              fn_constructor_kwargs={"dim": dim,
                                                     "codec_cls": codec_cls},
-                             batch_size=batch_size, concurrency=concurrency,
+                             batch_size=batch_size,
+                             concurrency=elastic_concurrency(concurrency),
                              zero_copy_batch=True)
 
 
 def resize_stage(media: "ray.data.Dataset", width: int, height: int,
-                 concurrency: int = 2, batch_size: int = 16,
+                 concurrency=None, batch_size: int = 16,
                  codec_cls=FakeCodec) -> "ray.data.Dataset":
     media = drop_null_rows(media, "content")   # null payload: undecodable
     return media.map_batches(MediaResize, batch_format="pyarrow",
                              fn_constructor_args=(width, height),
                              fn_constructor_kwargs={"codec_cls": codec_cls},
-                             batch_size=batch_size, concurrency=concurrency,
+                             batch_size=batch_size,
+                             concurrency=elastic_concurrency(concurrency),
                              zero_copy_batch=True)
 
 
 def frame_sample_stage(media: "ray.data.Dataset", n_frames: int,
-                       concurrency: int = 2, batch_size: int = 8,
+                       concurrency=None, batch_size: int = 8,
                        codec_cls=FakeCodec) -> "ray.data.Dataset":
     media = drop_null_rows(media, "content")   # null payload: undecodable
     return media.map_batches(FrameSample, batch_format="pyarrow",
                              fn_constructor_args=(n_frames,),
                              fn_constructor_kwargs={"codec_cls": codec_cls},
-                             batch_size=batch_size, concurrency=concurrency,
+                             batch_size=batch_size,
+                             concurrency=elastic_concurrency(concurrency),
                              zero_copy_batch=True)

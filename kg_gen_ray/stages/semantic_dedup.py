@@ -149,7 +149,7 @@ def semantic_canonicalize(labels: "ray.data.Dataset",
                           cluster_capacity: int = CLUSTER_CAPACITY,
                           retrieval_k: int = RETRIEVAL_K,
                           judge=norm_equality_judge,
-                          embed_concurrency: int = 2,
+                          embed_concurrency=None,
                           kmeans_iter: int = 5,
                           assign_broadcast_limit: int = 128 * 1024 * 1024
                           ) -> "ray.data.Dataset":

@@ -34,9 +34,11 @@ FUZZ_QUERIES = [
     "near_dup_jaccard", "text_quality", "llm_filter", "hygiene_counts",
     "approx_distinct_docs", "messages_flatten", "wikiqa_clean",
     "mine_accuracy",
-    # media_frames is EXCLUDED here: its two fixed actor pools + join
-    # deadlock under the 4-CPU test session (verified green at >= 8
-    # CPUs, where the driver runs it)
+    # media_frames once deadlocked here (two FIXED concurrency=2 actor
+    # pools under the 4-CPU test session); elastic (1, n) pool sizing
+    # made it schedulable at any session width — regression-pinned by
+    # keeping it in this 4-CPU campaign
+    "media_frames",
 ]
 
 _TEMPLATES = [
