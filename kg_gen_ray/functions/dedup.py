@@ -226,13 +226,21 @@ def band_rows(batch: pa.Table) -> pa.Table:
 
 def minhash_lsh_pairs(docs: "ray.data.Dataset",
                       shuffle_partitions=None,
-                      pair_mode: str = "all") -> "ray.data.Dataset":
+                      pair_mode: str = "all",
+                      broadcast_limit: int = 64 * 1024 * 1024
+                      ) -> "ray.data.Dataset":
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Almost every bucket holds exactly one doc, so pairing work is gated by
     a *hot-bucket prefilter*: a vectorized Count aggregate finds buckets
-    with >= 2 docs (a tiny set by construction), that key set is broadcast,
-    and only matching band rows reach the per-bucket pairing groupby.
+    with >= 2 docs, and only matching band rows reach the per-bucket
+    pairing groupby. The hot-key restriction is size-selected: on a
+    healthy corpus the set is tiny and ships once via ``ray.put``; on a
+    dup-heavy crawl it is O(duplicated-doc clusters) — exactly what
+    near-dup dedup exists for — so above the broadcast budget the band
+    rows are restricted by a hash semi-join against the hot-key dataset
+    instead (same dual as ``jaccard_verify``'s candidate restriction;
+    ``KG_FORCE_JOIN_DUALS=1`` exercises it at test scale).
     Output distinct (doc_a, doc_b), doc_a < doc_b.
 
     ``pair_mode="chain"`` links consecutive sorted ids per bucket instead
@@ -250,20 +258,36 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset",
     rows = coalesce(docs.map_batches(band_rows, batch_format="pyarrow"),
                     shuffle_partitions).materialize()
 
-    # distributed n>=2 filter FIRST; only the (tiny) hot keys reach the
-    # driver — the full one-row-per-doc bucket-count table never does
+    # distributed n>=2 filter FIRST; the full one-row-per-doc
+    # bucket-count table never reaches the driver
     hot_ds = rows.groupby("band_key").aggregate(Count(alias_name="n")) \
-                 .filter(expr="n >= 2").select_columns(["band_key"])
-    hot = {r["band_key"] for r in hot_ds.take_all()}
-    if not hot:
-        import pyarrow as _pa
-        return ray.data.from_arrow(_pa.table({
-            "doc_a": _pa.array([], _pa.int64()),
-            "doc_b": _pa.array([], _pa.int64())}))
-    hot_ref = ray.put(hot)
+                 .filter(expr="n >= 2").select_columns(["band_key"]) \
+                 .materialize()
+    if (hot_ds.size_bytes() or 0) <= dual_limit(broadcast_limit):
+        # broadcast dual: tiny hot set -> one driver collection + ray.put
+        # (the empty set stays on this side: 0 bytes <= any limit)
+        hot = {r["band_key"] for r in hot_ds.take_all()}
+        if not hot:
+            import pyarrow as _pa
+            return ray.data.from_arrow(_pa.table({
+                "doc_a": _pa.array([], _pa.int64()),
+                "doc_b": _pa.array([], _pa.int64())}))
+        hot_ref = ray.put(hot)
 
-    def only_hot(t: pa.Table, hot_ref=hot_ref) -> pa.Table:
-        return t.filter(in_set_mask(t["band_key"], hot_ref))
+        def only_hot(t: pa.Table, hot_ref=hot_ref) -> pa.Table:
+            return t.filter(in_set_mask(t["band_key"], hot_ref))
+
+        rows = rows.map_batches(only_hot, batch_format="pyarrow")
+    else:
+        # semi-join dual: hot keys stay distributed; band rows shuffle
+        # once on band_key (they were about to shuffle for the pairing
+        # groupby anyway). repartition normalizes the aggregate lineage's
+        # schemaless empty partitions before the pyarrow join.
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        rows = rows.select_columns(["band_key", "doc_id"]) \
+                   .repartition(n_parts) \
+                   .join(hot_ds.repartition(n_parts), join_type="inner",
+                         on=("band_key",), num_partitions=n_parts)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g["doc_id"]))
@@ -275,8 +299,7 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset",
             "doc_b": [b for _, b in combos],
         })
 
-    cand = rows.map_batches(only_hot, batch_format="pyarrow") \
-               .groupby("band_key").map_groups(pairs, batch_format="pandas")
+    cand = rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
     return distinct(cand, ["doc_a", "doc_b"], shuffle_partitions)
 
 

@@ -506,18 +506,48 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
             "doc_a": pa.array(out_a, pa.int64()),
             "doc_b": pa.array(out_b, pa.int64())}))
 
-    # distributed n>=2 filter FIRST; only hot keys reach the driver
-    hot_ds = rows.groupby("band_key").aggregate(Count(alias_name="n")) \
-                 .filter(expr="n >= 2").select_columns(["band_key"])
-    hot = {r["band_key"] for r in hot_ds.take_all()}
-    if not hot:
-        return ray.data.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64())}))
-    ref = ray.put(hot)
+    # distributed n>=2 filter FIRST; the full bucket-count table never
+    # reaches the driver. The hot-key restriction is itself
+    # size-selected: tiny hot set -> driver collect + broadcast;
+    # dup-heavy crawl (hot set is O(duplicated-doc clusters), above the
+    # broadcast budget) -> hash semi-join against hot_ds, hot keys never
+    # leave the cluster (same dual as jaccard_verify's candidate
+    # restriction; KG_FORCE_JOIN_DUALS=1 exercises it at test scale).
+    # The uint64 key is bit-viewed as int64 first: Ray's aggregate emits
+    # uint64 group keys as a pickled-object extension column, which the
+    # pyarrow hash join cannot key on — the int64 VIEW is a bijection, so
+    # grouping, hotness, and the pair set are unchanged.
+    def _i64(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "band_key": t["band_key"].combine_chunks().view(pa.int64()),
+            "doc_id": t["doc_id"],
+        })
 
-    def only_hot(t: pa.Table, ref=ref) -> pa.Table:
-        return t.filter(in_set_mask(t["band_key"], ref))
+    rows = rows.map_batches(_i64, batch_format="pyarrow").materialize()
+    hot_ds = rows.groupby("band_key").aggregate(Count(alias_name="n")) \
+                 .filter(expr="n >= 2").select_columns(["band_key"]) \
+                 .materialize()
+    if (hot_ds.size_bytes() or 0) <= dual_limit(broadcast_limit):
+        hot = {r["band_key"] for r in hot_ds.take_all()}
+        if not hot:
+            return ray.data.from_arrow(pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64())}))
+        ref = ray.put(hot)
+
+        def only_hot(t: pa.Table, ref=ref) -> pa.Table:
+            return t.filter(in_set_mask(t["band_key"], ref))
+
+        rows = rows.map_batches(only_hot, batch_format="pyarrow")
+    else:
+        # repartition normalizes the aggregate lineage's schemaless empty
+        # partitions before the pyarrow join; the band rows were about to
+        # shuffle on band_key for the pairing groupby anyway
+        n_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        rows = rows.select_columns(["band_key", "doc_id"]) \
+                   .repartition(n_parts) \
+                   .join(hot_ds.repartition(n_parts), join_type="inner",
+                         on=("band_key",), num_partitions=n_parts)
 
     import pandas as pd
 
@@ -535,6 +565,6 @@ def minhash_lsh_pairs_fast(docs, shuffle_partitions=None,
                 b.append(ids[j])
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
-    pairs = rows.map_batches(only_hot, batch_format="pyarrow") \
-        .groupby("band_key").map_groups(pair_up, batch_format="pandas")
+    pairs = rows.groupby("band_key").map_groups(pair_up,
+                                                batch_format="pandas")
     return distinct(pairs, ["doc_a", "doc_b"], shuffle_partitions)

@@ -53,6 +53,19 @@ def test_minhash_lsh_finds_planted_near_dup(ray_session):
     assert (0, 3) in pairs            # exact dup always collides
     assert (0, 1) in pairs or (1, 3) in pairs   # near-dup shares >=1 band
     assert (0, 2) not in pairs        # unrelated text must not collide
+    # the hot-bucket semi-join dual (forced via broadcast_limit=0) must
+    # produce the identical pair set — the hot-key restriction is
+    # size-selected, not driver-only
+    dual = {(r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(ds, broadcast_limit=0).take_all()}
+    assert dual == pairs
+    # chain mode's dual too (consecutive-id links per bucket)
+    chain = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(ds, pair_mode="chain").take_all()}
+    chain_dual = {(r["doc_a"], r["doc_b"])
+                  for r in minhash_lsh_pairs(
+                      ds, pair_mode="chain", broadcast_limit=0).take_all()}
+    assert chain_dual == chain
 
 
 def test_jaccard_verify(ray_session):
