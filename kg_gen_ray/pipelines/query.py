@@ -113,26 +113,37 @@ def relevant_nodes(triples: "ray.data.Dataset", query: str, k: int = 8,
                    dim: int = 64) -> list:
     """Top-k entities by embedding cosine to the query (ref
     ``retrieve_relevant_nodes``, kg_gen.py:370-384; hash-embedder backend
-    here, SentenceTransformer in production)."""
+    here, SentenceTransformer in production).
+
+    The entity-embedding table never reaches the driver: ids are minted
+    distributed (``functions.ids.mint_doc_ids`` — deterministic from the
+    label), the per-block partial top-k reduces to k rows, and only
+    those k ids map back to labels (broadcast-set filter). The returned
+    order is (score desc, member asc) — member, not internal vec_id, so
+    the ordering is independent of the id layout."""
     import numpy as np
     from kg_gen_ray.functions.ann import brute_force_topk
+    from kg_gen_ray.functions.ids import mint_doc_ids
     from kg_gen_ray.pipelines.kg_pipeline import entity_labels
+    from kg_gen_ray.stages.common import in_set_mask
     from kg_gen_ray.stages.embed import HashEmbedder, embed_stage
 
     labels = entity_labels(triples)
     emb = embed_stage(labels, backend="hash", dim=dim)
+    ds = mint_doc_ids(emb, key_col="member", id_col="vec_id").materialize()
 
-    # give rows a stable integer id by sorting labels (small table)
-    rows = emb.take_all()
-    rows.sort(key=lambda r: r["member"])
-    ids = pa.table({
-        "vec_id": pa.array(range(len(rows)), pa.int64()),
-        "member": pa.array([r["member"] for r in rows], pa.string()),
-        "embedding": pa.array([r["embedding"] for r in rows],
-                              pa.list_(pa.float32())),
-    })
-    ds = ray.data.from_arrow(ids)
     q = HashEmbedder(dim).embed_one(query).astype(np.float64)
-    top = brute_force_topk(ds, q, k=k)
-    # vec_id IS the index into the sorted rows list
-    return [rows[i]["member"] for i in top["vec_id"]]
+    top = brute_force_topk(ds, q, k=k)          # k rows on the driver
+    if not len(top):
+        return []
+    score = {int(i): float(s)
+             for i, s in zip(top["vec_id"], top["score"])}
+    want = set(score)
+
+    def winners(t: pa.Table, want=want) -> pa.Table:
+        t = t.select(["vec_id", "member"])
+        return t.filter(in_set_mask(t["vec_id"], want))
+
+    rows = ds.map_batches(winners, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-score[int(r["vec_id"])], r["member"]))
+    return [r["member"] for r in rows]

@@ -87,6 +87,38 @@ def test_relevant_nodes(ray_session):
     assert out[0] == "alpha"   # identical label embeds identically -> top hit
 
 
+def test_relevant_nodes_matches_driver_reference(ray_session):
+    """The distributed path (minted vec_ids, per-block partial top-k,
+    broadcast winner lookup — no entity-table take_all) must reproduce a
+    plain driver-side cosine ranking over the same hash embeddings,
+    ordered (score desc, member asc)."""
+    import numpy as np
+
+    from kg_gen_ray.pipelines.kg_pipeline import entity_labels
+    from kg_gen_ray.pipelines.query import relevant_nodes
+    from kg_gen_ray.stages.embed import HashEmbedder
+
+    ents = [f"node{i:02d}" for i in range(30)] + ["query term", "querx"]
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array(ents, pa.string()),
+        "pred": pa.array(["p"] * len(ents), pa.string()),
+        "obj": pa.array(ents[1:] + ents[:1], pa.string()),
+    }))
+    he = HashEmbedder(dim=32)
+    members = sorted({r["member"] for r in
+                      entity_labels(triples).take_all()})
+    q = he.embed_one("query term").astype(np.float64)
+
+    def cos(m):
+        v = he.embed_one(m).astype(np.float64)
+        return float(np.dot(v, q) / max(np.linalg.norm(v)
+                                        * np.linalg.norm(q), 1e-300))
+
+    want = [m for m in sorted(members, key=lambda m: (-cos(m), m))][:5]
+    got = relevant_nodes(triples, "query term", k=5, dim=32)
+    assert got == want
+
+
 def test_neighborhood_join_dual_equals_broadcast(ray_session):
     """broadcast_limit=0 forces the Bloom + left_semi join frontier dual;
     it must agree with the broadcast path exactly, including triples
