@@ -56,8 +56,10 @@ _TEMPLATES = [
 ]
 
 
-def _fuzz_corpus(tmpdir: str, seed: int = 4117, n: int = 300) -> str:
-    rng = np.random.default_rng(seed)
+def _fuzz_corpus(tmpdir: str, seed: int = 4117, n: int = 300,
+                 rng=None) -> str:
+    if rng is None:
+        rng = np.random.default_rng(seed)
     ids = rng.permutation(np.arange(1, n + 1))
     langs = np.array(["en", "de", "fr", "es", "zh", None], dtype=object)
     texts, lang_col = [], []
@@ -87,7 +89,8 @@ def _fuzz_corpus(tmpdir: str, seed: int = 4117, n: int = 300) -> str:
         "n_chars": pa.array(
             [len(t) if t is not None else None for t in texts], pa.int64()),
     })
-    path = os.path.join(tmpdir, "fuzz_sf")
+    path = tmpdir if tmpdir.endswith("sf") \
+        else os.path.join(tmpdir, "fuzz_sf")
     os.makedirs(path, exist_ok=True)
     pq.write_table(tbl, os.path.join(path, "documents.parquet"))
     return path
@@ -194,7 +197,11 @@ def test_chunk_chain_on_unicode_whitespace_padding(ray_session,
 
 EVENT_QUERIES = ["events_windows", "events_asof", "events_session_assign"]
 VECTOR_QUERIES = ["ann_topk", "ann_topk_multi", "ivf_assign", "ivf_topk",
-                  "near_dup_cosine", "semdedup"]
+                  "near_dup_cosine", "semdedup",
+                  # fuses bm25 over the fuzz documents with ann over the
+                  # fuzz embeddings — needs both tables, so it lives in
+                  # the tv fixture (closes the last fuzz-coverage gap)
+                  "rank_fusion_topk"]
 
 
 def _fuzz_events(path: str, rng) -> None:
@@ -285,6 +292,7 @@ def fuzz_dir_tv(tmp_path_factory, request):
     _fuzz_events(path, rng)
     _fuzz_embeddings(path, rng)
     _fuzz_orders(path, rng)
+    _fuzz_corpus(path, rng=rng)     # documents for rank_fusion_topk
     return path
 
 
@@ -299,7 +307,7 @@ def test_time_vector_queries_match_oracle_on_fuzz(ray_session, fuzz_dir_tv,
     rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
     con = duckdb.connect()
     for t in ("events", "embeddings", "orders", "lineitem", "customer",
-              "nation", "region", "supplier", "part"):
+              "nation", "region", "supplier", "part", "documents"):
         if os.path.exists(f"{fuzz_dir_tv}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{fuzz_dir_tv}/{t}.parquet')")
