@@ -53,3 +53,50 @@ def read_graph_json(path: str) -> dict:
         else:
             out[k] = None
     return out
+
+
+def to_nx(triples, entities=None):
+    """Reference-parity NetworkX export (``KGGen.to_nx``, ref
+    ``src/kg_gen/kg_gen.py:321-330``): a ``nx.DiGraph`` with one node per
+    entity and one edge per (subj, obj) carrying a ``relation`` attribute.
+
+    ``nx.DiGraph`` cannot hold parallel edges, so multiple predicates
+    between one (subj, obj) pair COLLAPSE to a single edge — in the
+    reference the surviving ``relation`` is whichever the (set-ordered)
+    iteration added last, i.e. unspecified. Here triples are sorted
+    (subj, pred, obj) first, so the surviving relation is the
+    lexicographically GREATEST predicate — deterministic on purpose.
+    The engine's own triples table keeps parallel edges (see
+    pipelines/query.py); this exporter exists for users porting
+    reference retrieval code that expects a DiGraph.
+
+    ``triples``: a Ray Dataset / pyarrow Table / iterable of (s, p, o).
+    ``entities``: optional extra node labels (isolated nodes — the
+    reference adds ``graph.entities`` before edges). Driver-side by
+    design: a DiGraph is a driver object; export a SMALL (e.g. already
+    filtered/neighborhood) graph, not a 100 TB edge set.
+    """
+    import networkx as nx
+
+    if hasattr(triples, "iter_batches"):         # ray.data.Dataset
+        rows = []
+        for b in triples.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+            rows.extend(zip(b["subj"].to_pylist(),
+                            b["pred"].to_pylist(),
+                            b["obj"].to_pylist()))
+    elif hasattr(triples, "column_names"):       # pyarrow Table
+        rows = list(zip(triples["subj"].to_pylist(),
+                        triples["pred"].to_pylist(),
+                        triples["obj"].to_pylist()))
+    else:
+        rows = [tuple(r) for r in triples]
+
+    G = nx.DiGraph()
+    for e in entities or ():
+        G.add_node(e)
+    for s, p, o in sorted(rows):
+        G.add_node(s)
+        G.add_node(o)
+        G.add_edge(s, o, relation=p)
+    return G

@@ -1,6 +1,7 @@
 """End-to-end pipeline conformance: P/R >= 0.95 vs closed-form truth,
 graph invariants, no-cluster path, skew fixture, graph.json round-trip."""
 
+import pytest
 import os
 
 import pyarrow as pa
@@ -174,3 +175,39 @@ def test_rewrite_duals_pass_provenance_columns_through(ray_session):
         got = {(r["subj"], r["pred"], r["obj"], r["url"], r["chunk_id"])
                for r in out.take_all()}
         assert got == want
+
+
+def test_to_nx_export(ray_session):
+    """Reference-parity DiGraph export (ref kg_gen.py:321-330): nodes =
+    entities (incl. isolated), edges carry a relation attr, parallel
+    edges collapse deterministically to the lexicographically greatest
+    predicate, and the conformance graph round-trips edge-for-edge."""
+    nx = pytest.importorskip("networkx")
+    from kg_gen_ray.sources.graph_json import to_nx
+
+    triples = rd.from_arrow(pa.table({
+        "subj": pa.array(["a", "a", "b"]),
+        "pred": pa.array(["likes", "knows", "sees"]),
+        "obj": pa.array(["b", "b", "c"]),
+    }))
+    G = to_nx(triples, entities=["lonely"])
+    assert isinstance(G, nx.DiGraph)
+    assert set(G.nodes) == {"a", "b", "c", "lonely"}
+    # (a, b) parallel edges collapse; sorted insertion -> greatest pred
+    assert G.edges["a", "b"]["relation"] == "likes"
+    assert G.edges["b", "c"]["relation"] == "sees"
+    assert G.number_of_edges() == 2
+
+    # conformance-pipeline graph: every canonical triple becomes an edge
+    # (no parallel (s, o) pairs there, so nothing collapses)
+    pages = synthetic_pages_table(n_pages=6, seed=7)
+    out = build_kg(rd.from_arrow(pages), PipelineConfig())
+    rows = [(r["subj"], r["pred"], r["obj"])
+            for r in out.triples.take_all()]
+    G2 = to_nx(out.triples)
+    assert len({(s, o) for s, _, o in rows}) == G2.number_of_edges()
+    for s, p, o in rows:
+        if G2.edges[s, o]["relation"] == p:
+            break
+    else:
+        pytest.fail("no triple survived as its own edge attribute")
