@@ -16,14 +16,20 @@ both levels:
   model, a ~trained abbreviation table + orthographic heuristics; that
   model artifact is not shippable here, so the rules below encode its
   documented English behavior): boundaries at ``[.!?]`` runs followed by
-  whitespace, EXCEPT after known abbreviations ("Dr.", "U.S.", "e.g."),
-  single-letter initials ("J. R. R. Tolkien"), or when the next word
-  starts lowercase (mid-sentence ellipsis/abbreviation); trailing closing
+  whitespace, EXCEPT after known abbreviations ("Dr.", "U.S.", "e.g.") —
+  unless the next word is a capitalized frequent sentence starter
+  (punkt's starter heuristic via the closed ``_SENT_STARTERS`` set:
+  "the U.S. The climate..." breaks) — single-letter initials
+  ("J. R. R. Tolkien"), or when the next word starts lowercase
+  (mid-sentence ellipsis/abbreviation); trailing closing
   quotes/brackets attach to the preceding sentence (punkt's
   ``realign_boundaries``). ``!``/``?`` always terminate.
 
 Documented divergences from the reference: NLTK punkt is a trained model,
-so texts outside these rule families may split differently; and the
+so texts outside these rule families may split differently — the main
+remaining family is a capitalized PROPER NOUN after an abbreviation
+("U.S. Canada ..."), where trained punkt's ortho data can break and we
+conservatively do not; and the
 reference's word-fallback can append an empty-string chunk when a long
 sentence's first word exceeds the limit (``chunk_text.py:52``) — we drop
 empty chunks (an engine guard), everything else is identical. Chunk
@@ -59,6 +65,41 @@ _BOUNDARY = re.compile(
     r'(?P<term>[.!?]+)(?P<close>["\'”’\)\]\}]*)(?=(?P<ws>\s+))')
 
 _OPENERS = "\"'“‘([{"
+
+# Frequent sentence starters: punkt's second heuristic (Kiss & Strunk
+# 2006 §4.3; nltk.tokenize.punkt's trained ``sent_starters``) breaks
+# after a known abbreviation when the NEXT token is a word that starts
+# sentences far more often than it continues them. The trained WSJ set
+# is not shippable; this closed set of English function words — words
+# that are essentially always lowercase mid-sentence, so their
+# capitalization after an abbreviation IS the sentence-start signal —
+# covers the unambiguous core ("the U.S. The climate...") while proper
+# nouns ("U.S. Canada ...") stay on the conservative no-break branch
+# (still a documented divergence when trained punkt's ortho data knows
+# the noun).
+_SENT_STARTERS = frozenset("""
+    the this that these those a an
+    he she it they we you i his her its their our your my
+    but however meanwhile nevertheless moreover furthermore finally
+    then there thus hence instead also still yet
+    today yesterday tomorrow now
+    when while after before although though since because if unless
+    some many most several both each few all no one two
+""".split())
+
+
+def _next_word(text: str, start: int) -> str:
+    """The word deciding sentence-starter status after ``start``: skips
+    whitespace/openers, collects letters up to the next non-letter
+    (so "However," yields "However")."""
+    i = start
+    n = len(text)
+    while i < n and (text[i].isspace() or text[i] in _OPENERS):
+        i += 1
+    j = i
+    while j < n and text[j].isalpha():
+        j += 1
+    return text[i:j]
 
 
 def _prev_token(text: str, end: int) -> str:
@@ -97,14 +138,20 @@ def split_sentences(text: str) -> list[str]:
             stripped = prev.lstrip("\"'“‘([{")
             low = stripped.lower()
             if len(term) == 1:
-                # known abbreviation ("Dr.", "U.S.", "e.g.") never breaks;
-                # nor does a single-letter initial ("J. R. R. Tolkien").
-                # punkt's ortho heuristic CAN break after an abbreviation
-                # before a strong sentence starter; without the trained
-                # starter table we take the conservative branch.
+                # known abbreviation ("Dr.", "U.S.", "e.g.") never breaks
+                # — UNLESS the next word is a capitalized frequent
+                # sentence starter (punkt's starter heuristic, see
+                # _SENT_STARTERS): "the U.S. The climate..." breaks,
+                # "the U.S. Canada..." conservatively does not. A
+                # single-letter initial ("J. R. R. Tolkien") never
+                # breaks (initials chain into names, and punkt's
+                # starter evidence is dominated by the initial reading).
                 if low in _ABBREVS:
-                    continue
-                if len(stripped) == 1 and stripped.isalpha():
+                    nxt_w = _next_word(text, m.end() + len(m.group("ws")))
+                    if not (nxt_w[:1].isupper()
+                            and nxt_w.lower() in _SENT_STARTERS):
+                        continue
+                elif len(stripped) == 1 and stripped.isalpha():
                     continue
             else:
                 # ellipsis ("..."): punkt breaks only before an

@@ -135,9 +135,22 @@ def test_chunker_split_matches_nltk_punkt_on_web_text(ray_session):
         "J. R. R. Tolkien wrote it. It sold well.",
         "See fig. 2 for details. The curve flattens.",
         "Visit example.com today! Offers end soon.",
+        # starter-heuristic family (round 5: abbreviation + capitalized
+        # frequent starter now breaks — must agree with trained punkt)
+        "He moved to the U.S. The climate differs.",
+        "It opens at 9 a.m. They arrive early.",
+        "Apples, pears, etc. However, figs differ.",
+        # proper-noun-after-abbreviation: the remaining documented
+        # divergence (punkt's ortho data may break; we do not)
+        "He moved to the U.S. Canada stayed neutral.",
+        # quote / bracket realignment + non-English punctuation families
+        '"Stop!" he said. Then he left.',
+        "He said (see p. 12) it works. Fine.",
+        "C'est fini. Très bien. Voilà.",
+        "Der Test lief gut. Prof. Dr. Meier kam. Dann ging er.",
     ]
     mismatches = [t for t in corpus
                   if split_sentences(t) != nltk.sent_tokenize(t)]
     # the documented divergence families are allowed; anything beyond a
     # third of this corpus means the rules drifted
-    assert len(mismatches) <= 2, mismatches
+    assert len(mismatches) <= len(corpus) // 3, mismatches
