@@ -40,7 +40,7 @@ class PipelineConfig:
     # extraction
     default_extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
     lang_routes: dict = field(default_factory=dict)  # lang -> ExtractorConfig
-    extractor_concurrency: int = 4  # actor pool size
+    extractor_concurrency: int = 4  # actor pool MAX (elastic (1, n) at build)
     extractor_batch_size: int = 256
     # canonicalization (ref _3_cluster_graph.py / wikiqa cluster_and_deduplication.py)
     cluster: bool = True

@@ -71,3 +71,17 @@ def test_default_buckets_volume_aware(ray_session):
     big = 1000 * common.TARGET_BUCKET_BYTES
     assert common.default_buckets(big) == 1000
     assert common.default_buckets(big + 1) == 1001
+
+
+def test_elastic_concurrency(ray_session):
+    from kg_gen_ray.stages.common import elastic_concurrency
+
+    # int request pins the max, min stays 1 (liveness)
+    assert elastic_concurrency(4) == (1, 4)
+    assert elastic_concurrency(1) == (1, 1)
+    # explicit tuples pass through untouched (caller owns the floor)
+    assert elastic_concurrency((2, 6)) == (2, 6)
+    # None derives max from cluster CPUs, optionally capped
+    lo, hi = elastic_concurrency(None)
+    assert lo == 1 and hi >= 1
+    assert elastic_concurrency(None, cap=2)[1] <= 2

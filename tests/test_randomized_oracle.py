@@ -363,6 +363,34 @@ def test_all_duplicates_corpus_matches_oracle(ray_session, dup_dir, name):
     assert _value_hash(rdf) == _value_hash(odf)
 
 
+@pytest.mark.parametrize("name", ["minhash_band_pairs",
+                                  "near_dup_canonical",
+                                  "near_dup_jaccard"])
+def test_all_duplicates_corpus_forced_duals(ray_session, dup_dir, name):
+    """The one-giant-duplicate-class corpus through the FORCED scale-side
+    duals (KG_FORCE_JOIN_DUALS=1): the hot-bucket semi-join — whose
+    motivating case IS the dup-heavy crawl — plus the pair/CC/survivor
+    join duals, all against the same oracle as the broadcast path."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as mod
+
+    os.environ["KG_FORCE_JOIN_DUALS"] = "1"
+    try:
+        res = mod.queries()[name](dup_dir)
+        rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+    finally:
+        os.environ.pop("KG_FORCE_JOIN_DUALS")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dup_dir}/documents.parquet')")
+    odf = con.execute(mod.oracle_sql()[name]).df()
+    assert sorted(map(str, rdf.columns)) == sorted(map(str, odf.columns))
+    assert len(rdf) == len(odf), (len(rdf), len(odf))
+    assert _value_hash(rdf) == _value_hash(odf)
+
+
 # --- relational fuzz (TPC-H-shaped tables with nulls) ------------------------
 
 RELATIONAL_QUERIES = ["pricing_summary", "revenue_by_region"]
