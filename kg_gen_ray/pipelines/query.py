@@ -115,35 +115,33 @@ def relevant_nodes(triples: "ray.data.Dataset", query: str, k: int = 8,
     ``retrieve_relevant_nodes``, kg_gen.py:370-384; hash-embedder backend
     here, SentenceTransformer in production).
 
-    The entity-embedding table never reaches the driver: ids are minted
-    distributed (``functions.ids.mint_doc_ids`` — deterministic from the
-    label), the per-block partial top-k reduces to k rows, and only
-    those k ids map back to labels (broadcast-set filter). The returned
-    order is (score desc, member asc) — member, not internal vec_id, so
-    the ordering is independent of the id layout."""
+    The entity-embedding table never reaches the driver: a per-block
+    partial top-k keyed directly on (score desc, member asc) reduces
+    each block to k rows, and the driver merges O(blocks x k) rows.
+    No internal integer ids exist, so score ties — including ties
+    across the k-th rank — resolve by member order deterministically,
+    independent of any id layout."""
     import numpy as np
-    from kg_gen_ray.functions.ann import brute_force_topk
-    from kg_gen_ray.functions.ids import mint_doc_ids
+    from kg_gen_ray.functions.ann import _cosine, _mat
     from kg_gen_ray.pipelines.kg_pipeline import entity_labels
-    from kg_gen_ray.stages.common import in_set_mask
     from kg_gen_ray.stages.embed import HashEmbedder, embed_stage
 
     labels = entity_labels(triples)
     emb = embed_stage(labels, backend="hash", dim=dim)
-    ds = mint_doc_ids(emb, key_col="member", id_col="vec_id").materialize()
+    q_ref = ray.put(HashEmbedder(dim).embed_one(query).astype(np.float64))
 
-    q = HashEmbedder(dim).embed_one(query).astype(np.float64)
-    top = brute_force_topk(ds, q, k=k)          # k rows on the driver
-    if not len(top):
-        return []
-    score = {int(i): float(s)
-             for i, s in zip(top["vec_id"], top["score"])}
-    want = set(score)
+    def partial(t: pa.Table, q_ref=q_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"member": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        sims = _cosine(_mat(t), ray.get(q_ref))
+        members = t["member"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((members, -sims))[:k]
+        return pa.table({
+            "member": pa.array(members[order], pa.string()),
+            "score": pa.array(sims[order], pa.float64()),
+        })
 
-    def winners(t: pa.Table, want=want) -> pa.Table:
-        t = t.select(["vec_id", "member"])
-        return t.filter(in_set_mask(t["vec_id"], want))
-
-    rows = ds.map_batches(winners, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: (-score[int(r["vec_id"])], r["member"]))
-    return [r["member"] for r in rows]
+    rows = emb.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["score"], r["member"]))
+    return [r["member"] for r in rows[:k]]

@@ -87,6 +87,17 @@ _SENT_STARTERS = frozenset("""
     some many most several both each few all no one two
 """.split())
 
+# Abbreviations the starter heuristic must NEVER fire after: honorifics
+# and citation/legal forms collocate with a following capitalized NAME
+# ("Dr. No", "Roe v. The State", "fig. One") — punkt's collocation
+# evidence, which outranks its starter evidence (Kiss & Strunk §4.2).
+# Without the guard the starter set's function words false-break names.
+_NO_STARTER_BREAK = frozenset("""
+    mr mrs ms dr prof rev fr sr jr st mt hon pres gov sen rep gen col maj
+    capt lt sgt cpl pvt adm cmdr
+    no vol pp ch sec fig figs ed eds v vs var
+""".split())
+
 
 def _next_word(text: str, start: int) -> str:
     """The word deciding sentence-starter status after ``start``: skips
@@ -147,6 +158,8 @@ def split_sentences(text: str) -> list[str]:
                 # breaks (initials chain into names, and punkt's
                 # starter evidence is dominated by the initial reading).
                 if low in _ABBREVS:
+                    if low in _NO_STARTER_BREAK:
+                        continue
                     nxt_w = _next_word(text, m.end() + len(m.group("ws")))
                     if not (nxt_w[:1].isupper()
                             and nxt_w.lower() in _SENT_STARTERS):

@@ -71,14 +71,17 @@ def embed_stage(labels: "ray.data.Dataset", backend: str = "hash",
                 model_name: str = "all-mpnet-base-v2") -> "ray.data.Dataset":
     """distinct labels(member) -> (member, embedding list<float32>)."""
     from kg_gen_ray.stages.common import elastic_concurrency
-    concurrency = elastic_concurrency(concurrency)
     if backend == "hash":
         return labels.map_batches(HashEmbedder, fn_constructor_args=(dim,),
                                   batch_format="pyarrow",
-                                  concurrency=concurrency)
+                                  concurrency=elastic_concurrency(concurrency))
     if backend == "sentence_transformer":
+        # each actor loads the full model (~hundreds of MB): cap the
+        # derived pool width so a wide node doesn't multiply model
+        # memory 32x; an explicit concurrency still pins its own max
         return labels.map_batches(SentenceTransformerEmbedder,
                                   fn_constructor_args=(model_name,),
                                   batch_format="pyarrow",
-                                  concurrency=concurrency)
+                                  concurrency=elastic_concurrency(
+                                      concurrency, cap=4))
     raise ValueError(f"unknown embedder backend: {backend}")

@@ -245,6 +245,11 @@ def test_golden_corpus_chunks_pinned(name, n_chunks, md5):
     # the starter rule must NOT fire mid-phrase: lowercase continuation
     ("The U.S. the and of are words.",
      ["The U.S. the and of are words."]),
+    # nor after honorifics / citation forms, whose collocation with a
+    # following capitalized NAME outranks starter evidence ("Dr. No")
+    ("Ask Dr. No about it.", ["Ask Dr. No about it."]),
+    ("Roe v. The State of Ohio won.", ["Roe v. The State of Ohio won."]),
+    ("See fig. A few lines down.", ["See fig. A few lines down."]),
     # nor after single-letter initials (initials chain into names)
     ("J. R. R. Tolkien wrote it. He was English.",
      ["J. R. R. Tolkien wrote it.", "He was English."]),

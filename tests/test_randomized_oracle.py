@@ -57,7 +57,7 @@ _TEMPLATES = [
 
 
 def _fuzz_corpus(tmpdir: str, seed: int = 4117, n: int = 300,
-                 rng=None) -> str:
+                 rng=None, in_place: bool = False) -> str:
     if rng is None:
         rng = np.random.default_rng(seed)
     ids = rng.permutation(np.arange(1, n + 1))
@@ -89,8 +89,7 @@ def _fuzz_corpus(tmpdir: str, seed: int = 4117, n: int = 300,
         "n_chars": pa.array(
             [len(t) if t is not None else None for t in texts], pa.int64()),
     })
-    path = tmpdir if tmpdir.endswith("sf") \
-        else os.path.join(tmpdir, "fuzz_sf")
+    path = tmpdir if in_place else os.path.join(tmpdir, "fuzz_sf")
     os.makedirs(path, exist_ok=True)
     pq.write_table(tbl, os.path.join(path, "documents.parquet"))
     return path
@@ -292,7 +291,7 @@ def fuzz_dir_tv(tmp_path_factory, request):
     _fuzz_events(path, rng)
     _fuzz_embeddings(path, rng)
     _fuzz_orders(path, rng)
-    _fuzz_corpus(path, rng=rng)     # documents for rank_fusion_topk
+    _fuzz_corpus(path, rng=rng, in_place=True)  # docs for rank_fusion_topk
     return path
 
 

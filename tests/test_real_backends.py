@@ -149,8 +149,14 @@ def test_chunker_split_matches_nltk_punkt_on_web_text(ray_session):
         "C'est fini. Très bien. Voilà.",
         "Der Test lief gut. Prof. Dr. Meier kam. Dann ging er.",
     ]
+    # ONLY the documented divergence families may mismatch — an explicit
+    # allowlist, not a ratio, so drift in any previously-agreeing family
+    # (including the new starter-heuristic cases) fails loudly
+    allowed_divergent = {
+        "He moved to the U.S. Canada stayed neutral.",   # ortho proper noun
+        '"Stop!" he said. Then he left.',                # quote collocation
+        "Der Test lief gut. Prof. Dr. Meier kam. Dann ging er.",  # non-EN
+    }
     mismatches = [t for t in corpus
                   if split_sentences(t) != nltk.sent_tokenize(t)]
-    # the documented divergence families are allowed; anything beyond a
-    # third of this corpus means the rules drifted
-    assert len(mismatches) <= len(corpus) // 3, mismatches
+    assert set(mismatches) <= allowed_divergent, mismatches
