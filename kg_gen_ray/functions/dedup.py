@@ -116,11 +116,19 @@ def _shingle_id_arrays(doc_ids, texts, vocab: dict | None = None,
     if vocab is None:
         vocab = {}
     out = {}
+    # candidate docs are duplicates BY CONSTRUCTION: share one sorted
+    # id array per distinct text instead of re-shingling every copy
+    # (read-only downstream, so aliasing is safe)
+    by_text: dict = {}
     for did, text in zip(doc_ids, texts):
-        ids = np.fromiter(
-            (vocab.setdefault(sh, len(vocab)) for sh in shingle_set(text, k)),
-            dtype=np.int64)
-        ids.sort()
+        ids = by_text.get(text)
+        if ids is None:
+            ids = np.fromiter(
+                (vocab.setdefault(sh, len(vocab))
+                 for sh in shingle_set(text, k)),
+                dtype=np.int64)
+            ids.sort()
+            by_text[text] = ids
         out[did] = ids
     return out
 
@@ -477,10 +485,11 @@ def _simhash_accumulate(toks, acc):
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
     """Vectorized batch SimHash: one md5 per unique token in the batch,
-    then a single matrix accumulate per document."""
-    texts = batch["text"].to_pylist()
-    # null text tokenizes like "" (0 contributing tokens -> simhash 0)
-    tok_lists = [t.split(" ") if t is not None else [] for t in texts]
+    one matrix accumulate per DISTINCT text (duplicate docs take their
+    hash by index — see :func:`_distinct_texts`; null text folds to "",
+    both hash to 0)."""
+    texts, idx = _distinct_texts(batch)
+    tok_lists = [t.split(" ") if t else [] for t in texts]
     flat = [w for toks in tok_lists for w in toks]
     hs = []
     if flat:
@@ -500,10 +509,12 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
             pos += n
     else:
         hs = [0] * len(texts)   # all-null/empty batch: rows still emitted
+    sim = pa.array([np.uint64(h) for h in hs], pa.uint64())
+    buck = pa.array([h >> 48 for h in hs], pa.int64())
     return pa.table({
         "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-        "simhash": pa.array([np.uint64(h) for h in hs], pa.uint64()),
-        "bucket": pa.array([h >> 48 for h in hs], pa.int64()),
+        "simhash": pc.take(sim, idx),
+        "bucket": pc.take(buck, idx),
     })
 
 
