@@ -202,12 +202,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,       # probed-list ANN search (X5+T1)
         "near_dup_cosine": q_near_dup_cosine,
-        "semdedup": q_semdedup,       # cluster-pruned embedding dedup
-        # ================= driver-window tail (entries 51-61) =============
-        # Round-4-green VARIANT queries rotated OUT of the 50-entry driver
+        "decontaminate": q_decontaminate,  # benchmark k-gram leak removal
+        # ================= driver-window tail (entries 51-62) =============
+        # Round-4-green queries rotated OUT of the 50-entry driver
         # window; each keeps an in-window representative of its family
         # (COVERAGE.md "driver-window rotation"). All stay oracled +
         # fuzz-covered; /tmp-style full-registry verify runs check them.
+        "semdedup": q_semdedup,       # embedding-dedup family: near_dup_cosine in-window
         "kg_triples_raw": q_kg_triples_raw,        # pre-dedup stage of kg_triples
         "kg_triples_routed": q_kg_triples_routed,  # routing variant of kg_triples
         "kg_graph_stats": q_kg_graph_stats,        # A6 family: degrees/components/pagerank in-window
@@ -947,6 +948,28 @@ def q_ivf_topk(sf_dir: str):
 def q_near_dup_cosine(sf_dir: str):
     from kg_gen_ray.functions.ann import cosine_near_dup_pairs
     return cosine_near_dup_pairs(_embeddings(sf_dir), threshold=0.3)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix C / Gopher A.5 style):
+    surviving doc ids after dropping every doc that shares an 8-token
+    k-gram with the benchmark set — here the deterministic
+    ``doc_id % 41 == 0`` subset of the corpus itself, so the oracle can
+    derive the identical benchmark. The engine matches on u64
+    token-hash Horner k-grams (``functions/decontaminate.py`` — the
+    broadcast-searchsorted fast path with the bloom/semi-join dual);
+    hash equality of k-token tuples is string equality of the
+    ' '-joined grams, which the oracle replays literally."""
+    from kg_gen_ray.functions.decontaminate import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_sel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 41 == 0))
+
+    bench = docs.map_batches(bench_sel, batch_format="pyarrow")
+    return decontaminate(docs, bench).select_columns(["doc_id"])
 
 
 def q_semdedup(sf_dir: str):
@@ -2393,6 +2416,25 @@ def oracle_sql() -> dict[str, str]:
     # SemDeDup: assignment replayed exactly like ivf_assign; keep = no
     # LOWER-id same-cluster vector at cosine >= 0.3 (NOT EXISTS dominance,
     # matching the engine's order-free per-cluster mask)
+    # the benchmark is the corpus's own doc_id % 41 == 0 subset, so the
+    # oracle derives it identically; k-gram equality over 8-token
+    # windows replays as equality of the ' '-joined gram strings (split
+    # on ' ' in both engines; a token never contains ' ', so the join is
+    # bijective). NULL text has no grams and always survives.
+    sql["decontaminate"] = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+                      FROM documents WHERE text IS NOT NULL),
+             grams AS (
+               SELECT doc_id, array_to_string(ts[i : i + 7], ' ') AS gram
+               FROM toks,
+                    UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+             bgrams AS (SELECT DISTINCT gram FROM grams
+                        WHERE doc_id % 41 = 0),
+             bad AS (SELECT DISTINCT g.doc_id
+                     FROM grams g JOIN bgrams b USING (gram))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
+
     sql["semdedup"] = """
         WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
                             AS centroid_id,

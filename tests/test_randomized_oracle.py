@@ -33,7 +33,7 @@ FUZZ_QUERIES = [
     "minhash_band_pairs", "minhash_sig_fast", "near_dup_canonical",
     "near_dup_jaccard", "text_quality", "llm_filter", "hygiene_counts",
     "approx_distinct_docs", "messages_flatten", "wikiqa_clean",
-    "mine_accuracy",
+    "mine_accuracy", "decontaminate",
     # media_frames once deadlocked here (two FIXED concurrency=2 actor
     # pools under the 4-CPU test session); elastic (1, n) pool sizing
     # made it schedulable at any session width — regression-pinned by
