@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # implemented + pytest-covered)
         "kg_alias_map": q_kg_alias_map,
         "kg_canonical_triples": q_kg_canonical_triples,
+        "kg_graph_json": q_kg_graph_json,  # S3+S4 file round-trip
         "kg_top": q_kg_top,   # top entities (A6/T3) + top relations (A2/T3)
         "kg_degrees": q_kg_degrees,            # + kg_nodes columns
         "kg_components": q_kg_components,
@@ -196,7 +197,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighborhood": q_kg_neighborhood,
         "near_dup_canonical": q_near_dup_canonical,
         # --- retrieval (SURVEY §2 X4 BM25 / T2 rank fusion)
-        "bm25_scores": q_bm25_scores,
         "rank_fusion_topk": q_rank_fusion_topk,
         # --- similarity search
         "ann_topk": q_ann_topk,
@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (COVERAGE.md "driver-window rotation"). All stay oracled +
         # fuzz-covered; /tmp-style full-registry verify runs check them.
         "semdedup": q_semdedup,       # embedding-dedup family: near_dup_cosine in-window
+        "bm25_scores": q_bm25_scores,  # X4: bm25 ranks are rank_fusion_topk's first leg
         "kg_triples_raw": q_kg_triples_raw,        # pre-dedup stage of kg_triples
         "kg_triples_routed": q_kg_triples_routed,  # routing variant of kg_triples
         "kg_graph_stats": q_kg_graph_stats,        # A6 family: degrees/components/pagerank in-window
@@ -307,6 +308,40 @@ def q_kg_alias_map(sf_dir: str):
 
 def q_kg_canonical_triples(sf_dir: str):
     return _build_kg(sf_dir).triples
+
+
+def q_kg_graph_json(sf_dir: str):
+    """S3+S4 Graph JSON writer/reader round-trip as a driver-oracled
+    query (ref ``kg_gen.py:247-266`` save / ``139-147`` from_file): the
+    canonical triples are written to a real ``graph.json`` (sorted
+    lists, the reference's serialized shape), read back through
+    ``read_graph_json``, and the reconstructed relations are returned —
+    so the oracle (the canonical-triples SQL) checks the FILE round
+    trip, not just the in-memory pipeline. Graph JSON is the
+    reference's small-graph interop format; the result is
+    output-sized (canonical triples), not corpus-sized."""
+    import shutil
+    import tempfile
+
+    from kg_gen_ray.sources.graph_json import (read_graph_json,
+                                               write_graph_json)
+    triples = _build_kg(sf_dir).triples
+    rows = triples.take_all()              # canonical graph: output-sized
+    ents = {r["subj"] for r in rows} | {r["obj"] for r in rows}
+    rels = [(r["subj"], r["pred"], r["obj"]) for r in rows]
+    edges = {r["pred"] for r in rows}
+    d = tempfile.mkdtemp(prefix="kg_gjson_", dir="/tmp")
+    try:
+        path = write_graph_json(f"{d}/graph.json", ents, rels, edges)
+        doc = read_graph_json(path)
+        back = sorted(doc["relations"])
+        return pa.table({
+            "subj": pa.array([s for s, _, _ in back], pa.string()),
+            "pred": pa.array([p for _, p, _ in back], pa.string()),
+            "obj": pa.array([o for _, _, o in back], pa.string()),
+        })
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_kg_top(sf_dir: str):
@@ -1539,6 +1574,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["kg_canonical_triples"] = f"""
         {_KG_CANON_PREFIX} SELECT subj, pred, obj FROM canonical"""
+
+    # the graph.json round-trip reconstructs exactly the canonical
+    # triples (writer sorts, reader rebuilds tuples) — same oracle
+    sql["kg_graph_json"] = sql["kg_canonical_triples"]
 
     # the semantic judged loop reduces to the normalize-key alias map
     # under full retrieval + the deterministic judge + one k-means cell

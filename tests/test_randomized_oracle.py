@@ -27,6 +27,7 @@ FUZZ_QUERIES = [
     "kg_pagerank", "kg_degrees", "kg_top", "kg_graph_stats",
     "kg_triples_raw", "kg_triples_routed", "kg_triples_llm",
     "kg_incremental", "kg_semantic_alias", "kg_neighborhood",
+    "kg_graph_json",
     # LM / retrieval / dedup / composition families
     "mint_doc_ids", "lm_score", "ppl_buckets", "dsir_weights",
     "tfidf_top_terms", "bm25_scores", "doc_winnow",
