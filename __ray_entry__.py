@@ -126,15 +126,16 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # 61 queries, 61 oracles. The round driver checks the FIRST 50
+    # 63 queries, 63 oracles. The round driver checks the FIRST 50
     # entries (its fixed correctness window), so ordering is a coverage
     # decision: the 11 entries the round-4 window missed come FIRST
     # (mix_sample and seeded_shuffle had never had a driver row; the
-    # other nine were green in r3), and 11 round-4-green VARIANT queries
-    # are rotated to the tail — each tail family keeps an in-window
-    # representative (see COVERAGE.md "driver-window rotation" for the
-    # variant -> representative mapping). Every tail query stays fully
-    # oracled here and runs in the differential fuzz campaign + pytest.
+    # other nine were green in r3), the two round-5 additions
+    # (decontaminate, kg_graph_json) sit in the head for their first
+    # rows, and 13 round-4-green queries are rotated to the tail — each
+    # tail family keeps an in-window representative (see COVERAGE.md
+    # "driver-window rotation" for the mapping). Every tail query stays
+    # fully oracled here and runs in the differential fuzz campaign.
     return {
         # --- round-4 window misses, rotated in first (never-checked pair
         #     leads)
@@ -203,7 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,       # probed-list ANN search (X5+T1)
         "near_dup_cosine": q_near_dup_cosine,
         "decontaminate": q_decontaminate,  # benchmark k-gram leak removal
-        # ================= driver-window tail (entries 51-62) =============
+        # ================= driver-window tail (entries 51-63) =============
         # Round-4-green queries rotated OUT of the 50-entry driver
         # window; each keeps an in-window representative of its family
         # (COVERAGE.md "driver-window rotation"). All stay oracled +
@@ -2452,14 +2453,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
           AND (list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / greatest(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 1e-300)) >= 0.3"""
 
-    # SemDeDup: assignment replayed exactly like ivf_assign; keep = no
-    # LOWER-id same-cluster vector at cosine >= 0.3 (NOT EXISTS dominance,
-    # matching the engine's order-free per-cluster mask)
-    # the benchmark is the corpus's own doc_id % 41 == 0 subset, so the
-    # oracle derives it identically; k-gram equality over 8-token
-    # windows replays as equality of the ' '-joined gram strings (split
-    # on ' ' in both engines; a token never contains ' ', so the join is
-    # bijective). NULL text has no grams and always survives.
+    # decontaminate: the benchmark is the corpus's own doc_id % 41 == 0
+    # subset, so the oracle derives it identically; k-gram equality over
+    # 8-token windows replays as equality of the ' '-joined gram strings
+    # (split on ' ' in both engines; a token never contains ' ', so the
+    # join is bijective). NULL text has no grams and always survives.
     sql["decontaminate"] = """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
                       FROM documents WHERE text IS NOT NULL),
@@ -2474,6 +2472,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)"""
 
+    # SemDeDup: assignment replayed exactly like ivf_assign; keep = no
+    # LOWER-id same-cluster vector at cosine >= 0.3 (NOT EXISTS dominance,
+    # matching the engine's order-free per-cluster mask)
     sql["semdedup"] = """
         WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
                             AS centroid_id,

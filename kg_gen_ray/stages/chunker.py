@@ -87,15 +87,20 @@ _SENT_STARTERS = frozenset("""
     some many most several both each few all no one two
 """.split())
 
-# Abbreviations the starter heuristic must NEVER fire after: honorifics
-# and citation/legal forms collocate with a following capitalized NAME
-# ("Dr. No", "Roe v. The State", "fig. One") — punkt's collocation
-# evidence, which outranks its starter evidence (Kiss & Strunk §4.2).
-# Without the guard the starter set's function words false-break names.
+# Abbreviations the starter heuristic must NEVER fire after: PERSON
+# honorifics and legal/taxonomic citation forms, whose collocate is a
+# following capitalized NAME that can collide with the function-word
+# starter set ("Dr. No", "Roe v. The State") — punkt's collocation
+# evidence outranks its starter evidence (Kiss & Strunk §4.2).
+# Numeric-citation forms (no/vol/pp/ch/sec/fig/ed) are deliberately NOT
+# guarded: their real collocate is a DIGIT, which already fails the
+# starter check (_next_word returns '' for non-alpha), so "No. 5" never
+# breaks while the sentence-final readings ("He said no. The deal was
+# off.", "Main St. Then she left.") break like trained punkt does.
 _NO_STARTER_BREAK = frozenset("""
-    mr mrs ms dr prof rev fr sr jr st mt hon pres gov sen rep gen col maj
+    mr mrs ms dr prof rev fr sr jr hon pres gov sen rep gen col maj
     capt lt sgt cpl pvt adm cmdr
-    no vol pp ch sec fig figs ed eds v vs var
+    v vs var
 """.split())
 
 

@@ -245,11 +245,19 @@ def test_golden_corpus_chunks_pinned(name, n_chunks, md5):
     # the starter rule must NOT fire mid-phrase: lowercase continuation
     ("The U.S. the and of are words.",
      ["The U.S. the and of are words."]),
-    # nor after honorifics / citation forms, whose collocation with a
-    # following capitalized NAME outranks starter evidence ("Dr. No")
+    # nor after person honorifics / legal citations, whose collocation
+    # with a following capitalized NAME outranks starter evidence
     ("Ask Dr. No about it.", ["Ask Dr. No about it."]),
     ("Roe v. The State of Ohio won.", ["Roe v. The State of Ohio won."]),
-    ("See fig. A few lines down.", ["See fig. A few lines down."]),
+    # numeric-citation forms are NOT guarded: a digit already fails the
+    # starter check, so "No. 5" holds while sentence-final readings break
+    ("See No. 5 for details. Then read on.",
+     ["See No. 5 for details.", "Then read on."]),
+    ("He said no. The deal was off.",
+     ["He said no.", "The deal was off."]),
+    ("She lives on Main St. Then she moved away.",
+     ["She lives on Main St.", "Then she moved away."]),
+    ("See fig. A few lines down.", ["See fig.", "A few lines down."]),
     # nor after single-letter initials (initials chain into names)
     ("J. R. R. Tolkien wrote it. He was English.",
      ["J. R. R. Tolkien wrote it.", "He was English."]),
