@@ -41,7 +41,8 @@ import ray
 
 # module-level (pickle-by-value compatibility): worker-side UDF bodies
 # must not lazily import kg_gen_ray
-from kg_gen_ray.stages.common import dict_lookup, dual_limit
+from kg_gen_ray.stages.common import (compact_if_small, dict_lookup,
+                                      dual_limit)
 import ray.data
 
 
@@ -153,8 +154,11 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
             "nbr": pa.concat_arrays([b, a]),
         })
 
-    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow") \
-                    .materialize()
+    # compact: the loop below unions edges into every iteration's
+    # aggregate, so edges' block count is a per-iteration multiplier
+    edges = compact_if_small(
+        edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+        .materialize())
 
     if (edges.size_bytes() or 0) <= dual_limit(driver_limit):
         pairs = []
@@ -193,8 +197,9 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
                     t["rank_enc"].combine_chunks()),
             }), batch_format="pyarrow")
 
-    comp = min_agg(edges.map_batches(self_plus_nbr, batch_format="pyarrow"),
-                   "cand").materialize()
+    comp = compact_if_small(
+        min_agg(edges.map_batches(self_plus_nbr, batch_format="pyarrow"),
+                "cand").materialize())
 
     for _ in range(max_iter):
         comp_bytes = comp.size_bytes() or 0
@@ -281,7 +286,15 @@ def label_propagation(edges_ds: "ray.data.Dataset", max_iter: int = 20,
         cur = comp.map_batches(
             lambda t: t.rename_columns(["node", "cand"]),
             batch_format="pyarrow")
-        new_comp = min_agg(candidates.union(cur), "cand").materialize()
+        # compact EVERY iteration: the aggregate's output block count
+        # follows its input's (edges + 2x comp blocks), so an uncompacted
+        # comp compounds ~3x blocks per round — at sf0.1 the broadcast
+        # branch went 34 s -> 121 s -> native shuffle crash by iteration
+        # 3 from thousands of near-empty blocks. compact_if_small bounds
+        # the loop at ~cores/2 blocks while comp is small; the join
+        # branch's own repartition(n_parts) bounds it once comp is big.
+        new_comp = compact_if_small(
+            min_agg(candidates.union(cur), "cand").materialize())
 
         # distributed convergence check: any changed labels? (reuses the
         # join path's already-repartitioned label table when it exists)
