@@ -170,6 +170,28 @@ def test_label_propagation_long_chain_pointer_jumping(ray_session):
         assert len(comp) == 60
 
 
+def test_label_propagation_blocks_stay_bounded(ray_session):
+    """Per-iteration compaction regression pin: the loop unions edges +
+    two label-table views into every iteration's aggregate, whose output
+    block count follows its input's — without compaction a MANY-BLOCK
+    input compounds blocks ~3x per round (observed: 34 s -> 121 s -> a
+    native shuffle crash by iteration 3 at sf0.1 under forced duals).
+    A multi-block chain graph must converge with a result block count
+    bounded near the compaction target, not in the thousands."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kg_gen_ray.stages.canonicalize import label_propagation
+
+    names = [f"n{i:03d}" for i in range(128)]   # diameter 127 -> ~8 rounds
+    edges = rd.from_arrow(pa.table({
+        "a": names[:-1], "b": names[1:]})).repartition(24)
+    comp = label_propagation(edges, driver_limit=0).materialize()
+    rows = {r["node"]: r["component"] for r in comp.take_all()}
+    assert set(rows.values()) == {"n000"} and len(rows) == 128
+    assert comp.num_blocks() <= 64, comp.num_blocks()
+
+
 def test_adaptive_salt_judges_cold_group_whole(ray_session):
     """Adaptive salting (MG hot-key detection): a norm group BELOW the hot
     threshold must reach the judge as ONE whole group — no salt
